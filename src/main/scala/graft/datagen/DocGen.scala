@@ -1,0 +1,155 @@
+package graft.datagen
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model._
+
+/** Deterministic synthesized `documents` table (FIXTURES.md §1) in the exact
+  * shape of BASELINE.json `input_hint`:
+  * `documents(doc_id string, spans array<struct<kind,text,media_ref,offset>>)`.
+  *
+  * Generation is a pure function of the row id, so it is seedless-
+  * deterministic, embarrassingly parallel (`spark.range(n).map`), and every
+  * planted-violation population is computable in closed form from the
+  * modulus table below — tests assert exact violation sets against it.
+  *
+  * Plant table (id ≡ 0 (mod m)); Articles are ids ≡ 0 (mod 6):
+  *   m=101  span with undefined kind          → PROPERTIES-DEFINED-100
+  *   m=103  type span with undefined class    → CLASSES-DEFINED-100
+  *   m=97   dangling media_ref                → URI-EXISTENCE-100
+  *   m=89   txt:count = "abc"                 → DATATYPE-PROPERTIES-DATATYPE-100
+  *   m=53   txt:uri invalid IRI               → DATATYPE-PROPERTIES-DATATYPE-100
+  *   m=47   txt:flag = "T"                    → DATATYPE-PROPERTIES-DATATYPE-100
+  *   m=79   Article missing txt:title         → OWL-RESTRICTION-MIN-102 (lcm 474)
+  *   m=73   Article with 3 med:image          → OWL-RESTRICTION-MAX-100 (lcm 438)
+  *   m=83   Article with 0 txt:date           → OWL-RESTRICTION-EXACT-102 (lcm 498)
+  *   m=71   Article with 2 txt:date           → OWL-RESTRICTION-EXACT-100 (lcm 426)
+  *   m=67   Article with no txt:lang at all   → OWL-RESTRICTION-SOME-100 (lcm 402)
+  *   m=61   Article whose only txt:lang is invalid → OWL-RESTRICTION-SOME-102 (lcm 366)
+  *   m=59   txt:score = "150" (facet-invalid) → OWL-RESTRICTION-ONLY-100 on Articles (lcm 354)
+  *   m=43   med:link → a doc whose class is outside the range closure
+  *                                            → OBJECT-PROPERTIES-RANGE-100
+  *   m=41   non-Article with a med:image span → OBJECT-DATATYPE-PROPERTIES-DOMAIN-100
+  *          (when its class is outside med:image's {Article, Page} domain)
+  *
+  * Skew knob: ids ≡ 0 (mod 5) point their med:link at doc 0 — one hot
+  * media_ref key receiving ~20% of all references, exercising the
+  * AQE/salting path of the referential join at scale.
+  */
+object DocGen {
+
+  val Classes: Seq[String] = Seq(
+    "class:Article", "class:Image", "class:Video",
+    "class:Audio", "class:Page", "class:Post")
+
+  val UndefinedClass = "class:Undefined"
+  val UndefinedKind = "txt:undefinedKind"
+
+  def docId(i: Long): String = f"doc:$i%012d"
+
+  def cls(i: Long): String =
+    if (i % 103 == 0) UndefinedClass else Classes((i % 6).toInt)
+
+  def isArticle(i: Long): Boolean = i % 6 == 0 && i % 103 != 0
+
+  /** An Image-class target id: ≡ 1 (mod 6) and not ≡ 0 (mod 103). */
+  def imageTarget(i: Long, k: Int, n: Long): Long = {
+    val j = ((i * 7 + 13 + k) % (n / 6)) * 6 + 1
+    if (j % 103 == 0) { if (j + 6 < n) j + 6 else 7 } else j
+  }
+
+  /** Pure per-id document constructor (also used by tests to compute
+    * expected violation sets without Spark).
+    */
+  def make(i: Long, n: Long): Document = {
+    val b = Seq.newBuilder[(String, String, String)] // kind, text, media_ref
+    b += (("type", cls(i), null))
+
+    if (i % 79 != 0) b += (("txt:title", s"Title $i", null))
+    b += (("txt:count", if (i % 89 == 0) "abc" else (i % 1000).toString, null))
+
+    val nDates = if (i % 83 == 0) 0 else if (i % 71 == 0) 2 else 1
+    for (d <- 0 until nDates)
+      b += (("txt:date", f"2020-${(i % 12) + 1}%02d-${(i % 28) + 1}%02dT10:0$d:00Z", null))
+
+    if (i % 67 != 0)
+      b += (("txt:lang", if (i % 61 == 0) "longerThan8" else Seq("en", "fr", "de")((i % 3).toInt), null))
+
+    b += (("txt:score", if (i % 59 == 0) "150" else (i % 101).toString, null))
+    b += (("txt:flag", if (i % 47 == 0) "T" else if (i % 2 == 0) "true" else "false", null))
+    b += (("txt:uri", if (i % 53 == 0) "http://x#a#b" else s"http://example.org/doc/$i", null))
+    b += (("txt:note", s"note $i", null))
+
+    // med:image — Articles carry 1 (3 when planting a MAX violation);
+    // non-Articles get one at m=41 (a domain violation: med:image's domain
+    // is {Article, Page}). Targets are constructed to be Image-class docs
+    // (id ≡ 1 mod 6, not ≡ 0 mod 103) so med:image causes no range noise.
+    val nImages =
+      if (isArticle(i)) (if (i % 73 == 0) 3 else 1)
+      else if (i % 41 == 0) 1 else 0
+    for (k <- 0 until nImages)
+      b += (("med:image", null, docId(imageTarget(i, k, n))))
+
+    // med:link — every doc links; hot key at doc 0 for ids ≡ 0 (mod 5);
+    // dangling target when planting URI-EXISTENCE; out-of-range-class
+    // target (an Image-class doc via med:link is fine — range is
+    // class:Root — so the range plant instead targets class:Undefined docs).
+    val linkTarget =
+      if (i % 97 == 0) s"doc:missing:$i"
+      else if (i % 43 == 0 && n >= 103) docId(((i / 43) % (n / 103)) * 103) // a class:Undefined doc
+      else if (i % 5 == 0) docId(0)
+      else docId((i * 31 + 7) % n)
+    b += (("med:link", null, linkTarget))
+
+    if (i % 101 == 0) b += ((UndefinedKind, "x", null))
+
+    val spans = b.result().zipWithIndex.map { case ((k, t, m), off) =>
+      Span(k, t, m, off)
+    }
+    Document(docId(i), spans)
+  }
+
+  /** Distributed generation — a pure map over spark.range, no shuffle. */
+  def documents(spark: SparkSession, n: Long): Dataset[Document] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map(i => make(i, n))
+  }
+
+  /** The constraint-schema fixture matching the generator (FIXTURES.md §2). */
+  val schema: SchemaDef = SchemaDef(
+    kinds = Seq(
+      KindDef("txt:title", "datatype", Nil, SchemaDef.XSD + "string"),
+      KindDef("txt:count", "datatype", Nil, SchemaDef.XSD + "unsignedInt"),
+      KindDef("txt:date", "datatype", Nil, SchemaDef.XSD + "dateTime"),
+      KindDef("txt:lang", "datatype", Nil, SchemaDef.XSD + "language"),
+      KindDef("txt:score", "datatype", Nil, "dt:score"),
+      KindDef("txt:flag", "datatype", Nil, SchemaDef.XSD + "boolean"),
+      KindDef("txt:uri", "datatype", Nil, SchemaDef.XSD + "anyURI"),
+      KindDef("txt:note", "datatype", Nil, null), // undeclared range → warning
+      KindDef("med:image", "object", Seq("class:Article", "class:Page"), "class:Image"),
+      KindDef("med:link", "object", Nil, "class:Root"),
+      KindDef("med:thumb", "object", Nil, null) // defined but unused
+    ),
+    classes = Classes ++ Seq("class:Media", "class:Content", "class:Root"),
+    subClassOf = Seq(
+      "class:Image" -> "class:Media",
+      "class:Video" -> "class:Media",
+      "class:Audio" -> "class:Media",
+      "class:Article" -> "class:Content",
+      "class:Page" -> "class:Content",
+      "class:Post" -> "class:Content",
+      "class:Media" -> "class:Root",
+      "class:Content" -> "class:Root"
+    ),
+    restrictions = Seq(
+      RestrictionDef("class:Article", "txt:title", "min", 1, SchemaDef.XSD + "string", null),
+      RestrictionDef("class:Article", "med:image", "max", 2, null, "class:Image"),
+      RestrictionDef("class:Article", "txt:date", "exact", 1, SchemaDef.XSD + "dateTime", null),
+      RestrictionDef("class:Article", "txt:lang", "some", 0, SchemaDef.XSD + "language", null),
+      RestrictionDef("class:Article", "txt:score", "only", 0, "dt:score", null)
+    ),
+    facets = Seq(
+      FacetDef("dt:score", base = SchemaDef.XSD + "decimal",
+        minInclusive = "0", maxInclusive = "100")
+    )
+  )
+}

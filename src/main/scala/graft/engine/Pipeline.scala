@@ -1,0 +1,87 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.checks.{CheckContext, Checks, ConstraintCheck}
+import graft.model.SchemaDef
+
+/** Pipeline runner — the Spark-native equivalent of the reference's check
+  * loop (dvt:139-192), except checks compose into plans instead of running
+  * sequential HTTP queries, and verdicts are computed per logical partition.
+  *
+  * Logical partitioning: `bucket = pmod(xxhash64(doc_id), nBuckets)` — a
+  * data-defined, layout-independent partition key. Verdicts and the resume
+  * manifest are keyed by it, so a resumed run over the same snapshot skips
+  * buckets regardless of how the files were split (Iceberg-snapshot-style
+  * semantics without the Iceberg runtime; see SURVEY.md §4.5).
+  */
+object Pipeline {
+
+  val DefaultBuckets = 64
+
+  /** docs + a `bucket` column. */
+  def withBucket(docs: DataFrame, nBuckets: Int = DefaultBuckets): DataFrame =
+    docs.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+
+  /** Run the given checks; returns the union of violation rows.
+    * Dataset-level violations (no docId) come out with docId null.
+    */
+  def violations(spark: SparkSession, docs: DataFrame, schema: SchemaDef,
+                 checks: Seq[ConstraintCheck] = Checks.all): DataFrame = {
+    val ctx = CheckContext(spark, docs, schema)
+    checks.map(c => c.run(ctx).withColumn("check", lit(c.id)))
+      .reduce(_ unionByName _)
+  }
+
+  /** Per-bucket, per-check verdicts (north rule: per-partition pass/fail +
+    * metrics + lineage). Doc-level violations roll up by bucket; dataset-
+    * level violations (docId null) roll up into bucket -1.
+    */
+  def verdicts(spark: SparkSession, docs: DataFrame, schema: SchemaDef,
+               snapshotId: String,
+               nBuckets: Int = DefaultBuckets,
+               checks: Seq[ConstraintCheck] = Checks.all): DataFrame = {
+    val viols = violations(spark, docs, schema, checks)
+      .withColumn("bucket",
+        when(col("docId").isNotNull,
+          pmod(xxhash64(col("docId")), lit(nBuckets)).cast("int")).otherwise(lit(-1)))
+
+    val violCounts = viols.groupBy("bucket", "check")
+      .agg(count(lit(1)).as("nViolations"))
+
+    val docsPerBucket = withBucket(docs, nBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("nDocs"))
+
+    // bucket × check universe so clean buckets still get a PASS row
+    import spark.implicits._
+    val checkNames = checks.map(_.id).toDF("check")
+    val universe = docsPerBucket
+      .unionByName(Seq((-1, 0L)).toDF("bucket", "nDocs"))
+      .crossJoin(broadcast(checkNames))
+
+    universe.join(violCounts, Seq("bucket", "check"), "left")
+      .select(
+        col("bucket").as("partitionId"),
+        col("check").as("checkId"),
+        coalesce(col("nViolations"), lit(0L)).equalTo(0L).as("pass"),
+        coalesce(col("nViolations"), lit(0L)).as("nViolations"),
+        col("nDocs"),
+        lit(snapshotId).as("snapshotId"),
+        lit(schema.constraintHash).as("constraintHash"))
+  }
+
+  /** Resume filter: drop documents whose bucket is already recorded complete
+    * in the manifest for this (snapshotId, constraintHash) — an anti-join on
+    * the (tiny, broadcast) completed-bucket list, mirroring how an
+    * Iceberg-snapshot checkpoint would prune work.
+    */
+  def resumable(spark: SparkSession, docs: DataFrame, manifest: Manifest,
+                snapshotId: String, schema: SchemaDef,
+                nBuckets: Int = DefaultBuckets): DataFrame = {
+    val done = manifest.completedBuckets(snapshotId, schema.constraintHash)
+    if (done.isEmpty) docs
+    else withBucket(docs, nBuckets)
+      .filter(!col("bucket").isin(done.toSeq: _*))
+      .drop("bucket")
+  }
+}
