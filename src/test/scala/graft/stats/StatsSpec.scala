@@ -1,0 +1,45 @@
+package graft.stats
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkTestBase {
+
+  test("kll_sketch: distributed sketch quantiles match exact quantiles") {
+    val df = spark.range(100000).select((col("id") % 1000).cast("double").as("v"))
+      .repartition(8)
+    val bytes = df.agg(KllSketchAgg.kll_sketch(col("v"))).collect()(0).getAs[Array[Byte]](0)
+    val s = DriftStats.sketchOf(bytes)
+    assert(s.getN == 100000)
+    assert(math.abs(s.getQuantile(0.5) - 500.0) < 25) // k=200 → ~1.6% rank error
+    assert(s.getMinItem == 0.0 && s.getMaxItem == 999.0)
+  }
+
+  test("single-pass profile: count/nulls/distinct/min/max per column") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (1L, "a", 1.5), (2L, "b", 2.5), (3L, null, 3.5), (4L, "a", 4.5)
+    ).toDF("id", "s", "x")
+    val p = ColumnStats.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 4 && p("id").getLong(2) == 0)
+    assert(p("s").getLong(1) == 3 && p("s").getLong(2) == 1)
+    assert(p("s").getLong(3) == 2) // approx distinct of {a,b} is exact here
+    assert(p("x").getString(4) == "1.5" && p("x").getString(5) == "4.5")
+    assert(p("x").getAs[Array[Byte]](6) != null) // numeric → sketch present
+    assert(p("s").getAs[Array[Byte]](6) == null) // string → no sketch
+  }
+
+  test("drift: KS and PSI detect a distribution shift, stay ~0 on same dist") {
+    val a = spark.range(50000).select((col("id") % 100).cast("double").as("v"))
+    val b = spark.range(50000).select((col("id") % 100 + 50).cast("double").as("v"))
+    def sk(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(KllSketchAgg.kll_sketch(col("v"))).collect()(0).getAs[Array[Byte]](0)
+    val sa = sk(a); val sb = sk(b); val sa2 = sk(a)
+    assert(DriftStats.ksStatistic(sa, sa2) < 0.02)
+    assert(DriftStats.ksStatistic(sa, sb) > 0.4) // 50% shifted mass
+    assert(DriftStats.psi(sa, sa2) < 0.01)
+    assert(DriftStats.psi(sa, sb) > 0.5)
+  }
+}
