@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash64
+
+/** Deduplication operators for large-scale training-data pipelines, over a
+  * flat corpus table `(id, text)`.
+  *
+  * Scale design: every variant is shuffle-minimal —
+  *  - exact: one hash-groupBy (map-side partial agg on the digest);
+  *  - MinHash/SimHash LSH: signatures computed row-local (no shuffle), one
+  *    groupBy per band on the band key, pairs emitted inside buckets via
+  *    higher-order functions (never a cross join);
+  *  - verification joins fetch text for candidate ids only (semi-join
+  *    pattern), not for the full corpus.
+  * No Scala UDFs: signatures use xxhash64 / transform / array_min; SimHash
+  * is a codegen'd native expression ([[graft.functions.SimHash64]]).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact duplicate groups by content digest: one row per duplicated text
+    * with the canonical (minimum) id, the group size, and the digest.
+    */
+  def exactGroups(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    df.groupBy(md5(col(text)).as("digest"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Corpus with exact duplicates removed (keeps the minimum id per text). */
+  def exactDedup(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(text))).orderBy(col(id))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** Distinct character k-shingles of the text, via higher-order functions
+    * (substr over a generated index sequence — stays in codegen).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val idx = sequence(lit(0), greatest(length(text) - k, lit(0)))
+    array_distinct(transform(idx, i => text.substr(i + 1, lit(k))))
+  }
+
+  /** MinHash signature: `numHashes` permutations simulated by salting
+    * xxhash64; each signature value is the min hash over the shingle set.
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(sh, s => xxhash64(s, lit(h))))
+    }: _*)
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `numHashes/bands` rows, each band hashed to one bucket key.
+    */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+    }: _*)
+  }
+
+  /** Candidate near-duplicate id pairs from MinHash LSH: ids sharing at
+    * least one band bucket. Pairs are generated inside each bucket with
+    * higher-order functions (i<j), then distinct-ed across bands.
+    */
+  def minhashCandidates(df: DataFrame, id: String = "doc_id", text: String = "text",
+                        k: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val sig = minhashSignature(shingles(col(text), k), numHashes)
+    val banded = df
+      .filter(length(col(text)) >= k)
+      .select(col(id).as("__id"), posexplode(bandKeys(sig, numHashes, bands))
+        .as(Seq("band", "bucket")))
+    bucketPairs(banded, maxBucketSize)
+  }
+
+  /** Exact Jaccard over k-shingles for given candidate pairs (verification
+    * stage). Joins text in for candidate ids only.
+    */
+  def jaccardVerify(candidates: DataFrame, corpus: DataFrame,
+                    id: String = "doc_id", text: String = "text",
+                    k: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val sh = corpus.select(col(id).as("__sid"), shingles(col(text), k).as("__sh"))
+    candidates
+      .join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify. */
+  def nearDupPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
+                   k: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.8): DataFrame =
+    jaccardVerify(minhashCandidates(df, id, text, k, numHashes, bands),
+      df, id, text, k, threshold)
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** Candidate pairs whose 64-bit SimHashes agree on at least one of four
+    * 16-bit bands (catches all pairs within Hamming distance 3), verified
+    * by exact Hamming distance ≤ `maxHamming`.
+    */
+  def simhashPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val withSig = df.select(col(id).as("__id"), SimHash64.simhash64(col(text)).as("__sig"))
+    val banded = withSig.select(col("__id"), col("__sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    val pairs = bucketPairsWith(banded, Seq("__sig"), maxBucketSize)
+    pairs.withColumn("hamming",
+      SimHash64.hammingDist(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard (word n-grams)
+  // ------------------------------------------------------------------
+
+  /** Word n-gram Jaccard near-dups: LSH candidates over word-ngram MinHash,
+    * verified with exact Jaccard on the n-gram sets.
+    */
+  def ngramJaccardPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
+                        n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.7): DataFrame = {
+    def ngrams(t: Column): Column = {
+      val toks = split(t, "\\s+")
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      array_distinct(transform(idx, i =>
+        array_join(slice(toks, i + 1, lit(n)), " ")))
+    }
+    val sig = minhashSignature(ngrams(col(text)), numHashes)
+    val banded = df.select(col(id).as("__id"),
+      posexplode(bandKeys(sig, numHashes, bands)).as(Seq("band", "bucket")))
+    val cands = bucketPairs(banded, 1000)
+    val gr = df.select(col(id).as("__sid"), ngrams(col(text)).as("__sh"))
+    cands
+      .join(gr.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
+      .join(gr.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // shared bucket-pair machinery
+  // ------------------------------------------------------------------
+
+  /** (id_a, id_b) pairs (a < b) of ids sharing a (band, bucket), built
+    * inside the group with HOFs — no self-join, no cross join. Buckets
+    * larger than `maxBucketSize` are dropped (logged upstream as a cap):
+    * a bucket that hot is a degenerate key whose pairs would be quadratic.
+    */
+  private def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    bucketPairsWith(banded, Nil, maxBucketSize).select("id_a", "id_b")
+
+  /** Like bucketPairs but carries `extra` per-id columns into the pairs as
+    * `<name minus leading __>_a` / `_b`.
+    */
+  private def bucketPairsWith(banded: DataFrame, extra: Seq[String],
+                              maxBucketSize: Int): DataFrame = {
+    val payload = struct((col("__id").as("id") +:
+      extra.map(e => col(e).as(e.stripPrefix("__")))): _*)
+    val grouped = banded.groupBy("band", "bucket")
+      .agg(collect_list(payload).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .withColumn("members", array_sort(col("members")))
+    val pairs = grouped.select(explode(flatten(
+      transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+    val outCols = Seq(col("p.a.id").as("id_a"), col("p.b.id").as("id_b")) ++
+      extra.map(e => col(s"p.a.${e.stripPrefix("__")}").as(s"${e.stripPrefix("__")}_a")) ++
+      extra.map(e => col(s"p.b.${e.stripPrefix("__")}").as(s"${e.stripPrefix("__")}_b"))
+    pairs.select(outCols: _*).distinct()
+  }
+}

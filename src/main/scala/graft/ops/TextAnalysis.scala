@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column builders over built-in functions — codegen-friendly, and the
+  * simple ones are expressible in ANSI SQL for cross-engine oracles.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------------
+  // token counting
+  // ------------------------------------------------------------------
+
+  /** Whitespace token count (`\S+` runs). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-space-non-alnum marks — a rough proxy for subword token budgets.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  // ------------------------------------------------------------------
+  // language identification (stopword-voting heuristic)
+  // ------------------------------------------------------------------
+
+  /** Tiny built-in stopword inventories — enough for a deterministic
+    * heuristic; NOT a real language model (by design: zero external data).
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "his", "this"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "que", "pour", "dans", "qui"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "auf", "sich"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "que", "en", "un", "una", "por", "con")
+  )
+
+  /** Per-language stopword hit count (distinct hits — `array_intersect`). */
+  def langScore(text: Column, lang: String): Column =
+    size(array_intersect(
+      split(lower(text), "[^a-zA-Zà-ÿÀ-ß]+"),
+      typedLit(Stopwords(lang))))
+
+  /** Heuristic language id: argmax of stopword votes; "und" when no
+    * language scores a hit. Ties break in fixed order en>fr>de>es.
+    */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "fr", "de", "es")
+    val scores = langs.map(l => langScore(text, l))
+    val best = scores.reduce((a, b) => greatest(a, b))
+    langs.zip(scores).foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // quality scoring
+  // ------------------------------------------------------------------
+
+  /** Integer quality signals, all exactly reproducible cross-engine. */
+  def nChars(text: Column): Column = length(text)
+  def nPunct(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+  def nUpper(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Z]"), lit(0)))
+  def nStopwordsEn(text: Column): Column =
+    size(array_intersect(split(lower(text), "[^a-zA-Z]+"), typedLit(Stopwords("en"))))
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * stopword presence + case sanity. Heuristic weights in the spirit of
+    * C4/Gopher-style quality filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val chars = nChars(text).cast("double")
+    val meanWordLen = when(toks > 0, chars / toks).otherwise(lit(0.0))
+    val lengthOk = when(toks.between(5, 10000), 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.0)
+    val punctRatio = when(chars > 0, nPunct(text).cast("double") / toks).otherwise(lit(0.0))
+    val punctOk = when(punctRatio <= 0.5, 1.0).otherwise(0.0)
+    val stopOk = when(nStopwordsEn(text) >= 2, 1.0).otherwise(0.0)
+    val upperRatio = when(chars > 0, nUpper(text).cast("double") / chars).otherwise(lit(0.0))
+    val caseOk = when(upperRatio <= 0.3, 1.0).otherwise(0.0)
+    (lengthOk + wordLenOk + punctOk + stopOk + caseOk) / 5.0
+  }
+
+  // ------------------------------------------------------------------
+  // fingerprinting
+  // ------------------------------------------------------------------
+
+  /** Canonical-form document fingerprint: lowercase, collapse whitespace,
+    * trim, md5. Identical in Spark and DuckDB — used as the dedup oracle key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 64-bit rolling-hash fingerprint (content-defined): xxhash64 of the
+    * canonical form — cheaper than md5 when cross-engine parity isn't
+    * needed.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkTestBase {
+
+  private def corpus = {
+    val session = spark
+    import session.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank's today"), // near-dup of 1
+      (3L, "completely different content about astronomy telescopes and distant galaxies"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: groups and survivor selection") {
+    val groups = Dedup.exactGroups(corpus).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keep_id") == 1L && groups(0).getAs[Long]("dup_count") == 2L)
+    val deduped = Dedup.exactDedup(corpus)
+    assert(deduped.count() == 4)
+    assert(deduped.filter(col("doc_id") === 4).count() == 0)
+  }
+
+  test("minhash LSH near-dup: finds the planted near-pair, skips unrelated") {
+    val pairs = Dedup.nearDupPairs(corpus, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L)))
+    assert(pairs.contains((1L, 4L)) || pairs.contains((4L, 1L))) // exact dups too
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash near-dup: hamming-banded candidates verified") {
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical text → hamming 0
+    // one-word-diff pair (1,2) may exceed the tight hamming budget — the
+    // MinHash path is the recall instrument for that case; here we only
+    // require precision:
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
+  }
+
+  test("word-ngram jaccard near-dup") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("similarity: brute-force top-k and ANN agree on an exact-match query") {
+    val session = spark
+    import session.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = Seq.tabulate(8)(d => math.sin(42 * 0.7 + d).toFloat)
+    val brute = Similarity.bruteTopK(vecs, query, 3).collect()
+    assert(brute(0).getLong(0) == 42L)
+    assert(math.abs(brute(0).getDouble(1) - 1.0) < 1e-6)
+    val ann = Similarity.annTopK(vecs, query, 3).collect()
+    assert(ann(0).getLong(0) == 42L) // the exact match shares every band
+  }
+
+  test("similarity: cosine dup pairs finds planted duplicate vectors") {
+    val session = spark
+    import session.implicits._
+    val base = (0 until 100).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.cos(i * 1.3 + d * 0.5).toFloat))
+    }
+    val planted = base :+ (999L, base(7)._2) // exact copy of vec 7
+    val pairs = Similarity.cosineDupPairs(planted.toDF("vec_id", "embedding"),
+      threshold = 0.999).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 999L)))
+  }
+
+  test("text analysis: langId, token counts, fingerprint, quality") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      ("en", "the cat is on the mat and it is happy with this"),
+      ("fr", "le chat est dans la maison et il est pour une vie"),
+      ("de", "der hund ist nicht mit der katze und das ist ein problem"),
+      ("es", "el perro es un animal que vive en la casa por años"),
+      ("und", "zzz qqq xxx")
+    ).toDF("expected", "text")
+    val got = df.select(col("expected"), TextAnalysis.langId(col("text")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (exp, g) => assert(exp == g, s"langId: expected $exp got $g") }
+
+    val t = Seq(("a b  c", "A  b   C ")).toDF("x", "y")
+    val r = t.select(
+      TextAnalysis.tokenCount(col("x")).as("tc"),
+      TextAnalysis.bpeishTokenCount(lit("don't stop 123!")).as("bp"),
+      (TextAnalysis.fingerprint(col("x")) === TextAnalysis.fingerprint(col("y"))).as("fpEq"),
+      TextAnalysis.qualityScore(lit("The cat is on the mat, and it is very happy today.")).as("q")
+    ).collect()(0)
+    assert(r.getAs[Int]("tc") == 3)
+    assert(r.getAs[Int]("bp") == 6) // don ' t stop 123 !
+    assert(r.getAs[Boolean]("fpEq")) // case+whitespace canonicalization
+    assert(r.getAs[Double]("q") == 1.0)
+  }
+
+  test("multimodal: fake media plumbing — schema, decode stub, frame sampling") {
+    val session = spark
+    import session.implicits._
+    val docs = (0L until 50L).toDF("doc_id")
+    val media = Multimodal.withMeta(Multimodal.fakeMedia(docs))
+    assert(media.schema.fieldNames.toSet == Set("media_id", "media_type", "payload", "meta"))
+    val row = media.filter(col("media_id") === "7").collect()(0)
+    assert(Set("image", "audio", "video").contains(row.getAs[String]("media_type")))
+    val meta = row.getStruct(3)
+    assert(meta.getAs[Int]("width") > 0 && meta.getAs[Int]("width") < 4096)
+    // deterministic: same id → same payload+meta
+    val again = Multimodal.withMeta(Multimodal.fakeMedia(docs))
+      .filter(col("media_id") === "7").collect()(0)
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("payload"), again.getAs[Array[Byte]]("payload")))
+
+    val frames = media.select(Multimodal.frameSample(col("payload"), 4).as("f"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(frames.length == 4 && frames.forall(_.length == 8))
+
+    val parts = Multimodal.partitionForDecode(media, 6).rdd.getNumPartitions
+    assert(parts == 6)
+  }
+
+  test("ops run over the real driver documents/embeddings tables") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val dd = Dedup.exactDedup(docs, id = "doc_id", text = "text").count()
+    assert(dd <= n && dd > 0)
+    val withLang = docs.select(TextAnalysis.langId(col("text")).as("lid")).groupBy("lid").count()
+    assert(withLang.count() >= 1)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val first = emb.select(col("embedding")).limit(1).collect()(0).getSeq[Float](0)
+    val top = Similarity.bruteTopK(emb, first, 5)
+    assert(top.count() == 5)
+  }
+}
