@@ -1,24 +1,105 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.datagen.DocGen
+import graft.engine.Pipeline
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.stats.ColumnStats
+
+/** Benchmark main. Prints ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *   "scaling":{...}}`.
+  *
+  * Headline queries run at SPARK_GRAFT_CPUS (default 32). The north rule's
+  * two-cluster-size criterion (throughput(4N)/(4·throughput(N)) ≥ 0.8) is
+  * evidenced in-sandbox by running the full validation job over the SAME
+  * materialized docs parquet at local[8] and local[32]; both throughputs and
+  * the efficiency ratio are reported in the `scaling` object and recorded in
+  * BENCH/BASELINE.md.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "400000").toLong
+    val docsPath = java.nio.file.Files.createTempDirectory("graft-bench").toString + "/docs"
+
+    // ---- headline queries at the configured parallelism ----------------
+    var spark = session(cpus)
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
+
+    // materialize the synthesized docs table once; all runs read the same files
+    DocGen.documents(spark, nDocs).toDF()
+      .write.mode("overwrite").parquet(docsPath)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def bench(name: String)(f: => Any): Unit =
+      results(name) = try time(f) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+
+    bench("validate_full") {
+      Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    bench("verdicts") {
+      Pipeline.verdicts(spark, spark.read.parquet(docsPath), DocGen.schema,
+        "bench", 64).count()
+    }
+    bench("stats_profile") { ColumnStats.profile(tbl("lineitem")).count() }
+    bench("dedup_exact") { Dedup.exactGroups(tbl("documents")).count() }
+    bench("dedup_minhash") { Dedup.nearDupPairs(tbl("documents")).count() }
+    bench("dedup_simhash") { Dedup.simhashPairs(tbl("documents")).count() }
+    bench("langid_quality") {
+      tbl("documents").select(
+        TextAnalysis.langId(col("text")).as("lid"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+        .agg(count(lit(1)), avg(col("q"))).collect()
+    }
+    bench("ann_topk") {
+      val emb = tbl("embeddings")
+      val q = emb.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+      Similarity.bruteTopK(emb, q, 10).collect()
+    }
+
+    // ---- scaling evidence: same job, local[8] vs local[32] -------------
+    def validateThroughput(n: Int): Double = {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = session(n)
+      val run = () => Pipeline.violations(spark,
+        spark.read.parquet(docsPath), DocGen.schema).count()
+      run() // warm-up (JIT + file listing)
+      val secs = time(run())
+      nDocs / secs
+    }
+    val tN = validateThroughput(8)
+    val t4N = validateThroughput(32)
+    val efficiency = t4N / (4.0 * tN)
     spark.stop()
+
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    val scaling = f"""{"n":8,"docs_per_sec_n":${tN.toLong},"docs_per_sec_4n":${t4N.toLong},"efficiency":$efficiency%.3f,"docs":$nDocs}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

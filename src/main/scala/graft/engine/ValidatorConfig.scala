@@ -1,0 +1,119 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.model._
+
+/** Run configuration — the Spark-native equivalent of `dvt.ini`
+  * (reference: dvt:17 parses sections osf/credentials/data/tests; the check
+  * pipeline is the `tests.checks[]` list, dvt.ini:21-33, instantiated by
+  * class name at dvt:139-155).
+  *
+  * Format: a flat INI-like properties file (sections are dotted prefixes) —
+  * machine- and human-editable without any parser dependency:
+  *
+  * {{{
+  * data.documents = /path/to/docs-parquet
+  * data.snapshotId = snap-2026-08-16
+  * checks = kinds-defined, classes-defined, uri-existence, object-range,
+  *          domain, datatype, cardinality, some, only
+  * schema.kind.txt:title = datatype||http://www.w3.org/2001/XMLSchema#string
+  * schema.class = class:Article, class:Image
+  * schema.subclass = class:Image<class:Media
+  * schema.restriction = class:Article|txt:title|min|1|http://...#string|
+  * output.xml = /path/report.xml
+  * output.json = /path/report.json
+  * manifest = /path/manifest.jsonl
+  * }}}
+  *
+  * The check registry uses explicit keys (the reference's config names
+  * classes that don't exist — dvt.ini:22-23 vs the shipped
+  * CheckPropertiesDefined — so name-to-class reflection is exactly what we
+  * avoid).
+  */
+final case class ValidatorConfig(
+    documentsPath: String,
+    snapshotId: String,
+    checkKeys: Seq[String],
+    schema: SchemaDef,
+    xmlOut: Option[String],
+    jsonOut: Option[String],
+    manifestPath: Option[String],
+    nBuckets: Int
+)
+
+object ValidatorConfig {
+
+  val CheckRegistry: Map[String, graft.checks.ConstraintCheck] = Map(
+    "kinds-defined" -> graft.checks.CheckKindsDefined,
+    "classes-defined" -> graft.checks.CheckClassesDefined,
+    "uri-existence" -> graft.checks.CheckUriExistence,
+    "object-range" -> graft.checks.CheckObjectRange,
+    "domain" -> graft.checks.CheckDomain,
+    "datatype" -> graft.checks.CheckDatatype,
+    "cardinality" -> graft.checks.CheckCardinality,
+    "some" -> graft.checks.CheckSome,
+    "only" -> graft.checks.CheckOnly
+  )
+
+  def load(path: String): ValidatorConfig = {
+    val lines = Files.readAllLines(Paths.get(path)).asScala
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    // continuation-friendly key = value map (repeated keys accumulate)
+    val kvs = scala.collection.mutable.ListBuffer[(String, String)]()
+    lines.foreach { l =>
+      val i = l.indexOf('=')
+      if (i > 0) kvs += ((l.take(i).trim, l.drop(i + 1).trim))
+      else if (kvs.nonEmpty) { // continuation line
+        val (k, v) = kvs.last
+        kvs(kvs.length - 1) = (k, v + " " + l)
+      }
+    }
+    def all(k: String): Seq[String] = kvs.filter(_._1 == k).map(_._2).toSeq
+    def one(k: String): Option[String] = all(k).headOption
+    def list(k: String): Seq[String] =
+      all(k).flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+    val kinds = kvs.filter(_._1.startsWith("schema.kind.")).map { case (k, v) =>
+      val kind = k.stripPrefix("schema.kind.")
+      val parts = v.split("\\|", -1)
+      KindDef(kind, parts(0),
+        if (parts.length > 1 && parts(1).nonEmpty) parts(1).split(";").toSeq else Nil,
+        if (parts.length > 2 && parts(2).nonEmpty) parts(2) else null)
+    }.toSeq
+
+    val subclasses = list("schema.subclass").map { e =>
+      val Array(c, p) = e.split("<", 2); (c.trim, p.trim)
+    }
+
+    val restrictions = all("schema.restriction").map { v =>
+      val p = v.split("\\|", -1)
+      RestrictionDef(p(0), p(1), p(2), if (p(3).nonEmpty) p(3).toInt else 0,
+        if (p.length > 4 && p(4).nonEmpty) p(4) else null,
+        if (p.length > 5 && p(5).nonEmpty) p(5) else null)
+    }.toSeq
+
+    val facets = all("schema.facet").map { v =>
+      val p = v.split("\\|", -1).map(x => if (x.isEmpty) null else x)
+      FacetDef(p(0), base = p.lift(1).flatMap(Option(_)).orNull,
+        pattern = p.lift(2).flatMap(Option(_)).orNull,
+        minInclusive = p.lift(3).flatMap(Option(_)).orNull,
+        maxInclusive = p.lift(4).flatMap(Option(_)).orNull)
+    }.toSeq
+
+    ValidatorConfig(
+      documentsPath = one("data.documents").getOrElse(
+        sys.error(s"$path: data.documents is required")),
+      snapshotId = one("data.snapshotId").getOrElse("snapshot-0"),
+      checkKeys = {
+        val ks = list("checks")
+        if (ks.isEmpty) CheckRegistry.keys.toSeq.sorted else ks
+      },
+      schema = SchemaDef(kinds, list("schema.class"), subclasses, restrictions, facets),
+      xmlOut = one("output.xml"),
+      jsonOut = one("output.json"),
+      manifestPath = one("manifest"),
+      nBuckets = one("buckets").map(_.toInt).getOrElse(Pipeline.DefaultBuckets)
+    )
+  }
+}

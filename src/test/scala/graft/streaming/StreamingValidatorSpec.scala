@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.datagen.DocGen
+import graft.model.{Document, Span}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingValidatorSpec extends SparkTestBase {
+
+  test("stateless checks stream: planted datatype violation surfaces per micro-batch") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Document]
+
+    val out = StreamingValidator.violationStream(spark, stream.toDF(), DocGen.schema)
+    val q = out.writeStream.format("memory").queryName("sv_viols")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Document("doc:a", Seq(
+          Span("type", "class:Article", null, 0),
+          Span("txt:title", "T", null, 1),
+          Span("txt:date", "2020-01-01T00:00:00Z", null, 2),
+          Span("txt:lang", "en", null, 3),
+          Span("txt:count", "not-a-number", null, 4))), // planted
+        Document("doc:b", Seq(
+          Span("type", "class:Post", null, 0),
+          Span("txt:count", "17", null, 1))))
+      q.processAllAvailable()
+      val rows = spark.table("sv_viols").collect()
+      val dt = rows.filter(_.getString(0) == "DATATYPE-PROPERTIES-DATATYPE-100")
+      assert(dt.length == 1 && dt(0).getString(2) == "doc:a" && dt(0).getString(4) == "not-a-number")
+      // doc:a is an Article missing med:image MAX? no - but score/flag/uri missing
+      // is fine; no false datatype positives on doc:b:
+      assert(!rows.exists(r => r.getString(2) == "doc:b" &&
+        r.getString(0).startsWith("DATATYPE")))
+    } finally q.stop()
+  }
+
+  test("stream-static referential check: dangling ref against a static universe") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Document]
+    val universe = Seq("doc:known").toDF("doc_id")
+
+    val out = StreamingValidator.danglingRefStream(spark, stream.toDF(), universe)
+    val q = out.writeStream.format("memory").queryName("sv_refs")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Document("doc:x", Seq(Span("med:link", null, "doc:known", 0))),
+        Document("doc:y", Seq(Span("med:link", null, "doc:GONE", 0))))
+      q.processAllAvailable()
+      val rows = spark.table("sv_refs").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("docId") == "doc:y" &&
+        rows(0).getAs[String]("value") == "doc:GONE")
+    } finally q.stop()
+  }
+
+  test("windowed violation counts with watermark") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val viols = stream.toDF().toDF("ts", "checkId")
+
+    val out = StreamingValidator.windowedViolationCounts(viols, "ts", "1 minute", "1 minute")
+    val q = out.writeStream.format("memory").queryName("sv_win")
+      .outputMode("complete").start()
+    try {
+      stream.addData(
+        (java.sql.Timestamp.valueOf("2026-01-01 10:00:10"), "C1"),
+        (java.sql.Timestamp.valueOf("2026-01-01 10:00:40"), "C1"),
+        (java.sql.Timestamp.valueOf("2026-01-01 10:01:10"), "C1"))
+      q.processAllAvailable()
+      val rows = spark.table("sv_win").collect()
+      val counts = rows.map(r => r.getAs[Long]("nViolations")).sorted.toSeq
+      assert(counts == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
