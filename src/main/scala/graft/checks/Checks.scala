@@ -9,15 +9,22 @@ import graft.validators.XsdValidators
   * plans over the `documents` table. Key inversion vs the reference: where
   * the PHP orchestrator issued one-to-three SPARQL queries *per property or
   * restriction* (classic N+1, e.g. CheckObjectPropertiesRange.php:118-313),
-  * every check here is ONE declarative plan that joins the data once against
-  * the broadcast constraint set.
+  * every check here is ONE declarative plan — and ONE parquet scan — that
+  * evaluates the whole broadcast constraint set at once.
   *
   * Scale notes (10^12-doc design):
-  *  - Subject-local checks (datatype validity, domain, cardinality,
-  *    some/only) are evaluated with higher-order array functions inside the
-  *    row — zero shuffles; grouping key == row key, so the reference's
+  *  - Scans are nested-schema-pruned: every check extracts exactly the span
+  *    subfields it needs via `spans.field` / `arrays_zip` (the forms
+  *    Catalyst pushes into the Parquet ReadSchema) — a kind-only pass reads
+  *    one subfield of the struct, not four.
+  *  - Subject-local checks (datatype, domain, cardinality, some/only) are
+  *    single-scan and shuffle-free: all restrictions evaluate row-locally
+  *    into an array of violation structs, exploded once. The reference's
   *    `group by ?s having count(...)` (CheckOwlRestrictionMax.php:153-164)
-  *    degenerates to `size(filter(spans, ...))`.
+  *    degenerates to `size(filter(spans.kind, ...))` because the grouping
+  *    key is the row key. The domain check needs NO join at all — the
+  *    allowed (kind → classes) table is driver-known and compiles into the
+  *    predicate.
   *  - Vocabulary checks (defined kinds/classes) shuffle only the distinct
   *    kind/class strings — bytes, not documents.
   *  - Referential checks (URI existence, object range) deduplicate the
@@ -33,19 +40,24 @@ final case class CheckContext(
 ) {
   import spark.implicits._
 
-  /** Exploded span view (kind, text, media_ref per doc). Column-pruned by
-    * Catalyst to just the fields each check touches.
+  /** Array of one span subfield — `spans.kind` etc. Catalyst prunes the
+    * Parquet ReadSchema to exactly this subfield.
     */
-  lazy val sp: DataFrame = docs.select(
-    col("doc_id"),
-    explode(col("spans")).as("s")
-  ).select(col("doc_id"), col("s.kind").as("kind"),
-    col("s.text").as("text"), col("s.media_ref").as("media_ref"))
+  def field(name: String): Column = col(s"spans.$name")
 
-  /** Row-local class-of-document column (the `?s a ?class` span). */
+  /** Array of (f1, f2, ...) structs zipped from span subfields — also
+    * nested-pruning-friendly (unlike a lambda that rebuilds the struct).
+    */
+  def zipped(fields: String*): Column =
+    arrays_zip(fields.map(f => col(s"spans.$f")): _*)
+
+  /** Row-local class-of-document (the `?s a ?class` span); reads only
+    * spans.kind + spans.text.
+    */
   val clsCol: Column = element_at(
-    filter(col("spans"), s => s.getField("kind") === SchemaDef.TypeKind), 1
-  ).getField("text")
+    transform(filter(zipped("kind", "text"),
+      p => p.getField("kind") === SchemaDef.TypeKind),
+      p => p.getField("text")), 1)
 
   lazy val kindsDf: DataFrame =
     schema.kinds.map(k => (k.kind, k.kindType, k.range)).toDF("kind", "kindType", "range")
@@ -61,15 +73,6 @@ final case class CheckContext(
     .flatMap(k => schema.subClosure.getOrElse(k.range, Set(k.range)).map(c => (k.kind, c)))
     .toDF("kind", "valueCls")
 
-  /** (kind, allowed subject class) pairs — union of subclass closures over
-    * the kind's domains (multi-domain = OR,
-    * CheckObjectDatatypePropertiesDomain.php:243-250).
-    */
-  lazy val allowedDomainPairs: DataFrame = schema.kinds
-    .filter(_.domain.nonEmpty)
-    .flatMap(k => k.domain.flatMap(d => schema.subClosure.getOrElse(d, Set(d))).map(c => (k.kind, c)))
-    .toDF("kind", "cls")
-
   /** Lexical validator for a datatype URI, facet-aware. */
   def validatorFor(dt: String): Column => Column =
     schema.facets.find(_.datatype == dt) match {
@@ -82,6 +85,26 @@ final case class CheckContext(
     lit(checkId).as("checkId"), lit(severity).as("severity"),
     docId.cast("string").as("docId"), kind.cast("string").as("kind"),
     value.cast("string").as("value"), expected.cast("string").as("expected"))
+
+  /** Explode a row-local array of violation structs
+    * (checkId, kind, value, expected) into standard violation rows —
+    * the shared tail of every single-scan subject-local check.
+    */
+  def explodeViolations(violArray: Column): DataFrame =
+    docs.select(col("doc_id"), explode(violArray).as("v"))
+      .select(violation(null, "error", col("doc_id"), col("v.kind"),
+        col("v.value"), col("v.expected")).patch(0,
+        Seq(col("v.checkId").as("checkId")), 1): _*)
+
+  /** A violation struct literal for the row-local array pattern. */
+  def vStruct(checkId: String, kind: Column, value: Column, expected: Column): Column =
+    struct(lit(checkId).as("checkId"), kind.cast("string").as("kind"),
+      value.cast("string").as("value"), expected.cast("string").as("expected"))
+
+  /** Empty violations frame (schema only). */
+  def emptyViolations: DataFrame =
+    docs.limit(0).select(violation("NONE", "error",
+      lit(null), lit(null), lit(null), lit(null)): _*)
 }
 
 sealed trait ConstraintCheck {
@@ -90,25 +113,33 @@ sealed trait ConstraintCheck {
 }
 
 /** Undefined-kind check (CheckPropertiesDefined.php:41-84):
-  * distinct used kinds ▷ anti-join the kind dictionary.
+  * distinct used kinds ▷ anti-join the kind dictionary. Reads spans.kind
+  * only; shuffles distinct kind strings only.
   */
 object CheckKindsDefined extends ConstraintCheck {
   val id = "PROPERTIES-DEFINED"
   def run(ctx: CheckContext): DataFrame = {
-    ctx.sp.filter(col("kind") =!= SchemaDef.TypeKind)
-      .select("kind").distinct()
+    ctx.docs.select(explode(ctx.field("kind")).as("kind"))
+      .filter(col("kind") =!= SchemaDef.TypeKind)
+      .distinct()
       .join(broadcast(ctx.kindsDf.select("kind")), Seq("kind"), "left_anti")
       .select(ctx.violation(s"$id-100", "error", lit(null), col("kind"),
         lit(null), lit("kind defined in schema")): _*)
   }
 }
 
-/** Undefined-class check (CheckClassesDefined.php:41-84). */
+/** Undefined-class check (CheckClassesDefined.php:41-84). Type spans are
+  * filtered row-locally BEFORE the explode, so the Generate sees one row
+  * per doc, not one per span.
+  */
 object CheckClassesDefined extends ConstraintCheck {
   val id = "CLASSES-DEFINED"
   def run(ctx: CheckContext): DataFrame = {
-    ctx.sp.filter(col("kind") === SchemaDef.TypeKind)
-      .select(col("text").as("cls")).distinct()
+    val typeClasses = transform(
+      filter(ctx.zipped("kind", "text"), p => p.getField("kind") === SchemaDef.TypeKind),
+      p => p.getField("text"))
+    ctx.docs.select(explode(typeClasses).as("cls"))
+      .distinct()
       .join(broadcast(ctx.classesDf), Seq("cls"), "left_anti")
       .select(ctx.violation(s"$id-100", "error", lit(null), lit(SchemaDef.TypeKind),
         col("cls"), lit("class defined in schema")): _*)
@@ -117,16 +148,18 @@ object CheckClassesDefined extends ConstraintCheck {
 
 /** Referential-existence check (CheckURIExistence.php:43-96): distinct
   * referenced URIs (minus the excluded-predicate list, :50) that match no
-  * doc_id. Probe side deduplicated before the anti-join so hot keys hit the
-  * join once per kind.
+  * doc_id. Probe side is filtered row-locally pre-explode and deduplicated
+  * before the anti-join, so hot keys hit the join once per kind.
   */
 object CheckUriExistence extends ConstraintCheck {
   val id = "URI-EXISTENCE"
   def run(ctx: CheckContext): DataFrame = {
-    val refs = ctx.sp
-      .filter(col("media_ref").isNotNull &&
-        !col("kind").isin(SchemaDef.UriExistenceExcludedKinds: _*))
-      .select("media_ref", "kind").distinct()
+    val refSpans = filter(ctx.zipped("kind", "media_ref"), p =>
+      p.getField("media_ref").isNotNull &&
+        !p.getField("kind").isin(SchemaDef.UriExistenceExcludedKinds: _*))
+    val refs = ctx.docs.select(explode(refSpans).as("r"))
+      .select(col("r.media_ref").as("media_ref"), col("r.kind").as("kind"))
+      .distinct()
     val universe = ctx.docs.select(col("doc_id").as("media_ref"))
     refs.join(universe, Seq("media_ref"), "left_anti")
       .select(ctx.violation(s"$id-100", "error", lit(null), col("kind"),
@@ -142,15 +175,17 @@ object CheckUriExistence extends ConstraintCheck {
 object CheckObjectRange extends ConstraintCheck {
   val id = "OBJECT-PROPERTIES-RANGE"
   def run(ctx: CheckContext): DataFrame = {
-    import ctx.spark.implicits._
     val objKinds = ctx.schema.kinds.filter(_.kindType == "object")
     val withRange = objKinds.filter(_.range != null).map(_.kind)
     val noRange = objKinds.filter(_.range == null).map(_.kind)
 
-    // distinct (kind, target) pairs — dedup before the big join.
-    val targets = ctx.sp
-      .filter(col("media_ref").isNotNull && col("kind").isin(withRange: _*))
-      .select("kind", "media_ref").distinct()
+    // distinct (kind, target) pairs — filtered pre-explode, dedup'd
+    // before the big join.
+    val refSpans = filter(ctx.zipped("kind", "media_ref"), p =>
+      p.getField("media_ref").isNotNull && p.getField("kind").isin(withRange: _*))
+    val targets = ctx.docs.select(explode(refSpans).as("r"))
+      .select(col("r.kind").as("kind"), col("r.media_ref").as("media_ref"))
+      .distinct()
 
     val targetCls = ctx.docs.select(
       col("doc_id").as("media_ref"), ctx.clsCol.as("valueCls"))
@@ -162,47 +197,52 @@ object CheckObjectRange extends ConstraintCheck {
       .select(ctx.violation(s"$id-100", "error", lit(null), col("kind"),
         col("media_ref"), col("valueCls")): _*)
 
-    val warn = ctx.sp.filter(col("kind").isin(noRange: _*))
-      .select("kind").distinct()
-      .select(ctx.violation(s"$id-51", "warning", lit(null), col("kind"),
-        lit(null), lit("kind has a declared range")): _*)
+    val warn =
+      if (noRange.isEmpty) ctx.emptyViolations
+      else ctx.docs
+        .select(explode(ctx.field("kind")).as("kind"))
+        .filter(col("kind").isin(noRange: _*))
+        .distinct()
+        .select(ctx.violation(s"$id-51", "warning", lit(null), col("kind"),
+          lit(null), lit("kind has a declared range")): _*)
 
     bad.unionByName(warn)
   }
 }
 
 /** Domain check (CheckObjectDatatypePropertiesDomain.php): the subject's
-  * class must fall in the closure of one of the kind's domains. Subject
-  * class and used kinds live in the same row, so this is fully row-local —
-  * the reference needed a subject-types subquery per property (:137-143).
+  * class must fall in the closure of one of the kind's domains. JOIN-FREE:
+  * subject class and used kinds live in the same row, and the allowed
+  * (kind → classes) table is driver-known, so the whole check compiles into
+  * a row-local predicate. The reference needed a subject-types subquery per
+  * property (:137-143).
   */
 object CheckDomain extends ConstraintCheck {
   val id = "OBJECT-DATATYPE-PROPERTIES-DOMAIN"
   def run(ctx: CheckContext): DataFrame = {
-    val domainKinds = ctx.schema.kinds.filter(_.domain.nonEmpty).map(_.kind)
-    if (domainKinds.isEmpty) return emptyViolations(ctx)
-    val perDoc = ctx.docs.select(
-      col("doc_id"),
-      coalesce(ctx.clsCol, lit(SchemaDef.OWL_THING)).as("cls"),
-      array_distinct(transform(
-        filter(col("spans"), s => s.getField("kind").isin(domainKinds: _*)),
-        s => s.getField("kind"))).as("usedKinds"))
-      .filter(size(col("usedKinds")) > 0)
-      .select(col("doc_id"), col("cls"), explode(col("usedKinds")).as("kind"))
-    perDoc.join(broadcast(ctx.allowedDomainPairs), Seq("kind", "cls"), "left_anti")
-      .select(ctx.violation(s"$id-100", "error", col("doc_id"), col("kind"),
-        col("cls"), lit("subject class in kind's domain")): _*)
+    val domainKinds = ctx.schema.kinds.filter(_.domain.nonEmpty)
+    if (domainKinds.isEmpty) return ctx.emptyViolations
+    val cls = coalesce(ctx.clsCol, lit(SchemaDef.OWL_THING))
+    def allowed(k: KindDef): Seq[String] =
+      k.domain.flatMap(d => ctx.schema.subClosure.getOrElse(d, Set(d))).distinct
+    // row-local: distinct used domain-kinds whose (kind, cls) is not allowed
+    val badKinds = filter(
+      array_distinct(filter(ctx.field("kind"),
+        k => k.isin(domainKinds.map(_.kind): _*))),
+      k => !domainKinds.map(kd =>
+        k === kd.kind && cls.isin(allowed(kd): _*)).reduce(_ || _))
+    val viols = transform(badKinds, k =>
+      ctx.vStruct(s"$id-100", k, cls, lit("subject class in kind's domain")))
+    ctx.explodeViolations(viols)
   }
-  private def emptyViolations(ctx: CheckContext): DataFrame =
-    ctx.docs.limit(0).select(ctx.violation(s"$id-100", "error",
-      lit(null), lit(null), lit(null), lit(null)): _*)
 }
 
 /** Datatype-conformance check (CheckDatatypePropertiesDatatype.php): every
   * text value of a datatype kind must be lexically valid for the kind's
-  * declared range datatype (facet-aware for custom datatypes). One CASE
-  * dispatch per kind — fully row-local, zero shuffles for the error path.
-  * Kinds used without a declared range → warning series (:110).
+  * declared range datatype (facet-aware for custom datatypes). Single scan,
+  * shuffle-free error path: offending spans are filtered row-locally
+  * pre-explode with one CASE dispatch per kind. Kinds used without a
+  * declared range → warning series (:110).
   */
 object CheckDatatype extends ConstraintCheck {
   val id = "DATATYPE-PROPERTIES-DATATYPE"
@@ -210,26 +250,30 @@ object CheckDatatype extends ConstraintCheck {
     val dtKinds = ctx.schema.kinds.filter(k => k.kindType == "datatype" && k.range != null)
     val noRange = ctx.schema.kinds.filter(k => k.kindType == "datatype" && k.range == null).map(_.kind)
 
-    val vals = ctx.sp
-      .filter(col("kind").isin(dtKinds.map(_.kind): _*) && col("text").isNotNull)
+    def validOf(kind: Column, text: Column): Column =
+      dtKinds.foldLeft(lit(true)) { (acc, k) =>
+        when(kind === k.kind, ctx.validatorFor(k.range)(text)).otherwise(acc)
+      }
+    def expectedOf(kind: Column): Column =
+      dtKinds.foldLeft(lit(null).cast("string")) { (acc, k) =>
+        when(kind === k.kind, lit(k.range)).otherwise(acc)
+      }
 
-    // CASE WHEN kind = k THEN <validator_k>(text) — built-in exprs only.
-    val validCol = dtKinds.foldLeft(lit(true)) { (acc, k) =>
-      when(col("kind") === k.kind, ctx.validatorFor(k.range)(col("text"))).otherwise(acc)
-    }
-    val expectedCol = dtKinds.foldLeft(lit(null).cast("string")) { (acc, k) =>
-      when(col("kind") === k.kind, lit(k.range)).otherwise(acc)
-    }
+    val badSpans = filter(ctx.zipped("kind", "text"), p =>
+      p.getField("kind").isin(dtKinds.map(_.kind): _*) &&
+        p.getField("text").isNotNull &&
+        !coalesce(validOf(p.getField("kind"), p.getField("text")), lit(false)))
+    val bad = ctx.explodeViolations(transform(badSpans, p =>
+      ctx.vStruct(s"$id-100", p.getField("kind"), p.getField("text"),
+        expectedOf(p.getField("kind")))))
 
-    val bad = vals.withColumn("valid", validCol)
-      .filter(!col("valid"))
-      .select(ctx.violation(s"$id-100", "error", col("doc_id"), col("kind"),
-        col("text"), expectedCol): _*)
-
-    val warn = ctx.sp.filter(col("kind").isin(noRange: _*))
-      .select("kind").distinct()
-      .select(ctx.violation(s"$id-51", "warning", lit(null), col("kind"),
-        lit(null), lit("kind has a declared range datatype")): _*)
+    val warn =
+      if (noRange.isEmpty) ctx.emptyViolations
+      else ctx.docs.select(explode(ctx.field("kind")).as("kind"))
+        .filter(col("kind").isin(noRange: _*))
+        .distinct()
+        .select(ctx.violation(s"$id-51", "warning", lit(null), col("kind"),
+          lit(null), lit("kind has a declared range datatype")): _*)
 
     bad.unionByName(warn)
   }
@@ -237,99 +281,94 @@ object CheckDatatype extends ConstraintCheck {
 
 /** Cardinality restrictions (CheckOwlRestriction{Max,Min,Exact}.php): the
   * reference's `group by ?s ?onProperty having count(...)` is re-expressed
-  * shuffle-free as `size(filter(spans, kind == p))` — the grouping key is
-  * the row key. Includes the zero-occurrence edge cases the reference
-  * handles with separate `filter not exists` queries
+  * shuffle-free as `size(filter(spans.kind, == p))` — the grouping key is
+  * the row key — and ALL restrictions evaluate in ONE scan via the
+  * violation-array pattern. Includes the zero-occurrence edge cases the
+  * reference handles with separate `filter not exists` queries
   * (CheckOwlRestrictionMin.php:211-223, Exact:208-220).
   */
 object CheckCardinality extends ConstraintCheck {
   val id = "OWL-RESTRICTION-CARD"
   def run(ctx: CheckContext): DataFrame = {
     val rs = ctx.schema.restrictions.filter(r => Set("min", "max", "exact").contains(r.rtype))
-    if (rs.isEmpty) return CheckDomain.run(ctx).limit(0)
+    if (rs.isEmpty) return ctx.emptyViolations
     val cls = ctx.clsCol
-    val frames = rs.map { r =>
+    val structs = rs.flatMap { r =>
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
-      val cnt = size(filter(col("spans"), s => s.getField("kind") === r.onProperty))
-      val base = ctx.docs.filter(cls.isin(applicable: _*)).withColumn("cnt", cnt)
+      val cnt = size(filter(ctx.field("kind"), k => k === r.onProperty))
+      val app = cls.isin(applicable: _*)
       r.rtype match {
-        case "max" =>
-          base.filter(col("cnt") > r.n)
-            .select(ctx.violation("OWL-RESTRICTION-MAX-100", "error", col("doc_id"),
-              lit(r.onProperty), col("cnt"), lit(s"at most ${r.n} ${r.onProperty}")): _*)
-        case "min" =>
-          val under = base.filter(col("cnt") > 0 && col("cnt") < r.n)
-            .select(ctx.violation("OWL-RESTRICTION-MIN-100", "error", col("doc_id"),
-              lit(r.onProperty), col("cnt"), lit(s"at least ${r.n} ${r.onProperty}")): _*)
-          val zero = base.filter(col("cnt") === 0)
-            .select(ctx.violation("OWL-RESTRICTION-MIN-102", "error", col("doc_id"),
-              lit(r.onProperty), col("cnt"), lit(s"at least ${r.n} ${r.onProperty}")): _*)
-          under.unionByName(zero)
-        case "exact" =>
-          val wrong = base.filter(col("cnt") > 0 && col("cnt") =!= r.n)
-            .select(ctx.violation("OWL-RESTRICTION-EXACT-100", "error", col("doc_id"),
-              lit(r.onProperty), col("cnt"), lit(s"exactly ${r.n} ${r.onProperty}")): _*)
-          val zero = if (r.n == 0) wrong.limit(0) else base.filter(col("cnt") === 0)
-            .select(ctx.violation("OWL-RESTRICTION-EXACT-102", "error", col("doc_id"),
-              lit(r.onProperty), col("cnt"), lit(s"exactly ${r.n} ${r.onProperty}")): _*)
-          wrong.unionByName(zero)
+        case "max" => Seq(
+          when(app && cnt > r.n, ctx.vStruct("OWL-RESTRICTION-MAX-100",
+            lit(r.onProperty), cnt, lit(s"at most ${r.n} ${r.onProperty}"))))
+        case "min" => Seq(
+          when(app && cnt > 0 && cnt < r.n, ctx.vStruct("OWL-RESTRICTION-MIN-100",
+            lit(r.onProperty), cnt, lit(s"at least ${r.n} ${r.onProperty}"))),
+          when(app && cnt === 0, ctx.vStruct("OWL-RESTRICTION-MIN-102",
+            lit(r.onProperty), cnt, lit(s"at least ${r.n} ${r.onProperty}"))))
+        case "exact" => Seq(
+          when(app && cnt > 0 && cnt =!= r.n, ctx.vStruct("OWL-RESTRICTION-EXACT-100",
+            lit(r.onProperty), cnt, lit(s"exactly ${r.n} ${r.onProperty}"))),
+          when(app && cnt === 0 && r.n != 0, ctx.vStruct("OWL-RESTRICTION-EXACT-102",
+            lit(r.onProperty), cnt, lit(s"exactly ${r.n} ${r.onProperty}"))))
       }
     }
-    frames.reduce(_ unionByName _)
+    ctx.explodeViolations(filter(array(structs: _*), v => v.isNotNull))
   }
 }
 
 /** Existential restriction (CheckOwlRestrictionSome.php): each instance of
   * the restricted class needs at least one value of the property that is
-  * lexically valid for the data range (:150-162, :252-522). Row-local via
-  * `exists(spans, ...)` — short-circuits like the reference's early-exit
-  * loop (:504-509).
+  * lexically valid for the data range (:150-162, :252-522). Single scan;
+  * `exists(...)` short-circuits like the reference's early-exit loop
+  * (:504-509).
   */
 object CheckSome extends ConstraintCheck {
   val id = "OWL-RESTRICTION-SOME"
   def run(ctx: CheckContext): DataFrame = {
     val rs = ctx.schema.restrictions.filter(r => r.rtype == "some" && r.dataRange != null)
-    if (rs.isEmpty) return CheckDomain.run(ctx).limit(0)
+    if (rs.isEmpty) return ctx.emptyViolations
     val cls = ctx.clsCol
-    rs.map { r =>
+    val structs = rs.flatMap { r =>
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
       val valid = ctx.validatorFor(r.dataRange)
-      val propSpans = filter(col("spans"), s => s.getField("kind") === r.onProperty)
-      val anyValid = exists(propSpans,
-        s => coalesce(valid(s.getField("text")), lit(false)))
-      val base = ctx.docs.filter(cls.isin(applicable: _*))
-        .withColumn("nProp", size(propSpans)).withColumn("anyValid", anyValid)
-      val none = base.filter(col("nProp") === 0)
-        .select(ctx.violation(s"$id-100", "error", col("doc_id"), lit(r.onProperty),
-          lit(null), lit(s"some ${r.dataRange} value for ${r.onProperty}")): _*)
-      val noneValid = base.filter(col("nProp") > 0 && !col("anyValid"))
-        .select(ctx.violation(s"$id-102", "error", col("doc_id"), lit(r.onProperty),
-          lit(null), lit(s"some valid ${r.dataRange} value for ${r.onProperty}")): _*)
-      none.unionByName(noneValid)
-    }.reduce(_ unionByName _)
+      val app = cls.isin(applicable: _*)
+      val nProp = size(filter(ctx.field("kind"), k => k === r.onProperty))
+      val anyValid = exists(
+        filter(ctx.zipped("kind", "text"), p => p.getField("kind") === r.onProperty),
+        p => coalesce(valid(p.getField("text")), lit(false)))
+      Seq(
+        when(app && nProp === 0, ctx.vStruct(s"$id-100", lit(r.onProperty),
+          lit(null), lit(s"some ${r.dataRange} value for ${r.onProperty}"))),
+        when(app && nProp > 0 && !anyValid, ctx.vStruct(s"$id-102", lit(r.onProperty),
+          lit(null), lit(s"some valid ${r.dataRange} value for ${r.onProperty}"))))
+    }
+    ctx.explodeViolations(filter(array(structs: _*), v => v.isNotNull))
   }
 }
 
 /** Universal restriction (CheckOwlRestrictionOnly.php:119-163): ANY value of
   * the property lexically invalid for the data range is a violation.
-  * Row-local explode + validate.
+  * Single scan; offending values collected row-locally.
   */
 object CheckOnly extends ConstraintCheck {
   val id = "OWL-RESTRICTION-ONLY"
   def run(ctx: CheckContext): DataFrame = {
     val rs = ctx.schema.restrictions.filter(r => r.rtype == "only" && r.dataRange != null)
-    if (rs.isEmpty) return CheckDomain.run(ctx).limit(0)
+    if (rs.isEmpty) return ctx.emptyViolations
     val cls = ctx.clsCol
-    rs.map { r =>
+    val perR = rs.map { r =>
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
       val valid = ctx.validatorFor(r.dataRange)
-      ctx.docs.filter(cls.isin(applicable: _*))
-        .select(col("doc_id"),
-          explode(filter(col("spans"), s => s.getField("kind") === r.onProperty)).as("s"))
-        .filter(!coalesce(valid(col("s.text")), lit(false)))
-        .select(ctx.violation(s"$id-100", "error", col("doc_id"), lit(r.onProperty),
-          col("s.text"), lit(r.dataRange)): _*)
-    }.reduce(_ unionByName _)
+      val offending = filter(ctx.zipped("kind", "text"), p =>
+        p.getField("kind") === r.onProperty &&
+          !coalesce(valid(p.getField("text")), lit(false)))
+      when(cls.isin(applicable: _*),
+        transform(offending, p => ctx.vStruct(s"$id-100", p.getField("kind"),
+          p.getField("text"), lit(r.dataRange))))
+        .otherwise(array().cast(s"array<struct<checkId:string,kind:string,value:string,expected:string>>"))
+    }
+    ctx.explodeViolations(flatten(array(perR: _*)))
   }
 }
 
