@@ -105,11 +105,35 @@ final case class CheckContext(
   def emptyViolations: DataFrame =
     docs.limit(0).select(violation("NONE", "error",
       lit(null), lit(null), lit(null), lit(null)): _*)
+
+  /** Typed empty violation-struct array. */
+  def emptyVArray: Column = array().cast(CheckContext.VArrayType)
+}
+
+object CheckContext {
+  val VArrayType =
+    "array<struct<checkId:string,kind:string,value:string,expected:string>>"
 }
 
 sealed trait ConstraintCheck {
   def id: String
   def run(ctx: CheckContext): DataFrame
+}
+
+/** A check whose error path is a row-local violation-struct array. Such
+  * checks are FUSABLE: [[graft.engine.Pipeline.violations]] concatenates the
+  * arrays of all row-local checks into one projection and explodes once —
+  * all subject-local validation in a single scan of the table.
+  */
+trait RowLocalCheck extends ConstraintCheck {
+  /** `array<struct<checkId,kind,value,expected>>` of this row's violations. */
+  def violArray(ctx: CheckContext): Column
+  /** Non-row-local extras (warning passes etc.); default none. */
+  def extraFrames(ctx: CheckContext): Seq[DataFrame] = Nil
+  final def run(ctx: CheckContext): DataFrame = {
+    val base = ctx.explodeViolations(violArray(ctx))
+    extraFrames(ctx).foldLeft(base)(_ unionByName _)
+  }
 }
 
 /** Undefined-kind check (CheckPropertiesDefined.php:41-84):
@@ -217,11 +241,11 @@ object CheckObjectRange extends ConstraintCheck {
   * a row-local predicate. The reference needed a subject-types subquery per
   * property (:137-143).
   */
-object CheckDomain extends ConstraintCheck {
+object CheckDomain extends RowLocalCheck {
   val id = "OBJECT-DATATYPE-PROPERTIES-DOMAIN"
-  def run(ctx: CheckContext): DataFrame = {
+  def violArray(ctx: CheckContext): Column = {
     val domainKinds = ctx.schema.kinds.filter(_.domain.nonEmpty)
-    if (domainKinds.isEmpty) return ctx.emptyViolations
+    if (domainKinds.isEmpty) return ctx.emptyVArray
     val cls = coalesce(ctx.clsCol, lit(SchemaDef.OWL_THING))
     def allowed(k: KindDef): Seq[String] =
       k.domain.flatMap(d => ctx.schema.subClosure.getOrElse(d, Set(d))).distinct
@@ -231,9 +255,8 @@ object CheckDomain extends ConstraintCheck {
         k => k.isin(domainKinds.map(_.kind): _*))),
       k => !domainKinds.map(kd =>
         k === kd.kind && cls.isin(allowed(kd): _*)).reduce(_ || _))
-    val viols = transform(badKinds, k =>
+    transform(badKinds, k =>
       ctx.vStruct(s"$id-100", k, cls, lit("subject class in kind's domain")))
-    ctx.explodeViolations(viols)
   }
 }
 
@@ -244,11 +267,11 @@ object CheckDomain extends ConstraintCheck {
   * pre-explode with one CASE dispatch per kind. Kinds used without a
   * declared range → warning series (:110).
   */
-object CheckDatatype extends ConstraintCheck {
+object CheckDatatype extends RowLocalCheck {
   val id = "DATATYPE-PROPERTIES-DATATYPE"
-  def run(ctx: CheckContext): DataFrame = {
+  def violArray(ctx: CheckContext): Column = {
     val dtKinds = ctx.schema.kinds.filter(k => k.kindType == "datatype" && k.range != null)
-    val noRange = ctx.schema.kinds.filter(k => k.kindType == "datatype" && k.range == null).map(_.kind)
+    if (dtKinds.isEmpty) return ctx.emptyVArray
 
     def validOf(kind: Column, text: Column): Column =
       dtKinds.foldLeft(lit(true)) { (acc, k) =>
@@ -263,19 +286,19 @@ object CheckDatatype extends ConstraintCheck {
       p.getField("kind").isin(dtKinds.map(_.kind): _*) &&
         p.getField("text").isNotNull &&
         !coalesce(validOf(p.getField("kind"), p.getField("text")), lit(false)))
-    val bad = ctx.explodeViolations(transform(badSpans, p =>
+    transform(badSpans, p =>
       ctx.vStruct(s"$id-100", p.getField("kind"), p.getField("text"),
-        expectedOf(p.getField("kind")))))
+        expectedOf(p.getField("kind"))))
+  }
 
-    val warn =
-      if (noRange.isEmpty) ctx.emptyViolations
-      else ctx.docs.select(explode(ctx.field("kind")).as("kind"))
-        .filter(col("kind").isin(noRange: _*))
-        .distinct()
-        .select(ctx.violation(s"$id-51", "warning", lit(null), col("kind"),
-          lit(null), lit("kind has a declared range datatype")): _*)
-
-    bad.unionByName(warn)
+  override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
+    val noRange = ctx.schema.kinds.filter(k => k.kindType == "datatype" && k.range == null).map(_.kind)
+    if (noRange.isEmpty) Nil
+    else Seq(ctx.docs.select(explode(ctx.field("kind")).as("kind"))
+      .filter(col("kind").isin(noRange: _*))
+      .distinct()
+      .select(ctx.violation(s"$id-51", "warning", lit(null), col("kind"),
+        lit(null), lit("kind has a declared range datatype")): _*))
   }
 }
 
@@ -287,11 +310,11 @@ object CheckDatatype extends ConstraintCheck {
   * reference handles with separate `filter not exists` queries
   * (CheckOwlRestrictionMin.php:211-223, Exact:208-220).
   */
-object CheckCardinality extends ConstraintCheck {
+object CheckCardinality extends RowLocalCheck {
   val id = "OWL-RESTRICTION-CARD"
-  def run(ctx: CheckContext): DataFrame = {
+  def violArray(ctx: CheckContext): Column = {
     val rs = ctx.schema.restrictions.filter(r => Set("min", "max", "exact").contains(r.rtype))
-    if (rs.isEmpty) return ctx.emptyViolations
+    if (rs.isEmpty) return ctx.emptyVArray
     val cls = ctx.clsCol
     val structs = rs.flatMap { r =>
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
@@ -313,7 +336,7 @@ object CheckCardinality extends ConstraintCheck {
             lit(r.onProperty), cnt, lit(s"exactly ${r.n} ${r.onProperty}"))))
       }
     }
-    ctx.explodeViolations(filter(array(structs: _*), v => v.isNotNull))
+    filter(array(structs: _*), v => v.isNotNull)
   }
 }
 
@@ -323,11 +346,11 @@ object CheckCardinality extends ConstraintCheck {
   * `exists(...)` short-circuits like the reference's early-exit loop
   * (:504-509).
   */
-object CheckSome extends ConstraintCheck {
+object CheckSome extends RowLocalCheck {
   val id = "OWL-RESTRICTION-SOME"
-  def run(ctx: CheckContext): DataFrame = {
+  def violArray(ctx: CheckContext): Column = {
     val rs = ctx.schema.restrictions.filter(r => r.rtype == "some" && r.dataRange != null)
-    if (rs.isEmpty) return ctx.emptyViolations
+    if (rs.isEmpty) return ctx.emptyVArray
     val cls = ctx.clsCol
     val structs = rs.flatMap { r =>
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
@@ -343,7 +366,7 @@ object CheckSome extends ConstraintCheck {
         when(app && nProp > 0 && !anyValid, ctx.vStruct(s"$id-102", lit(r.onProperty),
           lit(null), lit(s"some valid ${r.dataRange} value for ${r.onProperty}"))))
     }
-    ctx.explodeViolations(filter(array(structs: _*), v => v.isNotNull))
+    filter(array(structs: _*), v => v.isNotNull)
   }
 }
 
@@ -351,11 +374,11 @@ object CheckSome extends ConstraintCheck {
   * the property lexically invalid for the data range is a violation.
   * Single scan; offending values collected row-locally.
   */
-object CheckOnly extends ConstraintCheck {
+object CheckOnly extends RowLocalCheck {
   val id = "OWL-RESTRICTION-ONLY"
-  def run(ctx: CheckContext): DataFrame = {
+  def violArray(ctx: CheckContext): Column = {
     val rs = ctx.schema.restrictions.filter(r => r.rtype == "only" && r.dataRange != null)
-    if (rs.isEmpty) return ctx.emptyViolations
+    if (rs.isEmpty) return ctx.emptyVArray
     val cls = ctx.clsCol
     val perR = rs.map { r =>
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
@@ -366,9 +389,9 @@ object CheckOnly extends ConstraintCheck {
       when(cls.isin(applicable: _*),
         transform(offending, p => ctx.vStruct(s"$id-100", p.getField("kind"),
           p.getField("text"), lit(r.dataRange))))
-        .otherwise(array().cast(s"array<struct<checkId:string,kind:string,value:string,expected:string>>"))
+        .otherwise(ctx.emptyVArray)
     }
-    ctx.explodeViolations(flatten(array(perR: _*)))
+    flatten(array(perR: _*))
   }
 }
 

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.checks.{CheckContext, Checks, ConstraintCheck}
+import graft.checks.{CheckContext, Checks, ConstraintCheck, RowLocalCheck}
 import graft.model.SchemaDef
 
 /** Pipeline runner — the Spark-native equivalent of the reference's check
@@ -25,12 +25,43 @@ object Pipeline {
 
   /** Run the given checks; returns the union of violation rows.
     * Dataset-level violations (no docId) come out with docId null.
+    *
+    * When `fused` (default), all [[graft.checks.RowLocalCheck]]s evaluate in
+    * ONE shared scan: their per-row violation arrays concatenate into a
+    * single projection exploded once — subject-local validation of the whole
+    * constraint set costs one pass over the table regardless of how many
+    * checks are configured (the reference made 1-3 HTTP queries per
+    * property/restriction). Non-row-local checks (vocabulary distincts,
+    * referential joins) keep their own minimal-ReadSchema scans.
     */
   def violations(spark: SparkSession, docs: DataFrame, schema: SchemaDef,
-                 checks: Seq[ConstraintCheck] = Checks.all): DataFrame = {
+                 checks: Seq[ConstraintCheck] = Checks.all,
+                 fused: Boolean = true): DataFrame = {
     val ctx = CheckContext(spark, docs, schema)
-    checks.map(c => c.run(ctx).withColumn("check", lit(c.id)))
-      .reduce(_ unionByName _)
+    val (rowLocal, others) = checks.partition(c => fused && c.isInstanceOf[RowLocalCheck])
+
+    val fusedFrames: Seq[DataFrame] =
+      if (rowLocal.isEmpty) Nil
+      else {
+        val tagged = rowLocal.map { c =>
+          transform(c.asInstanceOf[RowLocalCheck].violArray(ctx), v => struct(
+            v.getField("checkId").as("checkId"), v.getField("kind").as("kind"),
+            v.getField("value").as("value"), v.getField("expected").as("expected"),
+            lit(c.id).as("check")))
+        }
+        val one = docs.select(col("doc_id"), explode(concat(tagged: _*)).as("v"))
+          .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
+            col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
+            col("v.value").as("value"), col("v.expected").as("expected"),
+            col("v.check").as("check"))
+        val extras = rowLocal.flatMap(c =>
+          c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
+            .map(_.withColumn("check", lit(c.id))))
+        one +: extras
+      }
+
+    val otherFrames = others.map(c => c.run(ctx).withColumn("check", lit(c.id)))
+    (fusedFrames ++ otherFrames).reduce(_ unionByName _)
   }
 
   /** Per-bucket, per-check verdicts (north rule: per-partition pass/fail +

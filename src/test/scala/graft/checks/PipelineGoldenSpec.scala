@@ -141,6 +141,15 @@ class PipelineGoldenSpec extends SparkTestBase {
     assert(actual.keySet.subsetOf(known), s"unexpected: ${actual.keySet -- known}")
   }
 
+  test("fused single-scan path produces exactly the per-check union") {
+    val docs = DocGen.documents(spark, 3000L).toDF()
+    def collectSet(fused: Boolean) =
+      Pipeline.violations(spark, docs, schema, fused = fused).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getString(6))).toSet
+    assert(collectSet(fused = true) == collectSet(fused = false))
+  }
+
   test("verdicts: per-bucket pass/fail with lineage; clean buckets PASS") {
     val docs = DocGen.documents(spark, n).toDF()
     val v = Pipeline.verdicts(spark, docs, schema, snapshotId = "snap-1", nBuckets = 16)
