@@ -312,13 +312,26 @@ object CheckDatatype extends RowLocalCheck {
   */
 object CheckCardinality extends RowLocalCheck {
   val id = "OWL-RESTRICTION-CARD"
+
+  /** Data-range (and unqualified) restrictions evaluate row-locally: spans
+    * carry no datatype annotations in our model (the expected datatype is
+    * schema-side), so datatype-qualified counts equal unqualified counts —
+    * documented deviation from the reference's `datatype(?value)` filter
+    * (CheckOwlRestrictionMax.php:122-150).
+    */
   def violArray(ctx: CheckContext): Column = {
-    val rs = ctx.schema.restrictions.filter(r => Set("min", "max", "exact").contains(r.rtype))
+    val rs = ctx.schema.restrictions.filter(r =>
+      Set("min", "max", "exact").contains(r.rtype) && r.classExpr == null)
     if (rs.isEmpty) return ctx.emptyVArray
+    cardStructs(ctx, rs, cntOf = r => size(filter(ctx.field("kind"), k => k === r.onProperty)))
+  }
+
+  private def cardStructs(ctx: CheckContext, rs: Seq[RestrictionDef],
+                          cntOf: RestrictionDef => Column): Column = {
     val cls = ctx.clsCol
     val structs = rs.flatMap { r =>
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
-      val cnt = size(filter(ctx.field("kind"), k => k === r.onProperty))
+      val cnt = cntOf(r)
       val app = cls.isin(applicable: _*)
       r.rtype match {
         case "max" => Seq(
@@ -337,6 +350,56 @@ object CheckCardinality extends RowLocalCheck {
       }
     }
     filter(array(structs: _*), v => v.isNotNull)
+  }
+
+  /** Qualified object restrictions (owl:onClass, e.g.
+    * CheckOwlRestrictionMax.php:705-735): only values whose TARGET's class
+    * falls in the qualifying-class closure count. This genuinely needs the
+    * ref → target-class join, so it runs as an extra frame: refs of the
+    * restricted kinds join the (deduplicated) target-class table, counts
+    * roll up per doc, and docs of the restricted class with zero qualifying
+    * values are recovered with a left join.
+    */
+  override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
+    val rs = ctx.schema.restrictions.filter(r =>
+      Set("min", "max", "exact").contains(r.rtype) && r.classExpr != null)
+    if (rs.isEmpty) return Nil
+    val cls = ctx.clsCol
+    val kinds = rs.map(_.onProperty).distinct
+
+    val refSpans = filter(ctx.zipped("kind", "media_ref"), p =>
+      p.getField("media_ref").isNotNull && p.getField("kind").isin(kinds: _*))
+    val refs = ctx.docs.select(col("doc_id"), explode(refSpans).as("r"))
+      .select(col("doc_id"), col("r.kind").as("kind"), col("r.media_ref").as("media_ref"))
+    val targetCls = ctx.docs.select(
+      col("doc_id").as("media_ref"), cls.as("targetCls"))
+    val typed = refs.join(targetCls, Seq("media_ref"), "left")
+      .withColumn("targetCls", coalesce(col("targetCls"), lit(SchemaDef.OWL_THING)))
+
+    val frames = rs.map { r =>
+      val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
+      val qualifying = ctx.schema.subClosure.getOrElse(r.classExpr, Set(r.classExpr)).toSeq
+      val counts = typed.filter(col("kind") === r.onProperty)
+        .groupBy("doc_id")
+        .agg(count(when(col("targetCls").isin(qualifying: _*), 1)).as("cnt"))
+      val base = ctx.docs.filter(cls.isin(applicable: _*)).select("doc_id")
+        .join(counts, Seq("doc_id"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val viol = r.rtype match {
+        case "max" => base.filter(col("cnt") > r.n)
+          .withColumn("cid", lit("OWL-RESTRICTION-MAX-100"))
+        case "min" => base.filter(col("cnt") < r.n)
+          .withColumn("cid", when(col("cnt") === 0, "OWL-RESTRICTION-MIN-102")
+            .otherwise("OWL-RESTRICTION-MIN-100"))
+        case "exact" => base.filter(col("cnt") =!= r.n)
+          .withColumn("cid", when(col("cnt") === 0, "OWL-RESTRICTION-EXACT-102")
+            .otherwise("OWL-RESTRICTION-EXACT-100"))
+      }
+      viol.select(ctx.violation(null, "error", col("doc_id"), lit(r.onProperty),
+        col("cnt"), lit(s"${r.rtype} ${r.n} ${r.onProperty} of class ${r.classExpr}"))
+        .patch(0, Seq(col("cid").as("checkId")), 1): _*)
+    }
+    Seq(frames.reduce(_ unionByName _))
   }
 }
 
@@ -395,8 +458,30 @@ object CheckOnly extends RowLocalCheck {
   }
 }
 
+/** Field-type presence check (CheckFieldTypeDefined.php:56-94, NOT in the
+  * reference's default pipeline, SURVEY.md §2.8): datatype kinds used in the
+  * data whose schema definition carries no fieldType.
+  */
+object CheckFieldTypeDefined extends ConstraintCheck {
+  val id = "FIELD-TYPE-DEFINED"
+  def run(ctx: CheckContext): DataFrame = {
+    import ctx.spark.implicits._
+    val missing = ctx.schema.kinds
+      .filter(k => k.kindType == "datatype" && k.fieldType == null).map(_.kind)
+    if (missing.isEmpty) return ctx.emptyViolations
+    ctx.docs.select(explode(ctx.field("kind")).as("kind"))
+      .filter(col("kind").isin(missing: _*))
+      .distinct()
+      .select(ctx.violation(s"$id-100", "error", lit(null), col("kind"),
+        lit(null), lit("kind has a declared fieldType")): _*)
+  }
+}
+
 object Checks {
-  /** Default pipeline, mirroring dvt.ini:21-33's check list. */
+  /** Default pipeline, mirroring dvt.ini:21-33's check list
+    * (CheckFieldTypeDefined exists but is not in the default list, matching
+    * the reference).
+    */
   val all: Seq[ConstraintCheck] = Seq(
     CheckKindsDefined, CheckClassesDefined, CheckUriExistence,
     CheckObjectRange, CheckDomain, CheckDatatype,

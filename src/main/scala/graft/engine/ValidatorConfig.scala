@@ -53,7 +53,8 @@ object ValidatorConfig {
     "datatype" -> graft.checks.CheckDatatype,
     "cardinality" -> graft.checks.CheckCardinality,
     "some" -> graft.checks.CheckSome,
-    "only" -> graft.checks.CheckOnly
+    "only" -> graft.checks.CheckOnly,
+    "field-type-defined" -> graft.checks.CheckFieldTypeDefined
   )
 
   def load(path: String): ValidatorConfig = {
@@ -107,7 +108,10 @@ object ValidatorConfig {
       snapshotId = one("data.snapshotId").getOrElse("snapshot-0"),
       checkKeys = {
         val ks = list("checks")
-        if (ks.isEmpty) CheckRegistry.keys.toSeq.sorted else ks
+        // default mirrors the reference's default pipeline (no field-type)
+        if (ks.isEmpty) Seq("kinds-defined", "classes-defined", "uri-existence",
+          "object-range", "domain", "datatype", "cardinality", "some", "only")
+        else ks
       },
       schema = SchemaDef(kinds, list("schema.class"), subclasses, restrictions, facets),
       xmlOut = one("output.xml"),

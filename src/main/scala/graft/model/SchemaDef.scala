@@ -20,7 +20,8 @@ final case class KindDef(
     kind: String,
     kindType: String, // "object" | "datatype"
     domain: Seq[String],
-    range: String
+    range: String,
+    fieldType: String = null // CheckFieldTypeDefined analogue (drupal:fieldType)
 )
 
 /** owl:Restriction analogue (CheckOwlRestriction{Max,Min,Exact,Some,Only}.php).
