@@ -477,6 +477,21 @@ object CheckFieldTypeDefined extends ConstraintCheck {
   }
 }
 
+/** doc_id uniqueness (north star: "salted-key uniqueness"): duplicate
+  * primary keys across the corpus, detected with two-phase salted
+  * aggregation so one hot doc_id can't overload a reducer. The reference has
+  * no analogue (Virtuoso enforces graph-level uniqueness); this is an
+  * engine-native table-integrity check.
+  */
+object CheckDocIdUnique extends ConstraintCheck {
+  val id = "DOC-ID-UNIQUE"
+  def run(ctx: CheckContext): DataFrame = {
+    graft.engine.Skew.duplicateKeys(ctx.docs.select("doc_id"), "doc_id")
+      .select(ctx.violation(s"$id-100", "error", col("doc_id"), lit(null),
+        col("key_count"), lit("doc_id occurs once")): _*)
+  }
+}
+
 object Checks {
   /** Default pipeline, mirroring dvt.ini:21-33's check list
     * (CheckFieldTypeDefined exists but is not in the default list, matching

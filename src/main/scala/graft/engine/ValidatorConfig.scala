@@ -54,7 +54,8 @@ object ValidatorConfig {
     "cardinality" -> graft.checks.CheckCardinality,
     "some" -> graft.checks.CheckSome,
     "only" -> graft.checks.CheckOnly,
-    "field-type-defined" -> graft.checks.CheckFieldTypeDefined
+    "field-type-defined" -> graft.checks.CheckFieldTypeDefined,
+    "doc-id-unique" -> graft.checks.CheckDocIdUnique
   )
 
   def load(path: String): ValidatorConfig = {
