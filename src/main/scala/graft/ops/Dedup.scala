@@ -42,21 +42,16 @@ object Dedup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** Distinct character k-shingles of the text, via higher-order functions
-    * (substr over a generated index sequence — stays in codegen).
+  /** Distinct character k-shingles of the text, via higher-order functions.
+    * Used only in the (candidate-pruned) exact-Jaccard verification stage —
+    * signature computation uses the native [[graft.functions.MinHashSig]]
+    * expression instead, because HOFs are CodegenFallback (interpreted) and
+    * too slow for the full-corpus pass.
     */
   def shingles(text: Column, k: Int): Column = {
     val idx = sequence(lit(0), greatest(length(text) - k, lit(0)))
     array_distinct(transform(idx, i => text.substr(i + 1, lit(k))))
   }
-
-  /** MinHash signature: `numHashes` permutations simulated by salting
-    * xxhash64; each signature value is the min hash over the shingle set.
-    */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(sh, s => xxhash64(s, lit(h))))
-    }: _*)
 
   /** LSH band keys: the signature split into `bands` bands of
     * `numHashes/bands` rows, each band hashed to one bucket key.
@@ -75,7 +70,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, id: String = "doc_id", text: String = "text",
                         k: Int = 5, numHashes: Int = 16, bands: Int = 4,
                         maxBucketSize: Int = 1000): DataFrame = {
-    val sig = minhashSignature(shingles(col(text), k), numHashes)
+    val sig = graft.functions.MinHashSig.minhashSig(col(text), k, numHashes)
     val banded = df
       .filter(length(col(text)) >= k)
       .select(col(id).as("__id"), posexplode(bandKeys(sig, numHashes, bands))
@@ -89,7 +84,11 @@ object Dedup {
   def jaccardVerify(candidates: DataFrame, corpus: DataFrame,
                     id: String = "doc_id", text: String = "text",
                     k: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val sh = corpus.select(col(id).as("__sid"), shingles(col(text), k).as("__sh"))
+    // compute (interpreted-HOF) shingle sets ONLY for candidate ids
+    val candIds = candidates.select(col("id_a").as("__cid"))
+      .unionByName(candidates.select(col("id_b").as("__cid"))).distinct()
+    val pruned = corpus.join(candIds, corpus(id) === candIds("__cid"), "left_semi")
+    val sh = pruned.select(col(id).as("__sid"), shingles(col(text), k).as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
@@ -145,11 +144,15 @@ object Dedup {
       array_distinct(transform(idx, i =>
         array_join(slice(toks, i + 1, lit(n)), " ")))
     }
-    val sig = minhashSignature(ngrams(col(text)), numHashes)
+    val sig = graft.functions.MinHashNgramSig.minhashNgramSig(col(text), n, numHashes)
     val banded = df.select(col(id).as("__id"),
       posexplode(bandKeys(sig, numHashes, bands)).as(Seq("band", "bucket")))
     val cands = bucketPairs(banded, 1000)
-    val gr = df.select(col(id).as("__sid"), ngrams(col(text)).as("__sh"))
+    // interpreted-HOF ngram sets only for candidate ids
+    val cIds = cands.select(col("id_a").as("__cid"))
+      .unionByName(cands.select(col("id_b").as("__cid"))).distinct()
+    val gr = df.join(cIds, df(id) === cIds("__cid"), "left_semi")
+      .select(col(id).as("__sid"), ngrams(col(text)).as("__sh"))
     cands
       .join(gr.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(gr.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))

@@ -27,21 +27,13 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic hyperplane component for (plane h, dim d) in [-1, 1). */
-  private def planeComponent(h: Int, d: Column): Column =
-    (xxhash64(lit(h), d) % 1000000L).cast("double") / 1000000.0d
-
   /** r-bit random-hyperplane signature of a vector (bit h = sign of the
-    * projection onto plane h), packed into a long.
+    * projection onto deterministic pseudo-random plane h), packed into a
+    * long — the native codegen'd [[graft.functions.RhpSig]] expression
+    * (one pass over the vector, no interpreted HOF trees).
     */
-  def rhpSignature(v: Column, bits: Int): Column = {
-    val dims = transform(v, (x, i) => struct(x.as("x"), i.as("i")))
-    (0 until bits).map { h =>
-      val proj = aggregate(dims, lit(0.0d),
-        (acc, e) => acc + e.getField("x") * planeComponent(h, e.getField("i")))
-      when(proj >= 0, lit(1L << h)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def rhpSignature(v: Column, bits: Int): Column =
+    graft.functions.RhpSig.rhpSig(v.cast("array<double>"), bits)
 
   /** Brute-force cosine top-k against one query vector. */
   def bruteTopK(emb: DataFrame, query: Seq[Float], k: Int,
