@@ -36,24 +36,40 @@ object Pipeline {
     */
   def violations(spark: SparkSession, docs: DataFrame, schema: SchemaDef,
                  checks: Seq[ConstraintCheck] = Checks.all,
-                 fused: Boolean = true): DataFrame = {
+                 fused: Boolean = true,
+                 native: Boolean = true): DataFrame = {
     val ctx = CheckContext(spark, docs, schema)
     val (rowLocal, others) = checks.partition(c => fused && c.isInstanceOf[RowLocalCheck])
 
     val fusedFrames: Seq[DataFrame] =
       if (rowLocal.isEmpty) Nil
       else {
-        val tagged = rowLocal.map { c =>
-          transform(c.asInstanceOf[RowLocalCheck].violArray(ctx), v => struct(
-            v.getField("checkId").as("checkId"), v.getField("kind").as("kind"),
-            v.getField("value").as("value"), v.getField("expected").as("expected"),
-            lit(c.id).as("check")))
-        }
-        val one = docs.select(col("doc_id"), explode(concat(tagged: _*)).as("v"))
-          .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
-            col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
-            col("v.value").as("value"), col("v.expected").as("expected"),
-            col("v.check").as("check"))
+        val one =
+          if (native) {
+            // the native single-pass expression: compiled validators,
+            // primitive counters, one output array — codegen'd end to end
+            val cc = graft.functions.CompiledConstraints.from(
+              schema, rowLocal.map(_.id).toSet)
+            docs.select(col("doc_id"),
+              explode(graft.functions.ValidateSpans.validateSpans(col("spans"), cc)).as("v"))
+              .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
+                col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
+                col("v.value").as("value"), col("v.expected").as("expected"),
+                col("v.check").as("check"))
+          } else {
+            // HOF formulation (kept as the reference semantics oracle)
+            val tagged = rowLocal.map { c =>
+              transform(c.asInstanceOf[RowLocalCheck].violArray(ctx), v => struct(
+                v.getField("checkId").as("checkId"), v.getField("kind").as("kind"),
+                v.getField("value").as("value"), v.getField("expected").as("expected"),
+                lit(c.id).as("check")))
+            }
+            docs.select(col("doc_id"), explode(concat(tagged: _*)).as("v"))
+              .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
+                col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
+                col("v.value").as("value"), col("v.expected").as("expected"),
+                col("v.check").as("check"))
+          }
         val extras = rowLocal.flatMap(c =>
           c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
             .map(_.withColumn("check", lit(c.id))))

@@ -65,18 +65,29 @@ object Dedup {
 
   /** Candidate near-duplicate id pairs from MinHash LSH: ids sharing at
     * least one band bucket. Pairs are generated inside each bucket with
-    * higher-order functions (i<j), then distinct-ed across bands.
+    * higher-order functions (i<j), then distinct-ed across bands. Carries
+    * both signatures (`sig_a`/`sig_b`) so callers can estimate Jaccard
+    * from signature agreement before paying for exact verification.
     */
   def minhashCandidates(df: DataFrame, id: String = "doc_id", text: String = "text",
-                        k: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                        k: Int = 5, numHashes: Int = 32, bands: Int = 8,
                         maxBucketSize: Int = 1000): DataFrame = {
     val sig = graft.functions.MinHashSig.minhashSig(col(text), k, numHashes)
-    val banded = df
-      .filter(length(col(text)) >= k)
-      .select(col(id).as("__id"), posexplode(bandKeys(sig, numHashes, bands))
-        .as(Seq("band", "bucket")))
-    bucketPairs(banded, maxBucketSize)
+    val withSig = df.filter(length(col(text)) >= k)
+      .select(col(id).as("__id"), sig.as("__sig"))
+    val banded = withSig.select(col("__id"), col("__sig"),
+      posexplode(bandKeys(col("__sig"), numHashes, bands)).as(Seq("band", "bucket")))
+    bucketPairsWith(banded, Seq("__sig"), maxBucketSize)
   }
+
+  /** Estimated Jaccard from minhash-signature agreement (the unbiased
+    * MinHash estimator) — a few long comparisons per pair, used to discard
+    * the flood of low-similarity bucket collisions before exact
+    * verification.
+    */
+  def sigAgreement(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
   /** Exact Jaccard over k-shingles for given candidate pairs (verification
     * stage). Joins text in for candidate ids only.
@@ -99,12 +110,18 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify. */
+  /** MinHash-LSH near-dup pipeline: candidates → signature-agreement
+    * prefilter (drops template-similarity bucket collisions for the cost of
+    * a few comparisons) → exact-Jaccard verify on the survivors.
+    */
   def nearDupPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
-                   k: Int = 5, numHashes: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.8): DataFrame =
-    jaccardVerify(minhashCandidates(df, id, text, k, numHashes, bands),
-      df, id, text, k, threshold)
+                   k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.8): DataFrame = {
+    val cands = minhashCandidates(df, id, text, k, numHashes, bands)
+      .filter(sigAgreement(col("sig_a"), col("sig_b"), numHashes) >= threshold - 0.15)
+      .select("id_a", "id_b")
+    jaccardVerify(cands, df, id, text, k, threshold)
+  }
 
   // ------------------------------------------------------------------
   // SimHash
@@ -136,7 +153,7 @@ object Dedup {
     * verified with exact Jaccard on the n-gram sets.
     */
   def ngramJaccardPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
-                        n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                        n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                         threshold: Double = 0.7): DataFrame = {
     def ngrams(t: Column): Column = {
       val toks = split(t, "\\s+")
@@ -145,9 +162,12 @@ object Dedup {
         array_join(slice(toks, i + 1, lit(n)), " ")))
     }
     val sig = graft.functions.MinHashNgramSig.minhashNgramSig(col(text), n, numHashes)
-    val banded = df.select(col(id).as("__id"),
-      posexplode(bandKeys(sig, numHashes, bands)).as(Seq("band", "bucket")))
-    val cands = bucketPairs(banded, 1000)
+    val withSig = df.select(col(id).as("__id"), sig.as("__sig"))
+    val banded = withSig.select(col("__id"), col("__sig"),
+      posexplode(bandKeys(col("__sig"), numHashes, bands)).as(Seq("band", "bucket")))
+    val cands = bucketPairsWith(banded, Seq("__sig"), 1000)
+      .filter(sigAgreement(col("sig_a"), col("sig_b"), numHashes) >= threshold - 0.15)
+      .select("id_a", "id_b")
     // interpreted-HOF ngram sets only for candidate ids
     val cIds = cands.select(col("id_a").as("__cid"))
       .unionByName(cands.select(col("id_b").as("__cid"))).distinct()

@@ -25,18 +25,27 @@ import graft.model.SchemaDef
 object StreamingValidator {
 
   /** Checks that are pure row-local projections — streaming-safe with no
-    * state, watermark, or output-mode constraints.
+    * state, watermark, or output-mode constraints. (Their batch-side
+    * warning passes involve global distincts and are excluded here.)
     */
   val StatelessChecks: Seq[ConstraintCheck] =
     Seq(CheckDomain, CheckDatatype, CheckCardinality, CheckSome, CheckOnly)
 
   /** Violation stream from a streaming documents DataFrame (same schema as
-    * the batch table). Row-local checks only.
+    * the batch table): the native single-pass ValidateSpans expression —
+    * one stateless projection, identical semantics to the batch row-local
+    * path.
     */
   def violationStream(spark: SparkSession, docs: DataFrame, schema: SchemaDef): DataFrame = {
-    val ctx = CheckContext(spark, docs, schema)
-    StatelessChecks.map(c => c.run(ctx).withColumn("check", lit(c.id)))
-      .reduce(_ unionByName _)
+    import org.apache.spark.sql.functions.{col, explode, lit}
+    val cc = graft.functions.CompiledConstraints.from(
+      schema, StatelessChecks.map(_.id).toSet)
+    docs.select(col("doc_id"),
+      explode(graft.functions.ValidateSpans.validateSpans(col("spans"), cc)).as("v"))
+      .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
+        col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
+        col("v.value").as("value"), col("v.expected").as("expected"),
+        col("v.check").as("check"))
   }
 
   /** Streaming referential check: dangling media_refs relative to a static

@@ -104,11 +104,20 @@ object XsdValidators {
   def negativeInteger(c: Column): Column = integer(c) && c.try_cast("decimal(38,0)") <= -1
   def hexBinary(c: Column): Column = c.rlike(HexBinaryRegex)
 
+  /** Canonical base64 shape: whole 4-char units with standard padding.
+    * Required before unbase64, which THROWS on dangling units (unlike PHP's
+    * lenient base64_decode). Any value the reference accepts re-encodes to
+    * exactly this shape, so the guard never changes a verdict.
+    */
+  val Base64ShapeRegex: String =
+    "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
   /** Decode-reencode equivalence, mirroring Check.php:102-112 (PHP's lenient
     * base64_decode followed by strict re-encode): non-canonical input fails
-    * the round-trip.
+    * the round-trip. Short-circuits on the shape guard.
     */
-  def base64Binary(c: Column): Column = base64(unbase64(c)) === c
+  def base64Binary(c: Column): Column =
+    c.rlike(Base64ShapeRegex) && base64(unbase64(c)) === c
 
   def language(c: Column): Column = c.rlike(LanguageRegex)
   def nameT(c: Column): Column = c.rlike(NameRegex)

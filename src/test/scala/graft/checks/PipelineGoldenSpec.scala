@@ -141,13 +141,18 @@ class PipelineGoldenSpec extends SparkTestBase {
     assert(actual.keySet.subsetOf(known), s"unexpected: ${actual.keySet -- known}")
   }
 
-  test("fused single-scan path produces exactly the per-check union") {
+  test("native, HOF-fused, and per-check paths produce identical violation sets") {
     val docs = DocGen.documents(spark, 3000L).toDF()
-    def collectSet(fused: Boolean) =
-      Pipeline.violations(spark, docs, schema, fused = fused).collect()
+    def collectSet(fused: Boolean, native: Boolean) =
+      Pipeline.violations(spark, docs, schema, fused = fused, native = native).collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2),
           r.getString(3), r.getString(4), r.getString(6))).toSet
-    assert(collectSet(fused = true) == collectSet(fused = false))
+    val nativeSet = collectSet(fused = true, native = true)
+    val hofSet = collectSet(fused = true, native = false)
+    val perCheck = collectSet(fused = false, native = false)
+    assert(nativeSet == hofSet,
+      s"native vs HOF: missing=${(hofSet -- nativeSet).take(3)} extra=${(nativeSet -- hofSet).take(3)}")
+    assert(hofSet == perCheck)
   }
 
   test("verdicts: per-bucket pass/fail with lineage; clean buckets PASS") {
