@@ -43,7 +43,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "400000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "800000").toLong
     val docsPath = java.nio.file.Files.createTempDirectory("graft-bench").toString + "/docs"
 
     // ---- headline queries at the configured parallelism ----------------
@@ -59,6 +59,11 @@ object Bench {
     def bench(name: String)(f: => Any): Unit =
       results(name) = try time(f) catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+
+    // JIT warm-up: one validation pass over a slice compiles the validator
+    // regex + codegen paths so headline timings measure steady state
+    Pipeline.violations(spark,
+      spark.read.parquet(docsPath).limit(50000), DocGen.schema).count()
 
     bench("validate_full") {
       Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count()
@@ -89,27 +94,42 @@ object Bench {
     // N=2 vs 4N=8: beyond ~8 local cores a single JVM saturates memory
     // bandwidth on this string-heavy workload (a real 4N-executor cluster
     // has 4N memory buses; local mode does not), so the in-sandbox
-    // cluster-size proxy is the 2→8 pair per BASELINE.md.
+    // cluster-size proxy is the 2→8 pair per BASELINE.md. Each point runs
+    // in a FRESH JVM (graft.ScaleProbe) — one "spark-submit" per cluster
+    // size — because same-JVM session restarts distort throughput ~3x.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "2000000").toLong
+    val scalePath =
+      if (scaleDocs == nDocs) docsPath
+      else {
+        val p = docsPath + "-scale"
+        DocGen.documents(spark, scaleDocs).toDF()
+          .repartition(128).write.mode("overwrite").parquet(p)
+        p
+      }
+    spark.stop()
     def validateThroughput(n: Int): Double = {
-      spark.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      spark = session(n)
-      val run = () => Pipeline.violations(spark,
-        spark.read.parquet(docsPath), DocGen.schema).count()
-      run() // warm-up (JIT + file listing)
-      val secs = math.min(time(run()), time(run()))
-      nDocs / secs
+      import scala.jdk.CollectionConverters._
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filterNot(_.startsWith("-D"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.ScaleProbe", n.toString, scalePath, scaleDocs.toString)).asJava
+      val p = new ProcessBuilder(cmd).redirectErrorStream(false).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      out.linesIterator.find(_.startsWith("TPUT "))
+        .map(_.stripPrefix("TPUT ").toDouble)
+        .getOrElse { System.err.println(s"[bench] scale probe n=$n failed"); 0.0 }
     }
     val tN = validateThroughput(scaleN)
     val t4N = validateThroughput(4 * scaleN)
-    val efficiency = t4N / (4.0 * tN)
-    spark.stop()
+    val efficiency = if (tN > 0) t4N / (4.0 * tN) else 0.0
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${tN.toLong},"docs_per_sec_4n":${t4N.toLong},"efficiency":$efficiency%.3f,"docs":$nDocs}"""
+    val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${tN.toLong},"docs_per_sec_4n":${t4N.toLong},"efficiency":$efficiency%.3f,"docs":$scaleDocs}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.datagen.DocGen
+import graft.engine.Pipeline
+
+/** One scaling-measurement point in its own JVM (spawned by [[Bench]]):
+  * `graft.ScaleProbe <cores> <docsPath> <nDocs>` → prints
+  * `TPUT <docs/sec>`. A fresh JVM per cluster size mirrors how a real
+  * cluster comparison runs one spark-submit per size, and avoids
+  * same-JVM contamination (GC sizing, fragmented heap, lingering pools)
+  * that was measured to distort same-process reruns by 3x.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(cores, docsPath, nDocsStr) = args.take(3)
+    val nDocs = nDocsStr.toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val run = () => Pipeline.violations(spark,
+      spark.read.parquet(docsPath), DocGen.schema).count()
+    run() // JIT + listing warm-up
+    val t0 = System.nanoTime(); run()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(s"TPUT ${nDocs / secs}")
+    spark.stop()
+  }
+}

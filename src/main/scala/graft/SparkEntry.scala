@@ -97,6 +97,24 @@ object SparkEntry {
       t(s, d, "lineitem").groupBy(col("l_returnflag").as("kind"))
         .agg(countDistinct(col("l_quantity")).as("n_values"))),
 
+    // --- point lookup: CRUD-read shape (SURVEY §2.1 S4) -----------------
+    "q_point_lookup" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")),
+
+    // --- deterministic sort + limit (report-ordering shape, §2.5) -------
+    "q_sort_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10).select("o_orderkey")),
+
+    // --- event-time tumbling-window aggregation (streaming-shape, batch) -
+    "q_event_window" -> ((s, d) =>
+      t(s, d, "events").groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+        col("event_type"))
+        .agg(count(lit(1)).as("n"))),
+
     // --- training-pipeline ops over the driver documents table ----------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents")).select("digest", "keep_id", "dup_count")),
@@ -194,6 +212,12 @@ object SparkEntry {
       ("SELECT doc_id, length(text) AS n_chars_m, len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, " +
         "len(regexp_extract_all(text, '[A-Z]')) AS n_upper FROM documents"),
     "q_lang_group" ->
-      "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "q_point_lookup" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey = 1",
+    "q_sort_limit" ->
+      "SELECT o_orderkey FROM (SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)",
+    "q_event_window" ->
+      "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, count(*) AS n FROM events GROUP BY 1, 2"
   )
 }

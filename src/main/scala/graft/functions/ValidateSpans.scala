@@ -79,7 +79,64 @@ final case class CompiledConstraints(
     somes: Seq[(Set[String], String, String, String => Boolean)],
     // (classSet, prop, dataRange, validator) for only
     onlys: Seq[(Set[String], String, String, String => Boolean)]
-) extends Serializable
+) extends Serializable {
+  /** Per-JVM UTF8String-keyed runtime index — rebuilt after deserialization
+    * on each executor; avoids materializing a java.lang.String per span
+    * field for lookups/comparisons (only regex-validated texts are
+    * materialized).
+    */
+  @transient lazy val index: RuntimeIndex = new RuntimeIndex(this)
+}
+
+/** See [[CompiledConstraints.index]]. */
+final class RuntimeIndex(cc: CompiledConstraints) {
+  import org.apache.spark.unsafe.types.UTF8String
+  private def u(s: String): UTF8String = UTF8String.fromString(s)
+  private def uset(ss: Iterable[String]): java.util.HashSet[UTF8String] = {
+    val h = new java.util.HashSet[UTF8String]()
+    ss.foreach(s => h.add(u(s)))
+    h
+  }
+
+  val typeKind: UTF8String = u(SchemaDef.TypeKind)
+  val owlThing: UTF8String = u(SchemaDef.OWL_THING)
+
+  final class DtEntry(val expected: UTF8String, val fn: String => Boolean)
+  val dt = new java.util.HashMap[UTF8String, DtEntry]()
+  cc.dtKinds.foreach { case (k, (exp, fn)) => dt.put(u(k), new DtEntry(u(exp), fn)) }
+
+  val domain = new java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]]()
+  cc.domainKinds.foreach { case (k, cls) => domain.put(u(k), uset(cls)) }
+
+  final class CardEntry(val classes: java.util.HashSet[UTF8String],
+                        val prop: UTF8String, val rtype: Int, val n: Int,
+                        val idWrong: UTF8String, val idZero: UTF8String,
+                        val expected: UTF8String)
+  val cards: Array[CardEntry] = cc.cards.map { case (cls, prop, rtype, n) =>
+    val (idW, idZ, word) = rtype match {
+      case "max" => (u("OWL-RESTRICTION-MAX-100"), null, "at most")
+      case "min" => (u("OWL-RESTRICTION-MIN-100"), u("OWL-RESTRICTION-MIN-102"), "at least")
+      case _ => (u("OWL-RESTRICTION-EXACT-100"), u("OWL-RESTRICTION-EXACT-102"), "exactly")
+    }
+    val rt = rtype match { case "max" => 0; case "min" => 1; case _ => 2 }
+    new CardEntry(uset(cls), u(prop), rt, n, idW, idZ, u(s"$word $n $prop"))
+  }.toArray
+
+  final class SomeEntry(val classes: java.util.HashSet[UTF8String],
+                        val prop: UTF8String, val fn: String => Boolean,
+                        val expected100: UTF8String, val expected102: UTF8String)
+  val somes: Array[SomeEntry] = cc.somes.map { case (cls, prop, dr, fn) =>
+    new SomeEntry(uset(cls), u(prop), fn,
+      u(s"some $dr value for $prop"), u(s"some valid $dr value for $prop"))
+  }.toArray
+
+  final class OnlyEntry(val classes: java.util.HashSet[UTF8String],
+                        val prop: UTF8String, val fn: String => Boolean,
+                        val expected: UTF8String)
+  val onlys: Array[OnlyEntry] = cc.onlys.map { case (cls, prop, dr, fn) =>
+    new OnlyEntry(uset(cls), u(prop), fn, u(dr))
+  }.toArray
+}
 
 object CompiledConstraints {
   /** Compile the subsystems named in `enable` (check ids of the five
@@ -122,89 +179,101 @@ object ValidateSpans {
     StructField("value", StringType), StructField("expected", StringType),
     StructField("check", StringType))), containsNull = false)
 
-  private val DT = "DATATYPE-PROPERTIES-DATATYPE"
-  private val DOM = "OBJECT-DATATYPE-PROPERTIES-DOMAIN"
-  private val CARD = "OWL-RESTRICTION-CARD"
-  private val SOME_ = "OWL-RESTRICTION-SOME"
-  private val ONLY = "OWL-RESTRICTION-ONLY"
+  private def u(s: String) = UTF8String.fromString(s)
+  private val DT100 = u("DATATYPE-PROPERTIES-DATATYPE-100")
+  private val DTCHK = u("DATATYPE-PROPERTIES-DATATYPE")
+  private val DOM100 = u("OBJECT-DATATYPE-PROPERTIES-DOMAIN-100")
+  private val DOMCHK = u("OBJECT-DATATYPE-PROPERTIES-DOMAIN")
+  private val DOMEXP = u("subject class in kind's domain")
+  private val CARDCHK = u("OWL-RESTRICTION-CARD")
+  private val SOME100 = u("OWL-RESTRICTION-SOME-100")
+  private val SOME102 = u("OWL-RESTRICTION-SOME-102")
+  private val SOMECHK = u("OWL-RESTRICTION-SOME")
+  private val ONLY100 = u("OWL-RESTRICTION-ONLY-100")
+  private val ONLYCHK = u("OWL-RESTRICTION-ONLY")
 
-  private def row(checkId: String, kind: String, value: String,
-                  expected: String, check: String): InternalRow =
-    InternalRow(UTF8String.fromString(checkId), UTF8String.fromString(kind),
-      if (value == null) null else UTF8String.fromString(value),
-      UTF8String.fromString(expected), UTF8String.fromString(check))
+  private def row(checkId: UTF8String, kind: UTF8String, value: UTF8String,
+                  expected: UTF8String, check: UTF8String): InternalRow =
+    InternalRow(checkId, kind, value, expected, check)
 
   /** Referenced from generated code — must stay public.
     * spans struct layout: (kind string, text string, media_ref string,
     * offset int) — field ordinals 0..3.
     */
   def compute(spans: ArrayData, cc: CompiledConstraints): ArrayData = {
+    val idx = cc.index
     val n = spans.numElements()
     val out = new java.util.ArrayList[InternalRow](4)
 
-    // pass 1: class + per-prop counts needed by card/some
-    var cls: String = null
+    // pass 1: subject class (first type-kind span)
+    var cls: UTF8String = null
     var i = 0
-    while (i < n && cls == null) {
+    var seenType = false
+    while (i < n && !seenType) {
       val s = spans.getStruct(i, 4)
-      if (!s.isNullAt(0) && s.getUTF8String(0).toString == SchemaDef.TypeKind) {
-        cls = if (s.isNullAt(1)) null else s.getUTF8String(1).toString
+      if (!s.isNullAt(0) && idx.typeKind.equals(s.getUTF8String(0))) {
+        seenType = true
+        cls = if (s.isNullAt(1)) null else s.getUTF8String(1)
       }
       i += 1
     }
-    val clsOrThing = if (cls == null) SchemaDef.OWL_THING else cls
+    val clsOrThing = if (cls == null) idx.owlThing else cls
 
-    // pass 2: span-wise datatype validation + domain usage + counts
-    val cardCounts = new Array[Int](cc.cards.length)
-    val someCounts = new Array[Int](cc.somes.length)
-    val someValid = new Array[Boolean](cc.somes.length)
-    var badDomainKinds: java.util.LinkedHashSet[String] = null
+    // pass 2: span-wise datatype validation + domain usage + counts.
+    // UTF8String comparisons throughout; a java String is materialized only
+    // for texts that actually reach a regex validator.
+    val cardCounts = new Array[Int](idx.cards.length)
+    val someCounts = new Array[Int](idx.somes.length)
+    val someValid = new Array[Boolean](idx.somes.length)
+    var badDomainKinds: java.util.LinkedHashSet[UTF8String] = null
 
     i = 0
     while (i < n) {
       val s = spans.getStruct(i, 4)
-      val kind = if (s.isNullAt(0)) null else s.getUTF8String(0).toString
-      if (kind != null) {
-        val text = if (s.isNullAt(1)) null else s.getUTF8String(1).toString
+      if (!s.isNullAt(0)) {
+        val kind = s.getUTF8String(0)
+        val text = if (s.isNullAt(1)) null else s.getUTF8String(1)
 
         // datatype conformance
         if (text != null) {
-          val dt = cc.dtKinds.getOrElse(kind, null)
-          if (dt != null && !dt._2(text)) {
-            out.add(row(s"$DT-100", kind, text, dt._1, DT))
+          val dt = idx.dt.get(kind)
+          if (dt != null && !dt.fn(text.toString)) {
+            out.add(row(DT100, kind, text, dt.expected, DTCHK))
           }
         }
 
         // domain
-        val allowed = cc.domainKinds.getOrElse(kind, null)
-        if (allowed != null && !allowed.contains(clsOrThing)) {
-          if (badDomainKinds == null) badDomainKinds = new java.util.LinkedHashSet[String]()
-          badDomainKinds.add(kind)
+        if (!idx.domain.isEmpty) {
+          val allowed = idx.domain.get(kind)
+          if (allowed != null && !allowed.contains(clsOrThing)) {
+            if (badDomainKinds == null) badDomainKinds = new java.util.LinkedHashSet[UTF8String]()
+            badDomainKinds.add(kind)
+          }
         }
 
         // cardinality / some counters
         var c = 0
-        while (c < cc.cards.length) {
-          if (cc.cards(c)._2 == kind) cardCounts(c) += 1
+        while (c < idx.cards.length) {
+          if (idx.cards(c).prop.equals(kind)) cardCounts(c) += 1
           c += 1
         }
         c = 0
-        while (c < cc.somes.length) {
-          val so = cc.somes(c)
-          if (so._2 == kind) {
+        while (c < idx.somes.length) {
+          val so = idx.somes(c)
+          if (so.prop.equals(kind)) {
             someCounts(c) += 1
-            if (!someValid(c) && text != null && so._4(text)) someValid(c) = true
+            if (!someValid(c) && text != null && so.fn(text.toString)) someValid(c) = true
           }
           c += 1
         }
 
         // only: offending values
         var o = 0
-        while (o < cc.onlys.length) {
-          val on = cc.onlys(o)
-          if (on._2 == kind && on._1.contains(clsOrThing) &&
-            !(text != null && on._4(text))) {
-            out.add(row(s"$ONLY-100", kind, text, on._3, ONLY))
+        while (o < idx.onlys.length) {
+          val on = idx.onlys(o)
+          if (on.prop.equals(kind) && on.classes.contains(clsOrThing) &&
+            !(text != null && on.fn(text.toString))) {
+            out.add(row(ONLY100, kind, text, on.expected, ONLYCHK))
           }
           o += 1
         }
@@ -215,48 +284,37 @@ object ValidateSpans {
     if (badDomainKinds != null) {
       val it = badDomainKinds.iterator()
       while (it.hasNext) {
-        out.add(row(s"$DOM-100", it.next(), clsOrThing,
-          "subject class in kind's domain", DOM))
+        out.add(row(DOM100, it.next(), clsOrThing, DOMEXP, DOMCHK))
       }
     }
 
     var c = 0
-    while (c < cc.cards.length) {
-      val (classes, prop, rtype, nn) = cc.cards(c)
-      if (classes.contains(clsOrThing)) {
+    while (c < idx.cards.length) {
+      val e = idx.cards(c)
+      if (e.classes.contains(clsOrThing)) {
         val cnt = cardCounts(c)
-        rtype match {
-          case "max" if cnt > nn =>
-            out.add(row("OWL-RESTRICTION-MAX-100", prop, cnt.toString,
-              s"at most $nn $prop", CARD))
-          case "min" if cnt > 0 && cnt < nn =>
-            out.add(row("OWL-RESTRICTION-MIN-100", prop, cnt.toString,
-              s"at least $nn $prop", CARD))
-          case "min" if cnt == 0 =>
-            out.add(row("OWL-RESTRICTION-MIN-102", prop, cnt.toString,
-              s"at least $nn $prop", CARD))
-          case "exact" if cnt > 0 && cnt != nn =>
-            out.add(row("OWL-RESTRICTION-EXACT-100", prop, cnt.toString,
-              s"exactly $nn $prop", CARD))
-          case "exact" if cnt == 0 && nn != 0 =>
-            out.add(row("OWL-RESTRICTION-EXACT-102", prop, cnt.toString,
-              s"exactly $nn $prop", CARD))
-          case _ =>
-        }
+        val id =
+          if (e.rtype == 0) { if (cnt > e.n) e.idWrong else null }
+          else if (e.rtype == 1) {
+            if (cnt == 0) e.idZero else if (cnt < e.n) e.idWrong else null
+          } else {
+            if (cnt == 0) { if (e.n != 0) e.idZero else null }
+            else if (cnt != e.n) e.idWrong else null
+          }
+        if (id != null)
+          out.add(row(id, e.prop, u(cnt.toString), e.expected, CARDCHK))
       }
       c += 1
     }
 
     c = 0
-    while (c < cc.somes.length) {
-      val (classes, prop, dataRange, _) = cc.somes(c)
-      if (classes.contains(clsOrThing)) {
+    while (c < idx.somes.length) {
+      val e = idx.somes(c)
+      if (e.classes.contains(clsOrThing)) {
         if (someCounts(c) == 0)
-          out.add(row(s"$SOME_-100", prop, null,
-            s"some $dataRange value for $prop", SOME_))
+          out.add(row(SOME100, e.prop, null, e.expected100, SOMECHK))
         else if (!someValid(c))
-          out.add(row(s"$SOME_-102", prop, null,
-            s"some valid $dataRange value for $prop", SOME_))
+          out.add(row(SOME102, e.prop, null, e.expected102, SOMECHK))
       }
       c += 1
     }
