@@ -9,6 +9,12 @@ class LayoutSpec extends SparkTestBase {
   test("bucketed corpus: universe side of the referential join reads without a shuffle") {
     val docs = DocGen.documents(spark, 2000L).toDF()
     spark.sql("DROP TABLE IF EXISTS graft_docs_bucketed")
+    // a previously failed write can leave an orphaned managed location
+    val loc = new java.io.File("spark-warehouse/graft_docs_bucketed")
+    if (loc.exists) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
     Layout.writeBucketed(docs, "graft_docs_bucketed", 4)
 
     val bucketed = Layout.readBucketed(spark, "graft_docs_bucketed")
