@@ -26,9 +26,11 @@ object ScaleProbe {
     val run = () => Pipeline.violations(spark,
       spark.read.parquet(docsPath), DocGen.schema).count()
     run() // JIT + listing warm-up
-    val t0 = System.nanoTime(); run()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(s"TPUT ${nDocs / secs}")
+    // median of 3 — the sandbox VM shows 2x run-to-run noise
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(s"TPUT ${nDocs / times(1)}")
     spark.stop()
   }
 }
