@@ -116,7 +116,10 @@ object Bench {
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
         "-cp", System.getProperty("java.class.path"),
         "graft.ScaleProbe", n.toString, scalePath, scaleDocs.toString)).asJava
-      val p = new ProcessBuilder(cmd).redirectErrorStream(false).start()
+      // inherit stderr: an undrained pipe fills and BLOCKS the probe's
+      // logging thread, stalling the measurement
+      val p = new ProcessBuilder(cmd)
+        .redirectError(ProcessBuilder.Redirect.INHERIT).start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       p.waitFor()
       out.linesIterator.find(_.startsWith("TPUT "))

@@ -15,22 +15,29 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val Array(cores, docsPath, nDocsStr) = args.take(3)
     val nDocs = nDocsStr.toLong
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle/spill on tmpfs when available — disk I/O variance otherwise
+    // dominates the measurement on this sandbox
+    if (new java.io.File("/dev/shm").isDirectory)
+      builder.config("spark.local.dir", "/dev/shm/graft-probe")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // a fresh Dataset per run: re-executing one Dataset instance would let
+    // AQE reuse its materialized shuffle stages and measure nothing
     val run = () => Pipeline.violations(spark,
       spark.read.parquet(docsPath), DocGen.schema).count()
     run() // JIT + listing warm-up
     // median of 3 — the sandbox VM shows 2x run-to-run noise
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-    }.sorted
-    println(s"TPUT ${nDocs / times(1)}")
+    }
+    System.err.println(s"[probe] cores=$cores times=${times.map(t => f"$t%.2f").mkString(",")}")
+    println(s"TPUT ${nDocs / times.sorted.apply(1)}")
     spark.stop()
   }
 }

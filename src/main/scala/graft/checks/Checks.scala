@@ -73,6 +73,20 @@ final case class CheckContext(
     .flatMap(k => schema.subClosure.getOrElse(k.range, Set(k.range)).map(c => (k.kind, c)))
     .toDF("kind", "valueCls")
 
+  /** Distinct (kind, media_ref) pairs over ALL reference spans — the shared
+    * probe base of the referential checks. URI-existence and object-range
+    * both derive from this exact subplan (filtering by kind AFTER the
+    * distinct, which is semantics-equal), so at execution time Spark's
+    * ReuseExchange materializes the scan+explode+distinct shuffle ONCE.
+    */
+  lazy val distinctRefs: DataFrame = {
+    val refSpans = filter(zipped("kind", "media_ref"),
+      p => p.getField("media_ref").isNotNull)
+    docs.select(explode(refSpans).as("r"))
+      .select(col("r.kind").as("kind"), col("r.media_ref").as("media_ref"))
+      .distinct()
+  }
+
   /** Lexical validator for a datatype URI, facet-aware. */
   def validatorFor(dt: String): Column => Column =
     schema.facets.find(_.datatype == dt) match {
@@ -178,12 +192,8 @@ object CheckClassesDefined extends ConstraintCheck {
 object CheckUriExistence extends ConstraintCheck {
   val id = "URI-EXISTENCE"
   def run(ctx: CheckContext): DataFrame = {
-    val refSpans = filter(ctx.zipped("kind", "media_ref"), p =>
-      p.getField("media_ref").isNotNull &&
-        !p.getField("kind").isin(SchemaDef.UriExistenceExcludedKinds: _*))
-    val refs = ctx.docs.select(explode(refSpans).as("r"))
-      .select(col("r.media_ref").as("media_ref"), col("r.kind").as("kind"))
-      .distinct()
+    val refs = ctx.distinctRefs
+      .filter(!col("kind").isin(SchemaDef.UriExistenceExcludedKinds: _*))
     val universe = ctx.docs.select(col("doc_id").as("media_ref"))
     refs.join(universe, Seq("media_ref"), "left_anti")
       .select(ctx.violation(s"$id-100", "error", lit(null), col("kind"),
@@ -203,13 +213,9 @@ object CheckObjectRange extends ConstraintCheck {
     val withRange = objKinds.filter(_.range != null).map(_.kind)
     val noRange = objKinds.filter(_.range == null).map(_.kind)
 
-    // distinct (kind, target) pairs — filtered pre-explode, dedup'd
-    // before the big join.
-    val refSpans = filter(ctx.zipped("kind", "media_ref"), p =>
-      p.getField("media_ref").isNotNull && p.getField("kind").isin(withRange: _*))
-    val targets = ctx.docs.select(explode(refSpans).as("r"))
-      .select(col("r.kind").as("kind"), col("r.media_ref").as("media_ref"))
-      .distinct()
+    // distinct (kind, target) pairs — shares the materialized distinct-refs
+    // exchange with the URI-existence check (see CheckContext.distinctRefs)
+    val targets = ctx.distinctRefs.filter(col("kind").isin(withRange: _*))
 
     val targetCls = ctx.docs.select(
       col("doc_id").as("media_ref"), ctx.clsCol.as("valueCls"))
