@@ -51,7 +51,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "800000").toLong
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "2000000").toLong
     val cooldown = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_SEC", "20").toInt
     val docsPath = java.nio.file.Files.createTempDirectory("graft-bench").toString + "/docs"
     val scalePath = if (scaleDocs == nDocs) docsPath else docsPath + "-scale"

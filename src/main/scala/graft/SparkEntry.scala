@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.datagen.DocGen
 import graft.engine.Pipeline
 import graft.ops.{Dedup, Similarity, TextAnalysis}
+// Ivf referenced fully-qualified in q_ivf_topk
 import graft.stats.ColumnStats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -163,6 +164,13 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val q = emb.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
       Similarity.annTopK(emb, q, 10)
+    }),
+
+    "q_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+      val model = graft.ops.Ivf.train(emb, c = 8, iters = 2)
+      graft.ops.Ivf.topK(emb, model, q, 10, nProbe = 3)
     }),
 
     "q_cosine_dup" -> ((s, d) =>
