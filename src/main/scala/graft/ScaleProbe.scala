@@ -5,16 +5,29 @@ import graft.datagen.DocGen
 import graft.engine.Pipeline
 
 /** One scaling-measurement point in its own JVM (spawned by [[Bench]]):
-  * `graft.ScaleProbe <cores> <docsPath> <nDocs>` → prints
-  * `TPUT <docs/sec>`. A fresh JVM per cluster size mirrors how a real
+  * `graft.ScaleProbe <cores> <docsPath> <nDocs> [warmupDocs] [trials]` →
+  * prints `TPUT <docs/sec>`. A fresh JVM per measurement mirrors how a real
   * cluster comparison runs one spark-submit per size, and avoids
   * same-JVM contamination (GC sizing, fragmented heap, lingering pools)
   * that was measured to distort same-process reruns by 3x.
+  *
+  * The spawner passes `-XX:ActiveProcessorCount=<cores>` so the JVM's GC /
+  * JIT / netty thread pools size for an N-core node instead of silently
+  * borrowing all 32 host cores — without it the 1-core probe gets 32-core
+  * GC help, inflating its throughput and depressing the measured scaling
+  * efficiency (a real 1-executor node has no such helper cores).
+  *
+  * Warm-up runs over a `warmupDocs` prefix slice (default nDocs/8, cap
+  * 250k): enough to JIT the validator regex + codegen paths and populate
+  * the file-listing cache, without paying a full extra pass per probe.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val Array(cores, docsPath, nDocsStr) = args.take(3)
     val nDocs = nDocsStr.toLong
+    val warmupDocs =
+      if (args.length > 3) args(3).toLong else math.min(nDocs / 8, 250000L)
+    val trials = if (args.length > 4) args(4).toInt else 1
     val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -31,9 +44,10 @@ object ScaleProbe {
     // AQE reuse its materialized shuffle stages and measure nothing
     val run = () => Pipeline.violations(spark,
       spark.read.parquet(docsPath), DocGen.schema).count()
-    run() // JIT + listing warm-up
-    // median of 3 — the sandbox VM shows 2x run-to-run noise
-    val times = (1 to 3).map { _ =>
+    // JIT + listing warm-up on a prefix slice
+    Pipeline.violations(spark,
+      spark.read.parquet(docsPath).limit(warmupDocs.toInt), DocGen.schema).count()
+    val times = (1 to trials).map { _ =>
       val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
     }
     System.err.println(s"[probe] cores=$cores times=${times.map(t => f"$t%.2f").mkString(",")}")

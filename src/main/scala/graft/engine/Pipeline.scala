@@ -87,8 +87,19 @@ object Pipeline {
   def verdicts(spark: SparkSession, docs: DataFrame, schema: SchemaDef,
                snapshotId: String,
                nBuckets: Int = DefaultBuckets,
-               checks: Seq[ConstraintCheck] = Checks.all): DataFrame = {
-    val viols = violations(spark, docs, schema, checks)
+               checks: Seq[ConstraintCheck] = Checks.all): DataFrame =
+    verdictsFrom(spark, violations(spark, docs, schema, checks), docs, schema,
+      snapshotId, nBuckets, checks)
+
+  /** [[verdicts]] over an ALREADY-COMPUTED violations frame — callers that
+    * have just materialized (or cached) `violations` roll it up without
+    * paying the whole validation pipeline a second time.
+    */
+  def verdictsFrom(spark: SparkSession, violations: DataFrame, docs: DataFrame,
+                   schema: SchemaDef, snapshotId: String,
+                   nBuckets: Int = DefaultBuckets,
+                   checks: Seq[ConstraintCheck] = Checks.all): DataFrame = {
+    val viols = violations
       .withColumn("bucket",
         when(col("docId").isNotNull,
           pmod(xxhash64(col("docId")), lit(nBuckets)).cast("int")).otherwise(lit(-1)))
