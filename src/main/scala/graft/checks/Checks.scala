@@ -52,12 +52,20 @@ final case class CheckContext(
     arrays_zip(fields.map(f => col(s"spans.$f")): _*)
 
   /** Row-local class-of-document (the `?s a ?class` span); reads only
-    * spans.kind + spans.text.
+    * spans.kind + spans.text (nested-pruned), computed by the native
+    * codegen'd [[graft.functions.SpanClass]] expression — the HOF
+    * formulation is interpreted and this projection runs over the full
+    * corpus on both the subject and target side of the class checks.
     */
-  val clsCol: Column = element_at(
-    transform(filter(zipped("kind", "text"),
-      p => p.getField("kind") === SchemaDef.TypeKind),
-      p => p.getField("text")), 1)
+  val clsCol: Column =
+    graft.functions.SpanClass.spanClass(field("kind"), field("text"))
+
+  /** (doc_id, cls) over the whole corpus — the ONE canonical class
+    * projection. Subject-side and target-side class tables both rename ON
+    * TOP of this exact subplan, so their scans/exchanges canonicalize
+    * identically and materialize once at runtime.
+    */
+  lazy val docsCls: DataFrame = docs.select(col("doc_id"), clsCol.as("cls"))
 
   lazy val kindsDf: DataFrame =
     schema.kinds.map(k => (k.kind, k.kindType, k.range)).toDF("kind", "kindType", "range")
@@ -73,6 +81,15 @@ final case class CheckContext(
     .flatMap(k => schema.subClosure.getOrElse(k.range, Set(k.range)).map(c => (k.kind, c)))
     .toDF("kind", "valueCls")
 
+  /** Distinct kinds used anywhere in the data — the shared base of every
+    * vocabulary-style pass (undefined-kind check and the -50 warning series
+    * of range/datatype/domain, plus fieldType). Each consumer filters AFTER
+    * the distinct (semantics-equal to filtering before), so all of them
+    * reuse ONE scan+explode+distinct exchange at execution time.
+    */
+  lazy val distinctKinds: DataFrame =
+    docs.select(explode(field("kind")).as("kind")).distinct()
+
   /** Distinct (kind, media_ref) pairs over ALL reference spans — the shared
     * probe base of the referential checks. URI-existence and object-range
     * both derive from this exact subplan (filtering by kind AFTER the
@@ -86,6 +103,73 @@ final case class CheckContext(
       .select(col("r.kind").as("kind"), col("r.media_ref").as("media_ref"))
       .distinct()
   }
+
+  /** (doc_id, subject class) with untyped docs coalesced to owl:Thing —
+    * the join-side subject-class table of the class-qualified restriction
+    * checks.
+    */
+  lazy val subjectCls: DataFrame =
+    docsCls.select(col("doc_id"),
+      coalesce(col("cls"), lit(SchemaDef.OWL_THING)).as("cls"))
+
+  /** (doc_id, kind, media_ref, targetCls) for every reference span whose
+    * kind is targeted by a class-qualified (owl:onClass /
+    * owl:someValuesFrom-class / owl:allValuesFrom-class) restriction, with
+    * the TARGET document's class resolved (owl:Thing for untyped/dangling
+    * targets, CheckOwlRestrictionMax.php:190-194 analogue). Shared by the
+    * qualified-cardinality, existential and universal object-variant
+    * frames, so the scan+explode and the ref→target-class join exchanges
+    * materialize once (ReuseExchange) no matter how many restriction
+    * families are configured.
+    */
+  lazy val restrictionRefTargets: DataFrame = {
+    val kinds = schema.restrictions.filter(_.classExpr != null)
+      .map(_.onProperty).distinct
+    val refSpans = filter(zipped("kind", "media_ref"), p =>
+      p.getField("media_ref").isNotNull && p.getField("kind").isin(kinds: _*))
+    val refs = docs.select(col("doc_id"), explode(refSpans).as("r"))
+      .select(col("doc_id"), col("r.kind").as("kind"),
+        col("r.media_ref").as("media_ref"))
+    val targetCls = docsCls.select(col("doc_id").as("media_ref"),
+      col("cls").as("targetCls"))
+    refs.join(targetCls, Seq("media_ref"), "left")
+      .withColumn("targetCls", coalesce(col("targetCls"), lit(SchemaDef.OWL_THING)))
+  }
+
+  /** The class-qualified restrictions, in a stable order — index i labels
+    * the `q$i` (qualified) / `t$i` (raw) count columns of
+    * [[qualifiedCounts]].
+    */
+  lazy val classQualifiedRestrictions: Seq[RestrictionDef] =
+    schema.restrictions.filter(_.classExpr != null)
+
+  /** Per-subject counts for EVERY class-qualified restriction in one
+    * aggregation — (doc_id, cls, q0, t0, q1, t1, …) — left-joined onto the
+    * subject-class table so zero-value subjects appear with null counts.
+    * CheckCardinality and CheckSome both emit from this exact frame, so the
+    * aggregation and both its joins materialize once (ReuseExchange).
+    */
+  lazy val qualifiedCounts: DataFrame = {
+    val rs = classQualifiedRestrictions
+    val aggs = rs.zipWithIndex.flatMap { case (r, i) => Seq(
+      count(when(col("kind") === r.onProperty && qualifies(r.classExpr), 1))
+        .as(s"q$i"),
+      count(when(col("kind") === r.onProperty, 1)).as(s"t$i"))
+    }
+    val counts = restrictionRefTargets.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    subjectCls.join(counts, Seq("doc_id"), "left")
+  }
+
+  /** Does `targetCls` satisfy class expression `classExpr`? owl:Thing as a
+    * class expression admits any TYPED target (the reference skips the
+    * type filter but still requires `?value a ?value_type`,
+    * CheckOwlRestrictionSome.php:641-644,692-698); untyped targets
+    * (coalesced to owl:Thing) never qualify.
+    */
+  def qualifies(classExpr: String): Column =
+    if (classExpr == SchemaDef.OWL_THING) col("targetCls") =!= SchemaDef.OWL_THING
+    else col("targetCls").isin(
+      schema.subClosure.getOrElse(classExpr, Set(classExpr)).toSeq: _*)
 
   /** Lexical validator for a datatype URI, facet-aware. */
   def validatorFor(dt: String): Column => Column =
@@ -157,9 +241,8 @@ trait RowLocalCheck extends ConstraintCheck {
 object CheckKindsDefined extends ConstraintCheck {
   val id = "PROPERTIES-DEFINED"
   def run(ctx: CheckContext): DataFrame = {
-    ctx.docs.select(explode(ctx.field("kind")).as("kind"))
+    ctx.distinctKinds
       .filter(col("kind") =!= SchemaDef.TypeKind)
-      .distinct()
       .join(broadcast(ctx.kindsDf.select("kind")), Seq("kind"), "left_anti")
       .select(ctx.violation(s"$id-100", "error", lit(null), col("kind"),
         lit(null), lit("kind defined in schema")): _*)
@@ -204,7 +287,13 @@ object CheckUriExistence extends ConstraintCheck {
 /** Object-property range check (CheckObjectPropertiesRange.php): the class
   * of each referenced doc must fall in the subclass closure of the kind's
   * declared range; untyped targets count as owl:Thing (:190-194). Kinds
-  * used without a declared range yield the warning series (:103-107).
+  * used without a declared range yield warning `-50` (:95-107).
+  *
+  * N/A by design: the reference's RANGE-51..55 warnings (:252,:265,:308,
+  * :321,:609) all signal OSF web-service/HTTP failures mid-check
+  * ("couldn't get super-classes / ontology / affected records") — an
+  * engine evaluating against a driver-resident schema has no such failure
+  * mode, so that sub-series cannot occur here.
   */
 object CheckObjectRange extends ConstraintCheck {
   val id = "OBJECT-PROPERTIES-RANGE"
@@ -217,8 +306,8 @@ object CheckObjectRange extends ConstraintCheck {
     // exchange with the URI-existence check (see CheckContext.distinctRefs)
     val targets = ctx.distinctRefs.filter(col("kind").isin(withRange: _*))
 
-    val targetCls = ctx.docs.select(
-      col("doc_id").as("media_ref"), ctx.clsCol.as("valueCls"))
+    val targetCls = ctx.docsCls.select(
+      col("doc_id").as("media_ref"), col("cls").as("valueCls"))
 
     val typed = targets.join(targetCls, Seq("media_ref"), "left")
       .withColumn("valueCls", coalesce(col("valueCls"), lit(SchemaDef.OWL_THING)))
@@ -229,11 +318,9 @@ object CheckObjectRange extends ConstraintCheck {
 
     val warn =
       if (noRange.isEmpty) ctx.emptyViolations
-      else ctx.docs
-        .select(explode(ctx.field("kind")).as("kind"))
+      else ctx.distinctKinds
         .filter(col("kind").isin(noRange: _*))
-        .distinct()
-        .select(ctx.violation(s"$id-51", "warning", lit(null), col("kind"),
+        .select(ctx.violation(s"$id-50", "warning", lit(null), col("kind"),
           lit(null), lit("kind has a declared range")): _*)
 
     bad.unionByName(warn)
@@ -246,6 +333,12 @@ object CheckObjectRange extends ConstraintCheck {
   * (kind → classes) table is driver-known, so the whole check compiles into
   * a row-local predicate. The reference needed a subject-types subquery per
   * property (:137-143).
+  *
+  * Warning `-50` (:92-109): every kind used in the data with no declared
+  * domain (the reference enumerates ALL distinct used predicates except
+  * rdf:type / rdf:value / dcterms:isPartOf, :41-62 — undefined kinds
+  * included). N/A by design: `-51..-55` (:223,:236,:276,:289,:566) are OSF
+  * web-service failure artifacts.
   */
 object CheckDomain extends RowLocalCheck {
   val id = "OBJECT-DATATYPE-PROPERTIES-DOMAIN"
@@ -264,6 +357,19 @@ object CheckDomain extends RowLocalCheck {
     transform(badKinds, k =>
       ctx.vStruct(s"$id-100", k, cls, lit("subject class in kind's domain")))
   }
+
+  /** `-50`: distinct used kinds whose declared domain is empty (or that are
+    * undefined in the schema), excluding the reference's predicate filter
+    * (rdf:type analogue + the two excluded URIs).
+    */
+  override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
+    val declared = ctx.schema.kinds.filter(_.domain.nonEmpty).map(_.kind)
+    val excluded = SchemaDef.TypeKind +: SchemaDef.DomainExcludedKinds
+    Seq(ctx.distinctKinds
+      .filter(!col("kind").isin((declared ++ excluded): _*))
+      .select(ctx.violation(s"$id-50", "warning", lit(null), col("kind"),
+        lit(null), lit("kind has a declared domain")): _*))
+  }
 }
 
 /** Datatype-conformance check (CheckDatatypePropertiesDatatype.php): every
@@ -271,7 +377,15 @@ object CheckDomain extends RowLocalCheck {
   * declared range datatype (facet-aware for custom datatypes). Single scan,
   * shuffle-free error path: offending spans are filtered row-locally
   * pre-explode with one CASE dispatch per kind. Kinds used without a
-  * declared range → warning series (:110).
+  * declared range → warning `-50` (:104-115).
+  *
+  * N/A by design: (a) strict mode's `-101` (:198-231,:488) compares the
+  * value's ASSERTED datatype annotation against the declared range — our
+  * span model carries no datatype annotations (text is a plain lexical
+  * form), so there is nothing to compare; lexical validity (`-100`) is the
+  * whole check. A span-level `datatype` column would make `-101`
+  * expressible if a future source carries annotations. (b) `-51/-52`
+  * (:504-517) are OSF web-service failure artifacts.
   */
 object CheckDatatype extends RowLocalCheck {
   val id = "DATATYPE-PROPERTIES-DATATYPE"
@@ -300,10 +414,9 @@ object CheckDatatype extends RowLocalCheck {
   override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
     val noRange = ctx.schema.kinds.filter(k => k.kindType == "datatype" && k.range == null).map(_.kind)
     if (noRange.isEmpty) Nil
-    else Seq(ctx.docs.select(explode(ctx.field("kind")).as("kind"))
+    else Seq(ctx.distinctKinds
       .filter(col("kind").isin(noRange: _*))
-      .distinct()
-      .select(ctx.violation(s"$id-51", "warning", lit(null), col("kind"),
+      .select(ctx.violation(s"$id-50", "warning", lit(null), col("kind"),
         lit(null), lit("kind has a declared range datatype")): _*))
   }
 }
@@ -324,20 +437,22 @@ object CheckCardinality extends RowLocalCheck {
     * schema-side), so datatype-qualified counts equal unqualified counts —
     * documented deviation from the reference's `datatype(?value)` filter
     * (CheckOwlRestrictionMax.php:122-150).
+    *
+    * Alongside the counts, the reference runs a lexical-validity pass over
+    * the restricted property's values on instances of the class
+    * (CheckOwlRestrictionMax.php:244-550, Min:370-612, Exact:368-610):
+    * every distinct value failing the dataRange validator is an error —
+    * MAX-102 / MIN-104 / EXACT-104. Also row-local here (distinct within
+    * the row, which IS the subject).
     */
   def violArray(ctx: CheckContext): Column = {
     val rs = ctx.schema.restrictions.filter(r =>
       Set("min", "max", "exact").contains(r.rtype) && r.classExpr == null)
     if (rs.isEmpty) return ctx.emptyVArray
-    cardStructs(ctx, rs, cntOf = r => size(filter(ctx.field("kind"), k => k === r.onProperty)))
-  }
-
-  private def cardStructs(ctx: CheckContext, rs: Seq[RestrictionDef],
-                          cntOf: RestrictionDef => Column): Column = {
     val cls = ctx.clsCol
-    val structs = rs.flatMap { r =>
+    val counted = rs.flatMap { r =>
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
-      val cnt = cntOf(r)
+      val cnt = size(filter(ctx.field("kind"), k => k === r.onProperty))
       val app = cls.isin(applicable: _*)
       r.rtype match {
         case "max" => Seq(
@@ -355,57 +470,69 @@ object CheckCardinality extends RowLocalCheck {
             lit(r.onProperty), cnt, lit(s"exactly ${r.n} ${r.onProperty}"))))
       }
     }
-    filter(array(structs: _*), v => v.isNotNull)
+    val perValue = rs.filter(_.dataRange != null).map { r =>
+      val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
+      val valid = ctx.validatorFor(r.dataRange)
+      val vid = s"OWL-RESTRICTION-${r.rtype.toUpperCase}-${if (r.rtype == "max") 102 else 104}"
+      val offending = array_distinct(transform(
+        filter(ctx.zipped("kind", "text"), p =>
+          p.getField("kind") === r.onProperty && p.getField("text").isNotNull &&
+            !coalesce(valid(p.getField("text")), lit(false))),
+        p => p.getField("text")))
+      when(cls.isin(applicable: _*),
+        transform(offending, t =>
+          ctx.vStruct(vid, lit(r.onProperty), t, lit(r.dataRange))))
+        .otherwise(ctx.emptyVArray)
+    }
+    concat(filter(array(counted: _*), v => v.isNotNull) +: perValue: _*)
   }
 
-  /** Qualified object restrictions (owl:onClass, e.g.
-    * CheckOwlRestrictionMax.php:705-735): only values whose TARGET's class
-    * falls in the qualifying-class closure count. This genuinely needs the
-    * ref → target-class join, so it runs as an extra frame: refs of the
-    * restricted kinds join the (deduplicated) target-class table, counts
-    * roll up per doc, and docs of the restricted class with zero qualifying
-    * values are recovered with a left join.
+  /** Class-qualified restrictions (owl:onClass): only values whose TARGET's
+    * class falls in the qualifying closure count — this genuinely needs the
+    * ref → target-class join ([[CheckContext.restrictionRefTargets]],
+    * shared with the some/only object variants). ONE aggregation computes
+    * the qualified AND raw counts of every restriction (R conditional
+    * counters, not R passes), one left join attaches subject classes, and
+    * all violations explode from a single array projection.
+    *
+    * Reference id fidelity (CheckOwlRestrictionMax.php:754, Min:809,:860,
+    * Exact:804,:848): the object variant emits the `-101` series, and its
+    * zero case (`-103`) fires only when the subject has NO value of the
+    * property AT ALL (`filter not exists { ?s <p> ?value }`, Min:831-842) —
+    * a subject whose values exist but none qualify escapes both queries
+    * (the count query binds no group for it); that quirk is preserved.
     */
   override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
-    val rs = ctx.schema.restrictions.filter(r =>
-      Set("min", "max", "exact").contains(r.rtype) && r.classExpr != null)
-    if (rs.isEmpty) return Nil
-    val cls = ctx.clsCol
-    val kinds = rs.map(_.onProperty).distinct
+    val indexed = ctx.classQualifiedRestrictions.zipWithIndex.filter {
+      case (r, _) => Set("min", "max", "exact").contains(r.rtype) }
+    if (indexed.isEmpty) return Nil
 
-    val refSpans = filter(ctx.zipped("kind", "media_ref"), p =>
-      p.getField("media_ref").isNotNull && p.getField("kind").isin(kinds: _*))
-    val refs = ctx.docs.select(col("doc_id"), explode(refSpans).as("r"))
-      .select(col("doc_id"), col("r.kind").as("kind"), col("r.media_ref").as("media_ref"))
-    val targetCls = ctx.docs.select(
-      col("doc_id").as("media_ref"), cls.as("targetCls"))
-    val typed = refs.join(targetCls, Seq("media_ref"), "left")
-      .withColumn("targetCls", coalesce(col("targetCls"), lit(SchemaDef.OWL_THING)))
-
-    val frames = rs.map { r =>
-      val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
-      val qualifying = ctx.schema.subClosure.getOrElse(r.classExpr, Set(r.classExpr)).toSeq
-      val counts = typed.filter(col("kind") === r.onProperty)
-        .groupBy("doc_id")
-        .agg(count(when(col("targetCls").isin(qualifying: _*), 1)).as("cnt"))
-      val base = ctx.docs.filter(cls.isin(applicable: _*)).select("doc_id")
-        .join(counts, Seq("doc_id"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      val viol = r.rtype match {
-        case "max" => base.filter(col("cnt") > r.n)
-          .withColumn("cid", lit("OWL-RESTRICTION-MAX-100"))
-        case "min" => base.filter(col("cnt") < r.n)
-          .withColumn("cid", when(col("cnt") === 0, "OWL-RESTRICTION-MIN-102")
-            .otherwise("OWL-RESTRICTION-MIN-100"))
-        case "exact" => base.filter(col("cnt") =!= r.n)
-          .withColumn("cid", when(col("cnt") === 0, "OWL-RESTRICTION-EXACT-102")
-            .otherwise("OWL-RESTRICTION-EXACT-100"))
+    val structs = indexed.flatMap { case (r, i) =>
+      val app = col("cls").isin(
+        ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq: _*)
+      val q = coalesce(col(s"q$i"), lit(0L))
+      val t = coalesce(col(s"t$i"), lit(0L))
+      val word = r.rtype match {
+        case "max" => "at most"; case "min" => "at least"; case _ => "exactly" }
+      val exp = lit(s"$word ${r.n} ${r.onProperty} of class ${r.classExpr}")
+      def v(cid: String, cnt: Column) = ctx.vStruct(cid, lit(r.onProperty), cnt, exp)
+      r.rtype match {
+        case "max" => Seq(
+          when(app && q > r.n, v("OWL-RESTRICTION-MAX-101", q)))
+        case "min" => Seq(
+          when(app && q > 0 && q < r.n, v("OWL-RESTRICTION-MIN-101", q)),
+          when(app && t === 0, v("OWL-RESTRICTION-MIN-103", t)))
+        case "exact" => Seq(
+          when(app && q > 0 && q =!= r.n, v("OWL-RESTRICTION-EXACT-101", q)),
+          when(app && t === 0 && r.n != 0, v("OWL-RESTRICTION-EXACT-103", t)))
       }
-      viol.select(ctx.violation(null, "error", col("doc_id"), lit(r.onProperty),
-        col("cnt"), lit(s"${r.rtype} ${r.n} ${r.onProperty} of class ${r.classExpr}"))
-        .patch(0, Seq(col("cid").as("checkId")), 1): _*)
     }
-    Seq(frames.reduce(_ unionByName _))
+    Seq(ctx.qualifiedCounts
+      .select(col("doc_id"),
+        explode(filter(array(structs: _*), v => v.isNotNull)).as("v"))
+      .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
+        col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
+        col("v.value").as("value"), col("v.expected").as("expected")))
   }
 }
 
@@ -437,6 +564,36 @@ object CheckSome extends RowLocalCheck {
     }
     filter(array(structs: _*), v => v.isNotNull)
   }
+
+  /** Object variant (owl:someValuesFrom a CLASS, :626-715): an instance of
+    * the restricted class that USES the property but has no value whose
+    * target's class falls in the class-expression closure → SOME-101. The
+    * reference's query requires `?s <p> ?val` (:692-693), so instances with
+    * zero values of the property are NOT flagged by this variant — quirk
+    * preserved. Counts come from the shared
+    * [[CheckContext.restrictionRefTargets]] join; one aggregation for all
+    * such restrictions. N/A by design: SOME-50..55 are OSF web-service
+    * failure artifacts (:194,:529,:552,:676,:729,:748).
+    */
+  override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
+    val indexed = ctx.classQualifiedRestrictions.zipWithIndex
+      .filter { case (r, _) => r.rtype == "some" }
+    if (indexed.isEmpty) return Nil
+    val structs = indexed.map { case (r, i) =>
+      val app = col("cls").isin(
+        ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq: _*)
+      val q = coalesce(col(s"q$i"), lit(0L))
+      val t = coalesce(col(s"t$i"), lit(0L))
+      when(app && t > 0 && q === 0, ctx.vStruct(s"$id-101", lit(r.onProperty),
+        lit(null), lit(s"some ${r.classExpr} value for ${r.onProperty}")))
+    }
+    Seq(ctx.qualifiedCounts
+      .select(col("doc_id"),
+        explode(filter(array(structs: _*), v => v.isNotNull)).as("v"))
+      .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
+        col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
+        col("v.value").as("value"), col("v.expected").as("expected")))
+  }
 }
 
 /** Universal restriction (CheckOwlRestrictionOnly.php:119-163): ANY value of
@@ -462,6 +619,37 @@ object CheckOnly extends RowLocalCheck {
     }
     flatten(array(perR: _*))
   }
+
+  /** Object variant (owl:allValuesFrom a CLASS, :580-750): every value of
+    * the property on an instance of the restricted class whose target's
+    * class is outside the class-expression closure (untyped targets
+    * included — `filter not exists { ?value a ?value_type ... }`,
+    * :719-723) → ONLY-101, one error per offending (subject, value).
+    * Candidate refs are filtered BEFORE joining subject classes, so the
+    * class join sees offenders only. N/A by design: ONLY-50..53 are OSF
+    * web-service failure artifacts.
+    */
+  override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
+    val rs = ctx.schema.restrictions.filter(r => r.rtype == "only" && r.classExpr != null)
+    if (rs.isEmpty) return Nil
+    val candidate = ctx.restrictionRefTargets.filter(
+      rs.map(r => col("kind") === r.onProperty && !ctx.qualifies(r.classExpr))
+        .reduce(_ || _))
+    val withCls = candidate.join(ctx.subjectCls, Seq("doc_id"))
+    val structs = rs.map { r =>
+      val app = col("cls").isin(
+        ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq: _*)
+      when(app && col("kind") === r.onProperty && !ctx.qualifies(r.classExpr),
+        ctx.vStruct(s"$id-101", col("kind"), col("media_ref"), lit(r.classExpr)))
+    }
+    Seq(withCls
+      .select(col("doc_id"),
+        explode(filter(array(structs: _*), v => v.isNotNull)).as("v"))
+      .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
+        col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
+        col("v.value").as("value"), col("v.expected").as("expected"))
+      .dropDuplicates("checkId", "docId", "kind", "value"))
+  }
 }
 
 /** Field-type presence check (CheckFieldTypeDefined.php:56-94, NOT in the
@@ -469,15 +657,14 @@ object CheckOnly extends RowLocalCheck {
   * data whose schema definition carries no fieldType.
   */
 object CheckFieldTypeDefined extends ConstraintCheck {
-  val id = "FIELD-TYPE-DEFINED"
+  val id = "FIELDTYPE-DEFINED" // exact reference id, CheckFieldTypeDefined.php:76
   def run(ctx: CheckContext): DataFrame = {
     import ctx.spark.implicits._
     val missing = ctx.schema.kinds
       .filter(k => k.kindType == "datatype" && k.fieldType == null).map(_.kind)
     if (missing.isEmpty) return ctx.emptyViolations
-    ctx.docs.select(explode(ctx.field("kind")).as("kind"))
+    ctx.distinctKinds
       .filter(col("kind").isin(missing: _*))
-      .distinct()
       .select(ctx.violation(s"$id-100", "error", lit(null), col("kind"),
         lit(null), lit("kind has a declared fieldType")): _*)
   }

@@ -20,9 +20,17 @@ import graft.model._
   *   m=53   txt:uri invalid IRI               → DATATYPE-PROPERTIES-DATATYPE-100
   *   m=47   txt:flag = "T"                    → DATATYPE-PROPERTIES-DATATYPE-100
   *   m=79   Article missing txt:title         → OWL-RESTRICTION-MIN-102 (lcm 474)
-  *   m=73   Article with 3 med:image          → OWL-RESTRICTION-MAX-100 (lcm 438)
+  *   m=73   Article with 3 med:image          → OWL-RESTRICTION-MAX-101 (lcm 438;
+  *          -101: the med:image restriction is class-qualified)
   *   m=83   Article with 0 txt:date           → OWL-RESTRICTION-EXACT-102 (lcm 498)
   *   m=71   Article with 2 txt:date           → OWL-RESTRICTION-EXACT-100 (lcm 426)
+  *   m=29   first txt:date lexically invalid  → DATATYPE-PROPERTIES-DATATYPE-100
+  *          (+ OWL-RESTRICTION-EXACT-104 on Articles: the per-value
+  *          validity sub-pass of the exact-1 dateTime restriction; lcm 174)
+  *   m=37   Article's med:attach targets an Audio doc (normally Video)
+  *          → OWL-RESTRICTION-SOME-101 + ONLY-101 (lcm 222; both classes
+  *          are in med:attach's range closure class:Media, so the object-
+  *          variant plant is invisible to the range check)
   *   m=67   Article with no txt:lang at all   → OWL-RESTRICTION-SOME-100 (lcm 402)
   *   m=61   Article whose only txt:lang is invalid → OWL-RESTRICTION-SOME-102 (lcm 366)
   *   m=59   txt:score = "150" (facet-invalid) → OWL-RESTRICTION-ONLY-100 on Articles (lcm 354)
@@ -57,6 +65,14 @@ object DocGen {
     if (j % 103 == 0) { if (j + 6 < n) j + 6 else 7 } else j
   }
 
+  /** A Media-class target id of class offset `off` (2 = Video, 3 = Audio):
+    * ≡ off (mod 6) and not ≡ 0 (mod 103).
+    */
+  def mediaTarget(i: Long, off: Int, n: Long): Long = {
+    val j = ((i * 11 + 5) % (n / 6)) * 6 + off
+    if (j % 103 == 0) { if (j + 6 < n) j + 6 else off + 6L } else j
+  }
+
   /** Pure per-id document constructor (also used by tests to compute
     * expected violation sets without Spark).
     */
@@ -69,7 +85,9 @@ object DocGen {
 
     val nDates = if (i % 83 == 0) 0 else if (i % 71 == 0) 2 else 1
     for (d <- 0 until nDates)
-      b += (("txt:date", f"2020-${(i % 12) + 1}%02d-${(i % 28) + 1}%02dT10:0$d:00Z", null))
+      b += (("txt:date",
+        if (i % 29 == 0 && d == 0) "2020-99-99T99:99:99Z" // lexically invalid plant
+        else f"2020-${(i % 12) + 1}%02d-${(i % 28) + 1}%02dT10:0$d:00Z", null))
 
     if (i % 67 != 0)
       b += (("txt:lang", if (i % 61 == 0) "longerThan8" else Seq("en", "fr", "de")((i % 3).toInt), null))
@@ -88,6 +106,13 @@ object DocGen {
       else if (i % 41 == 0) 1 else 0
     for (k <- 0 until nImages)
       b += (("med:image", null, docId(imageTarget(i, k, n))))
+
+    // med:attach — every Article carries one; normally a Video-class
+    // target, an Audio-class target at m=37 (the SOME-101/ONLY-101 object-
+    // variant plant — both classes sit inside the declared range closure
+    // class:Media, so the plant never trips the range check)
+    if (isArticle(i))
+      b += (("med:attach", null, docId(mediaTarget(i, if (i % 37 == 0) 3 else 2, n))))
 
     // med:link — every doc links; hot key at doc 0 for ids ≡ 0 (mod 5);
     // dangling target when planting URI-EXISTENCE; out-of-range-class
@@ -127,6 +152,7 @@ object DocGen {
       KindDef("txt:note", "datatype", Nil, null), // undeclared range → warning
       KindDef("med:image", "object", Seq("class:Article", "class:Page"), "class:Image"),
       KindDef("med:link", "object", Nil, "class:Root"),
+      KindDef("med:attach", "object", Nil, "class:Media"),
       KindDef("med:thumb", "object", Nil, null) // defined but unused
     ),
     classes = Classes ++ Seq("class:Media", "class:Content", "class:Root"),
@@ -145,7 +171,11 @@ object DocGen {
       RestrictionDef("class:Article", "med:image", "max", 2, null, "class:Image"),
       RestrictionDef("class:Article", "txt:date", "exact", 1, SchemaDef.XSD + "dateTime", null),
       RestrictionDef("class:Article", "txt:lang", "some", 0, SchemaDef.XSD + "language", null),
-      RestrictionDef("class:Article", "txt:score", "only", 0, "dt:score", null)
+      RestrictionDef("class:Article", "txt:score", "only", 0, "dt:score", null),
+      // object variants: every Article must attach SOME Video-class doc,
+      // and ONLY Video-class docs may be attached
+      RestrictionDef("class:Article", "med:attach", "some", 0, null, "class:Video"),
+      RestrictionDef("class:Article", "med:attach", "only", 0, null, "class:Video")
     ),
     facets = Seq(
       FacetDef("dt:score", base = SchemaDef.XSD + "decimal",

@@ -73,8 +73,10 @@ final case class CompiledConstraints(
     dtKinds: Map[String, (String, String => Boolean)],
     // kind -> allowed subject classes (domain closure)
     domainKinds: Map[String, Set[String]],
-    // (classSet, prop, rtype, n) for data-range/unqualified min/max/exact
-    cards: Seq[(Set[String], String, String, Int)],
+    // (classSet, prop, rtype, n, dataRange|null, validator|null) for
+    // data-range/unqualified min/max/exact; the validator drives the
+    // per-value lexical sub-pass (MAX-102 / MIN-104 / EXACT-104)
+    cards: Seq[(Set[String], String, String, Int, String, String => Boolean)],
     // (classSet, prop, dataRange, validator) for some
     somes: Seq[(Set[String], String, String, String => Boolean)],
     // (classSet, prop, dataRange, validator) for only
@@ -111,15 +113,21 @@ final class RuntimeIndex(cc: CompiledConstraints) {
   final class CardEntry(val classes: java.util.HashSet[UTF8String],
                         val prop: UTF8String, val rtype: Int, val n: Int,
                         val idWrong: UTF8String, val idZero: UTF8String,
-                        val expected: UTF8String)
-  val cards: Array[CardEntry] = cc.cards.map { case (cls, prop, rtype, n) =>
-    val (idW, idZ, word) = rtype match {
-      case "max" => (u("OWL-RESTRICTION-MAX-100"), null, "at most")
-      case "min" => (u("OWL-RESTRICTION-MIN-100"), u("OWL-RESTRICTION-MIN-102"), "at least")
-      case _ => (u("OWL-RESTRICTION-EXACT-100"), u("OWL-RESTRICTION-EXACT-102"), "exactly")
+                        val expected: UTF8String,
+                        val fn: String => Boolean, val idInvalid: UTF8String,
+                        val expectedDt: UTF8String)
+  val cards: Array[CardEntry] = cc.cards.map { case (cls, prop, rtype, n, dr, fn) =>
+    val (idW, idZ, idI, word) = rtype match {
+      case "max" => (u("OWL-RESTRICTION-MAX-100"), null,
+        u("OWL-RESTRICTION-MAX-102"), "at most")
+      case "min" => (u("OWL-RESTRICTION-MIN-100"), u("OWL-RESTRICTION-MIN-102"),
+        u("OWL-RESTRICTION-MIN-104"), "at least")
+      case _ => (u("OWL-RESTRICTION-EXACT-100"), u("OWL-RESTRICTION-EXACT-102"),
+        u("OWL-RESTRICTION-EXACT-104"), "exactly")
     }
     val rt = rtype match { case "max" => 0; case "min" => 1; case _ => 2 }
-    new CardEntry(uset(cls), u(prop), rt, n, idW, idZ, u(s"$word $n $prop"))
+    new CardEntry(uset(cls), u(prop), rt, n, idW, idZ, u(s"$word $n $prop"),
+      fn, idI, if (dr == null) null else u(dr))
   }.toArray
 
   final class SomeEntry(val classes: java.util.HashSet[UTF8String],
@@ -159,7 +167,9 @@ object CompiledConstraints {
       cards = if (!enable.contains("OWL-RESTRICTION-CARD")) Nil
         else schema.restrictions
           .filter(r => Set("min", "max", "exact").contains(r.rtype) && r.classExpr == null)
-          .map(r => (closure(r.onClass), r.onProperty, r.rtype, r.n)),
+          .map(r => (closure(r.onClass), r.onProperty, r.rtype, r.n, r.dataRange,
+            if (r.dataRange == null) null
+            else ScalaValidators.validatorFor(schema, r.dataRange))),
       somes = if (!enable.contains("OWL-RESTRICTION-SOME")) Nil
         else schema.restrictions.filter(r => r.rtype == "some" && r.dataRange != null)
           .map(r => (closure(r.onClass), r.onProperty, r.dataRange,
@@ -226,6 +236,9 @@ object ValidateSpans {
     val someCounts = new Array[Int](idx.somes.length)
     val someValid = new Array[Boolean](idx.somes.length)
     var badDomainKinds: java.util.LinkedHashSet[UTF8String] = null
+    // per-restriction seen-set for the lexical sub-pass (distinct values
+    // per subject, mirroring the reference's `select distinct ?value ?s`)
+    var cardBadSeen: Array[java.util.HashSet[UTF8String]] = null
 
     i = 0
     while (i < n) {
@@ -251,10 +264,22 @@ object ValidateSpans {
           }
         }
 
-        // cardinality / some counters
+        // cardinality / some counters + per-value lexical sub-pass
         var c = 0
         while (c < idx.cards.length) {
-          if (idx.cards(c).prop.equals(kind)) cardCounts(c) += 1
+          val e = idx.cards(c)
+          if (e.prop.equals(kind)) {
+            cardCounts(c) += 1
+            if (e.fn != null && text != null && e.classes.contains(clsOrThing) &&
+              !e.fn(text.toString)) {
+              if (cardBadSeen == null)
+                cardBadSeen = new Array[java.util.HashSet[UTF8String]](idx.cards.length)
+              if (cardBadSeen(c) == null)
+                cardBadSeen(c) = new java.util.HashSet[UTF8String]()
+              if (cardBadSeen(c).add(text))
+                out.add(row(e.idInvalid, kind, text, e.expectedDt, CARDCHK))
+            }
+          }
           c += 1
         }
         c = 0

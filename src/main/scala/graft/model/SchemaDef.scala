@@ -152,4 +152,13 @@ object SchemaDef {
     "http://purl.org/dc/terms/isPartOf",
     RDFS + "isDefinedBy"
   )
+
+  /** Kinds the domain check never enumerates (rdf:type is the TypeKind,
+    * handled separately), verbatim from
+    * CheckObjectDatatypePropertiesDomain.php:61.
+    */
+  val DomainExcludedKinds: Seq[String] = Seq(
+    "http://purl.org/dc/terms/isPartOf",
+    RDF + "value"
+  )
 }

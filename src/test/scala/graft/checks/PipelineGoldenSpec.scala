@@ -82,20 +82,44 @@ class PipelineGoldenSpec extends SparkTestBase {
         if (i % 53 == 0) Some((did(i), "txt:uri", "http://x#a#b")) else None,
         if (i % 47 == 0) Some((did(i), "txt:flag", "T")) else None,
         if (i % 59 == 0) Some((did(i), "txt:score", "150")) else None,
-        if (i % 67 != 0 && i % 61 == 0) Some((did(i), "txt:lang", "longerThan8")) else None
+        if (i % 67 != 0 && i % 61 == 0) Some((did(i), "txt:lang", "longerThan8")) else None,
+        if (i % 29 == 0 && i % 83 != 0) Some((did(i), "txt:date", "2020-99-99T99:99:99Z")) else None
       ).flatten
     }.toSet
     expectSet("DATATYPE-PROPERTIES-DATATYPE-100", bad)
   }
 
-  test("DATATYPE-PROPERTIES-DATATYPE-51: warning for ranged-less kind txt:note") {
-    expectSet("DATATYPE-PROPERTIES-DATATYPE-51", Set((null, "txt:note", null)))
+  test("DATATYPE-PROPERTIES-DATATYPE-50: warning for range-less kind txt:note") {
+    expectSet("DATATYPE-PROPERTIES-DATATYPE-50", Set((null, "txt:note", null)))
   }
 
-  test("OWL-RESTRICTION-MAX-100: Articles with 3 med:image") {
+  test("OBJECT-DATATYPE-PROPERTIES-DOMAIN-50: warning per used kind without a domain") {
+    val expected = Set("txt:title", "txt:count", "txt:date", "txt:lang",
+      "txt:score", "txt:flag", "txt:uri", "txt:note", "med:link", "med:attach",
+      DocGen.UndefinedKind).map(k => (null: String, k, null: String))
+    expectSet("OBJECT-DATATYPE-PROPERTIES-DOMAIN-50", expected)
+  }
+
+  test("OWL-RESTRICTION-MAX-101: Articles with 3 med:image (class-qualified → -101 series)") {
     val expected = articles.filter(_ % 73 == 0)
       .map(i => (DocGen.docId(i), "med:image", "3")).toSet
-    expectSet("OWL-RESTRICTION-MAX-100", expected)
+    expectSet("OWL-RESTRICTION-MAX-101", expected)
+  }
+
+  test("OWL-RESTRICTION-EXACT-104: per-value validity sub-pass on Articles' txt:date") {
+    val expected = articles.filter(i => i % 29 == 0 && i % 83 != 0)
+      .map(i => (DocGen.docId(i), "txt:date", "2020-99-99T99:99:99Z")).toSet
+    expectSet("OWL-RESTRICTION-EXACT-104", expected)
+  }
+
+  test("OWL-RESTRICTION-SOME-101/ONLY-101: Articles whose med:attach is no Video") {
+    val some = articles.filter(_ % 37 == 0)
+      .map(i => (DocGen.docId(i), "med:attach", null: String)).toSet
+    val only = articles.filter(_ % 37 == 0)
+      .map(i => (DocGen.docId(i), "med:attach",
+        DocGen.docId(DocGen.mediaTarget(i, 3, n)))).toSet
+    expectSet("OWL-RESTRICTION-SOME-101", some)
+    expectSet("OWL-RESTRICTION-ONLY-101", only)
   }
 
   test("OWL-RESTRICTION-MIN-102: Articles missing txt:title") {
@@ -131,13 +155,16 @@ class PipelineGoldenSpec extends SparkTestBase {
   test("no unexpected check ids fire") {
     val known = Set(
       "PROPERTIES-DEFINED-100", "CLASSES-DEFINED-100", "URI-EXISTENCE-100",
-      "OBJECT-PROPERTIES-RANGE-100", "OBJECT-PROPERTIES-RANGE-51",
+      "OBJECT-PROPERTIES-RANGE-100", "OBJECT-PROPERTIES-RANGE-50",
       "OBJECT-DATATYPE-PROPERTIES-DOMAIN-100",
-      "DATATYPE-PROPERTIES-DATATYPE-100", "DATATYPE-PROPERTIES-DATATYPE-51",
-      "OWL-RESTRICTION-MAX-100", "OWL-RESTRICTION-MIN-100",
-      "OWL-RESTRICTION-MIN-102", "OWL-RESTRICTION-EXACT-100",
-      "OWL-RESTRICTION-EXACT-102", "OWL-RESTRICTION-SOME-100",
-      "OWL-RESTRICTION-SOME-102", "OWL-RESTRICTION-ONLY-100")
+      "OBJECT-DATATYPE-PROPERTIES-DOMAIN-50",
+      "DATATYPE-PROPERTIES-DATATYPE-100", "DATATYPE-PROPERTIES-DATATYPE-50",
+      "OWL-RESTRICTION-MAX-100", "OWL-RESTRICTION-MAX-101",
+      "OWL-RESTRICTION-MIN-100", "OWL-RESTRICTION-MIN-102",
+      "OWL-RESTRICTION-EXACT-100", "OWL-RESTRICTION-EXACT-102",
+      "OWL-RESTRICTION-EXACT-104", "OWL-RESTRICTION-SOME-100",
+      "OWL-RESTRICTION-SOME-101", "OWL-RESTRICTION-SOME-102",
+      "OWL-RESTRICTION-ONLY-100", "OWL-RESTRICTION-ONLY-101")
     assert(actual.keySet.subsetOf(known), s"unexpected: ${actual.keySet -- known}")
   }
 

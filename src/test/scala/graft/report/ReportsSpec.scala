@@ -10,8 +10,8 @@ class ReportsSpec extends SparkTestBase {
     Seq(
       ("URI-EXISTENCE-100", "error", null: String, "med:link", "doc:missing:1", "exists"),
       ("URI-EXISTENCE-100", "error", null: String, "med:link", "doc:<&>", "exists"),
-      ("DATATYPE-PROPERTIES-DATATYPE-51", "warning", null: String, "txt:note", null: String, null: String),
-      ("OWL-RESTRICTION-MAX-100", "error", "doc:000000000438", "med:image", "3", "at most 2")
+      ("DATATYPE-PROPERTIES-DATATYPE-50", "warning", null: String, "txt:note", null: String, null: String),
+      ("OWL-RESTRICTION-MAX-101", "error", "doc:000000000438", "med:image", "3", "at most 2")
     ).toDF("checkId", "severity", "docId", "kind", "value", "expected")
   }
 
@@ -22,7 +22,7 @@ class ReportsSpec extends SparkTestBase {
     assert(x.contains("<dataset>ds:a</dataset>"))
     assert(x.contains("<id>URI-EXISTENCE-100</id>"))
     assert(x.contains("doc:&lt;&amp;&gt;")) // escaping
-    assert(x.contains("<warning>") && x.contains("<id>DATATYPE-PROPERTIES-DATATYPE-51</id>"))
+    assert(x.contains("<warning>") && x.contains("<id>DATATYPE-PROPERTIES-DATATYPE-50</id>"))
     // well-formed: parses
     scala.xml.XML.loadString(x)
     // deterministic
@@ -33,7 +33,7 @@ class ReportsSpec extends SparkTestBase {
     val j = Reports.json(violDf, Seq("ds:a"), Seq("onto:x"))
     assert(j.startsWith("{\n  \"checks\": ["))
     assert(j.contains("\"validationErrors\""))
-    assert(j.contains("\"id\": \"OWL-RESTRICTION-MAX-100\""))
+    assert(j.contains("\"id\": \"OWL-RESTRICTION-MAX-101\""))
     assert(j.contains("\"record\": \"doc:000000000438\""))
     // must be machine-parseable (the reference's writer can emit broken
     // JSON via its comma logic, dvt:183-190 — ours must not)
@@ -56,7 +56,7 @@ class ReportsSpec extends SparkTestBase {
 
   test("checkName strips the numeric code") {
     assert(Reports.checkName("URI-EXISTENCE-100") == "URI-EXISTENCE")
-    assert(Reports.checkName("OWL-RESTRICTION-MAX-100") == "OWL-RESTRICTION-MAX")
-    assert(Reports.checkName("DATATYPE-PROPERTIES-DATATYPE-51") == "DATATYPE-PROPERTIES-DATATYPE")
+    assert(Reports.checkName("OWL-RESTRICTION-MAX-101") == "OWL-RESTRICTION-MAX")
+    assert(Reports.checkName("DATATYPE-PROPERTIES-DATATYPE-50") == "DATATYPE-PROPERTIES-DATATYPE")
   }
 }
