@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.datagen.DocGen
 import graft.engine.Pipeline
@@ -20,6 +20,27 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Synthesized-corpus size shared by the flagship validation queries and
+    * the exploded-spans fixture [[Verify]] writes for their DuckDB oracles.
+    */
+  val VerifyDocs = 20000L
+
+  /** Violation rows of the given check families over the deterministic
+    * synthesized corpus — the flagship pipeline, oracle-checked per family
+    * against DuckDB SQL over the exploded spans (VERDICT r01 item 2).
+    */
+  private def viol(s: SparkSession, checks: String*): DataFrame =
+    Pipeline.violations(s, DocGen.documents(s, VerifyDocs).toDF(), DocGen.schema)
+      .filter(col("check").isin(checks: _*))
+
+  /** The documents table with a deterministic duplicated slice (ids shifted
+    * by 1e6) — makes the dedup oracles non-vacuous (VERDICT r01 item 3).
+    */
+  private def withDups(docs: DataFrame, mutate: Column => Column = identity): DataFrame =
+    docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", mutate(col("text"))))
+
   /** Flagship: the full validation pipeline over the synthesized interleaved
     * docs table; driver smoke-checks rows>0.
     */
@@ -33,16 +54,18 @@ object SparkEntry {
       t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
         col("l_linestatus").as("status")).distinct()),
 
-    // --- anti-join: defined-kinds shape (J1/J2) ------------------------
+    // --- anti-join: defined-kinds shape (J1/J2); the build side is a
+    // strict subset so the result is non-empty (non-vacuous oracle) -------
     "q_anti_join_defined" -> ((s, d) =>
-      t(s, d, "customer").join(t(s, d, "orders"),
+      t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_custkey") % 5 === 0),
         col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey")),
 
-    // --- referential anti-join: URI-existence shape (J3) ---------------
+    // --- referential anti-join: URI-existence shape (J3), non-vacuous ---
     "q_referential_anti" -> ((s, d) =>
       t(s, d, "orders").select(col("o_custkey").as("missing_key")).distinct()
-        .join(t(s, d, "customer"),
+        .join(t(s, d, "customer").filter(col("c_custkey") % 3 === 0),
           col("missing_key") === col("c_custkey"), "left_anti")),
 
     // --- semi-join: affected-records shape (J4) ------------------------
@@ -74,7 +97,7 @@ object SparkEntry {
     // --- HAVING =: exact-cardinality shape (A3) ------------------------
     "q_group_having_exact" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders")).filter(col("n_orders") === 1)),
+        .agg(count(lit(1)).as("n_orders")).filter(col("n_orders") === 6)),
 
     // --- per-subject cardinality (A1 row-local flavor) ------------------
     "q_card_per_subject" -> ((s, d) =>
@@ -118,15 +141,19 @@ object SparkEntry {
 
     // --- training-pipeline ops over the driver documents table ----------
     "q_dedup_exact" -> ((s, d) =>
-      Dedup.exactGroups(t(s, d, "documents")).select("digest", "keep_id", "dup_count")),
+      Dedup.exactGroups(withDups(t(s, d, "documents")))
+        .select("digest", "keep_id", "dup_count")),
 
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))),
 
+    // duplicated slice is case-flipped + whitespace-padded: exercises the
+    // fingerprint's normalization, not just byte equality
     "q_fingerprint_dedup" -> ((s, d) =>
-      t(s, d, "documents").groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      withDups(t(s, d, "documents"), tx => concat(upper(tx), lit("  ")))
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n")).filter(col("n") > 1)),
 
     "q_quality_signals" -> ((s, d) =>
@@ -138,13 +165,43 @@ object SparkEntry {
     "q_lang_group" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("lang")).agg(count(lit(1)).as("n"))),
 
+    // --- flagship validation pipeline, oracle-backed per check family ---
+    // (the oracle SQL reads the exploded-spans fixture Verify writes; the
+    // Spark side regenerates the identical deterministic corpus)
+    "q_validate_datatype" -> ((s, _) =>
+      viol(s, "DATATYPE-PROPERTIES-DATATYPE").filter(col("severity") === "error")
+        .select("docId", "kind", "value")),
+
+    "q_validate_vocab" -> ((s, _) =>
+      viol(s, "PROPERTIES-DEFINED", "CLASSES-DEFINED")
+        .select("checkId", "kind", "value")),
+
+    "q_validate_uriexist" -> ((s, _) =>
+      viol(s, "URI-EXISTENCE").select("kind", "value")),
+
+    "q_validate_range" -> ((s, _) =>
+      viol(s, "OBJECT-PROPERTIES-RANGE").filter(col("severity") === "error")
+        .select("kind", "value")),
+
+    "q_validate_domain" -> ((s, _) =>
+      viol(s, "OBJECT-DATATYPE-PROPERTIES-DOMAIN").filter(col("severity") === "error")
+        .select("docId", "kind", "value")),
+
+    "q_validate_cardinality" -> ((s, _) =>
+      viol(s, "OWL-RESTRICTION-CARD")
+        .select("checkId", "docId", "kind", "value")),
+
+    "q_validate_someonly" -> ((s, _) =>
+      viol(s, "OWL-RESTRICTION-SOME", "OWL-RESTRICTION-ONLY")
+        .select("checkId", "docId", "kind", "value")),
+
     // --- engine-native (rows-only; no SQL equivalent) --------------------
     "q_validate_docs" -> ((s, _) =>
-      Pipeline.violations(s, DocGen.documents(s, 20000L).toDF(), DocGen.schema)
+      Pipeline.violations(s, DocGen.documents(s, VerifyDocs).toDF(), DocGen.schema)
         .groupBy("checkId", "severity").agg(count(lit(1)).as("n"))),
 
     "q_verdicts" -> ((s, _) =>
-      Pipeline.verdicts(s, DocGen.documents(s, 20000L).toDF(), DocGen.schema,
+      Pipeline.verdicts(s, DocGen.documents(s, VerifyDocs).toDF(), DocGen.schema,
         snapshotId = "verify", nBuckets = 16)),
 
     "q_minhash_neardup" -> ((s, d) =>
@@ -187,9 +244,9 @@ object SparkEntry {
     "q_distinct_projection" ->
       "SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status FROM lineitem",
     "q_anti_join_defined" ->
-      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_custkey % 5 = 0)",
     "q_referential_anti" ->
-      "SELECT DISTINCT o_custkey AS missing_key FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)",
+      "SELECT DISTINCT o_custkey AS missing_key FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_custkey % 3 = 0)",
     "q_semi_join" ->
       "SELECT o_orderkey, o_orderstatus FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)",
     "q_inner_join_broadcast" ->
@@ -199,7 +256,7 @@ object SparkEntry {
     "q_group_having_max" ->
       "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey HAVING count(*) > 5",
     "q_group_having_exact" ->
-      "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey HAVING count(*) = 1",
+      "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey HAVING count(*) = 6",
     "q_card_per_subject" ->
       "SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey HAVING count(*) > 6",
     "q_agg_stats" ->
@@ -209,13 +266,18 @@ object SparkEntry {
     "q_distinct_per_kind" ->
       "SELECT l_returnflag AS kind, count(DISTINCT l_quantity) AS n_values FROM lineitem GROUP BY l_returnflag",
     "q_dedup_exact" ->
-      "SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text) HAVING count(*) > 1",
+      ("SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count FROM " +
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+        " SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0) " +
+        "GROUP BY md5(text) HAVING count(*) > 1"),
     "q_token_count" ->
       ("SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens, " +
         "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish FROM documents"),
     "q_fingerprint_dedup" ->
-      ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, count(*) AS n " +
-        "FROM documents GROUP BY 1 HAVING count(*) > 1"),
+      ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, count(*) AS n FROM " +
+        "(SELECT text FROM documents UNION ALL " +
+        " SELECT upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0) " +
+        "GROUP BY 1 HAVING count(*) > 1"),
     "q_quality_signals" ->
       ("SELECT doc_id, length(text) AS n_chars_m, len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, " +
         "len(regexp_extract_all(text, '[A-Z]')) AS n_upper FROM documents"),
@@ -226,6 +288,88 @@ object SparkEntry {
     "q_sort_limit" ->
       "SELECT o_orderkey FROM (SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)",
     "q_event_window" ->
-      "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, count(*) AS n FROM events GROUP BY 1, 2"
+      "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+
+    // ---- flagship validation oracles over the exploded-spans fixture ----
+    // `__OUT__` is substituted by Verify with the absolute output dir; the
+    // regexes re-express the reference validators' lexical spaces in
+    // DuckDB's RE2 dialect (semantically equal on XSD lexical forms).
+    "q_validate_datatype" ->
+      (SpansCte +
+        "SELECT doc_id AS docId, kind, text AS value FROM s WHERE " +
+        "(kind = 'txt:count' AND NOT (regexp_matches(text, '^\\+?[0-9]+$') AND try_cast(text AS UBIGINT) <= 4294967295)) OR " +
+        "(kind = 'txt:flag' AND text NOT IN ('true','false','0','1')) OR " +
+        "(kind = 'txt:uri' AND regexp_matches(text, '#.*#')) OR " +
+        s"(kind = 'txt:lang' AND NOT regexp_matches(text, '$LangRx')) OR " +
+        s"(kind = 'txt:date' AND NOT regexp_matches(text, '$DateRx')) OR " +
+        s"(kind = 'txt:score' AND NOT ($ScoreOk))"),
+
+    "q_validate_vocab" ->
+      (SpansCte +
+        "SELECT 'PROPERTIES-DEFINED-100' AS checkId, kind, CAST(NULL AS VARCHAR) AS value " +
+        "FROM (SELECT DISTINCT kind FROM s WHERE kind <> 'type') " +
+        "WHERE kind NOT IN ('txt:title','txt:count','txt:date','txt:lang','txt:score','txt:flag','txt:uri','txt:note','med:image','med:link','med:attach','med:thumb') " +
+        "UNION ALL " +
+        "SELECT 'CLASSES-DEFINED-100', 'type', c FROM (SELECT DISTINCT text AS c FROM s WHERE kind = 'type') " +
+        "WHERE c NOT IN ('class:Article','class:Image','class:Video','class:Audio','class:Page','class:Post','class:Media','class:Content','class:Root')"),
+
+    "q_validate_uriexist" ->
+      (SpansCte +
+        "SELECT kind, media_ref AS value FROM (" +
+        " SELECT DISTINCT kind, media_ref FROM s WHERE media_ref IS NOT NULL" +
+        "  AND kind NOT IN ('http://www.w3.org/1999/02/22-rdf-syntax-ns#value','http://purl.org/dc/terms/isPartOf','http://www.w3.org/2000/01/rdf-schema#isDefinedBy')) " +
+        "WHERE media_ref NOT IN (SELECT DISTINCT doc_id FROM s)"),
+
+    "q_validate_range" ->
+      (SpansCte + ", " + ClsCte + ", " +
+        "refs AS (SELECT DISTINCT kind, media_ref FROM s WHERE media_ref IS NOT NULL AND kind IN ('med:image','med:link','med:attach')), " +
+        "t AS (SELECT r.kind, r.media_ref, coalesce(c.cls, 'http://www.w3.org/2002/07/owl#Thing') AS tcls FROM refs r LEFT JOIN cls c ON r.media_ref = c.doc_id) " +
+        "SELECT kind, media_ref AS value FROM t WHERE " +
+        "(kind = 'med:image' AND tcls NOT IN ('class:Image')) OR " +
+        "(kind = 'med:attach' AND tcls NOT IN ('class:Media','class:Image','class:Video','class:Audio')) OR " +
+        "(kind = 'med:link' AND tcls NOT IN ('class:Root','class:Media','class:Content','class:Article','class:Image','class:Video','class:Audio','class:Page','class:Post'))"),
+
+    "q_validate_domain" ->
+      (SpansCte + ", " + ClsCte + " " +
+        "SELECT c.doc_id AS docId, 'med:image' AS kind, coalesce(c.cls, 'http://www.w3.org/2002/07/owl#Thing') AS value " +
+        "FROM cls c WHERE coalesce(c.cls, 'http://www.w3.org/2002/07/owl#Thing') NOT IN ('class:Article','class:Page') " +
+        "AND EXISTS (SELECT 1 FROM s WHERE s.doc_id = c.doc_id AND s.kind = 'med:image')"),
+
+    "q_validate_cardinality" ->
+      (SpansCte + ", " + ClsCte + ", " + ArtCte + ", " +
+        "cnt AS (SELECT doc_id, count(*) FILTER (WHERE kind = 'txt:title') AS n_title, count(*) FILTER (WHERE kind = 'txt:date') AS n_date FROM s GROUP BY doc_id), " +
+        "imgq AS (SELECT r.doc_id, count(*) AS q FROM s r JOIN cls c ON r.media_ref = c.doc_id AND c.cls = 'class:Image' WHERE r.kind = 'med:image' GROUP BY r.doc_id), " +
+        "base AS (SELECT a.doc_id, coalesce(cnt.n_title, 0) AS n_title, coalesce(cnt.n_date, 0) AS n_date, coalesce(imgq.q, 0) AS n_img " +
+        " FROM art a LEFT JOIN cnt ON cnt.doc_id = a.doc_id LEFT JOIN imgq ON imgq.doc_id = a.doc_id) " +
+        "SELECT 'OWL-RESTRICTION-MIN-102' AS checkId, doc_id AS docId, 'txt:title' AS kind, CAST(n_title AS VARCHAR) AS value FROM base WHERE n_title = 0 " +
+        "UNION ALL SELECT 'OWL-RESTRICTION-EXACT-102', doc_id, 'txt:date', CAST(n_date AS VARCHAR) FROM base WHERE n_date = 0 " +
+        "UNION ALL SELECT 'OWL-RESTRICTION-EXACT-100', doc_id, 'txt:date', CAST(n_date AS VARCHAR) FROM base WHERE n_date > 0 AND n_date <> 1 " +
+        "UNION ALL SELECT 'OWL-RESTRICTION-MAX-101', doc_id, 'med:image', CAST(n_img AS VARCHAR) FROM base WHERE n_img > 2 " +
+        s"UNION ALL SELECT DISTINCT 'OWL-RESTRICTION-EXACT-104', s.doc_id, 'txt:date', s.text FROM s JOIN art a ON a.doc_id = s.doc_id WHERE s.kind = 'txt:date' AND NOT regexp_matches(s.text, '$DateRx')"),
+
+    "q_validate_someonly" ->
+      (SpansCte + ", " + ClsCte + ", " + ArtCte + ", " +
+        s"langc AS (SELECT doc_id, count(*) AS n, count(*) FILTER (WHERE regexp_matches(text, '$LangRx')) AS nvalid FROM s WHERE kind = 'txt:lang' GROUP BY doc_id), " +
+        "attach AS (SELECT r.doc_id, count(*) AS n, count(*) FILTER (WHERE c.cls = 'class:Video') AS nvideo FROM s r LEFT JOIN cls c ON r.media_ref = c.doc_id WHERE r.kind = 'med:attach' GROUP BY r.doc_id) " +
+        "SELECT 'OWL-RESTRICTION-SOME-100' AS checkId, a.doc_id AS docId, 'txt:lang' AS kind, CAST(NULL AS VARCHAR) AS value FROM art a LEFT JOIN langc l ON l.doc_id = a.doc_id WHERE coalesce(l.n, 0) = 0 " +
+        "UNION ALL SELECT 'OWL-RESTRICTION-SOME-102', a.doc_id, 'txt:lang', NULL FROM art a JOIN langc l ON l.doc_id = a.doc_id WHERE l.n > 0 AND l.nvalid = 0 " +
+        "UNION ALL SELECT 'OWL-RESTRICTION-SOME-101', a.doc_id, 'med:attach', NULL FROM art a JOIN attach t ON t.doc_id = a.doc_id WHERE t.n > 0 AND t.nvideo = 0 " +
+        s"UNION ALL SELECT 'OWL-RESTRICTION-ONLY-100', s.doc_id, 'txt:score', s.text FROM s JOIN art a ON a.doc_id = s.doc_id WHERE s.kind = 'txt:score' AND NOT ($ScoreOkS) " +
+        "UNION ALL SELECT DISTINCT 'OWL-RESTRICTION-ONLY-101', r.doc_id, 'med:attach', r.media_ref FROM s r JOIN art a ON a.doc_id = r.doc_id LEFT JOIN cls c ON r.media_ref = c.doc_id WHERE r.kind = 'med:attach' AND coalesce(c.cls, 'untyped') <> 'class:Video'")
   )
+
+  // ---- shared DuckDB fragments for the validation oracles ---------------
+  private val SpansCte =
+    "WITH s AS (SELECT * FROM read_parquet('__OUT__/fixtures/docs_spans/*.parquet')) "
+  private val ClsCte =
+    "cls AS (SELECT doc_id, min(CASE WHEN kind = 'type' THEN text END) AS cls FROM s GROUP BY doc_id)"
+  private val ArtCte =
+    "art AS (SELECT doc_id FROM cls WHERE cls = 'class:Article')"
+  private val LangRx = "^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$"
+  private val DateRx =
+    "^\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])T([01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?$"
+  private def scoreOk(c: String) =
+    s"regexp_matches($c, '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$$') AND try_cast($c AS DOUBLE) BETWEEN 0 AND 100"
+  private val ScoreOk = scoreOk("text")
+  private val ScoreOkS = scoreOk("s.text")
 }

@@ -1,8 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also writes the exploded-spans fixture of the synthesized validation
+  * corpus (`fixtures/docs_spans`): the flagship q_validate_* oracles are
+  * DuckDB SQL over that table, with `__OUT__` in the SQL substituted by the
+  * absolute output dir so DuckDB can read_parquet it from anywhere.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,6 +22,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val absOut = new java.io.File(outDir).getAbsolutePath
+
+    // the exploded twin of the deterministic corpus the q_validate_*
+    // queries regenerate — the DuckDB side of the flagship oracles
+    graft.datagen.DocGen.documents(spark, SparkEntry.VerifyDocs).toDF()
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$absOut/fixtures/docs_spans")
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +52,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUT__", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
