@@ -224,10 +224,14 @@ object SparkEntry {
     }),
 
     "q_ivf_topk" -> ((s, d) => {
+      // the production path: assign once into a cluster-partitioned index,
+      // probe with a partition-pruned read
       val emb = t(s, d, "embeddings")
       val q = emb.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
       val model = graft.ops.Ivf.train(emb, c = 8, iters = 2)
-      graft.ops.Ivf.topK(emb, model, q, 10, nProbe = 3)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString + "/index"
+      graft.ops.Ivf.buildIndex(emb, model, idx)
+      graft.ops.Ivf.topKIndexed(s, idx, model, q, 10, nProbe = 3)
     }),
 
     "q_cosine_dup" -> ((s, d) =>

@@ -38,16 +38,25 @@ object ValidatorApp {
       case None => all
     }
 
+    // run-scoped partition subdirs: a RESUMED run writes alongside prior
+    // runs instead of overwriting them (overwrite on the shared dir would
+    // destroy buckets the manifest records complete while keeping them
+    // marked done); read the parent dir to union all runs
+    val runId = s"run=${System.currentTimeMillis()}"
+
     val violations = Pipeline.violations(spark, docs, cfg.schema, checks).cache()
-    violations.write.mode("overwrite").parquet(s"$outDir/violations")
+    violations.write.mode("overwrite").parquet(s"$outDir/violations/$runId")
 
-    val verdicts = Pipeline.verdicts(spark, docs, cfg.schema, cfg.snapshotId,
-      cfg.nBuckets, checks)
-    verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts")
+    // verdicts roll up the already-materialized violations (no second
+    // validation pass)
+    val verdicts = Pipeline.verdictsFrom(spark, violations, docs, cfg.schema,
+      cfg.snapshotId, cfg.nBuckets, checks)
+    verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/$runId")
 
-    // record completed buckets (per-partition lineage + metrics)
+    // record completed buckets (per-partition lineage + metrics) — THIS
+    // run's verdicts only; earlier runs already recorded theirs
     manifest.foreach { m =>
-      val stats = spark.read.parquet(s"$outDir/verdicts")
+      val stats = spark.read.parquet(s"$outDir/verdicts/$runId")
         .filter(col("partitionId") >= 0)
         .groupBy("partitionId")
         .agg(max("nDocs").as("d"), sum("nViolations").as("v"))
@@ -56,14 +65,25 @@ object ValidatorApp {
       m.recordRun(cfg.snapshotId, cfg.schema.constraintHash, stats.toSeq)
     }
 
+    // --fix analogue: repair dangling refs into a new snapshot and embed
+    // the deleted-triples log in the reports (CheckURIExistence.php:190-211).
+    // Skipped when the resume filter left nothing to validate — a fully-
+    // resumed run must not overwrite a prior fixed snapshot with emptiness.
+    val fixLog = cfg.fixOut.filter(_ => !docs.isEmpty).map { p =>
+      Fix.fixDanglingRefs(spark, docs, cfg.schema, p).cache()
+    }
+
     cfg.xmlOut.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        Reports.xml(violations, Seq(cfg.documentsPath), Seq("schema:" + cfg.schema.constraintHash)))
+        Reports.xml(violations, Seq(cfg.documentsPath),
+          Seq("schema:" + cfg.schema.constraintHash), fixLog = fixLog))
     }
     cfg.jsonOut.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        Reports.json(violations, Seq(cfg.documentsPath), Seq("schema:" + cfg.schema.constraintHash)))
+        Reports.json(violations, Seq(cfg.documentsPath),
+          Seq("schema:" + cfg.schema.constraintHash), fixLog = fixLog))
     }
+    fixLog.foreach(_.unpersist())
 
     val nErr = violations.filter(col("severity") === "error").count()
     val nWarn = violations.filter(col("severity") === "warning").count()

@@ -39,7 +39,8 @@ final case class ValidatorConfig(
     xmlOut: Option[String],
     jsonOut: Option[String],
     manifestPath: Option[String],
-    nBuckets: Int
+    nBuckets: Int,
+    fixOut: Option[String] = None // `fix.out`: dvt --fix analogue — write the URI-fixed snapshot here
 )
 
 object ValidatorConfig {
@@ -118,7 +119,8 @@ object ValidatorConfig {
       xmlOut = one("output.xml"),
       jsonOut = one("output.json"),
       manifestPath = one("manifest"),
-      nBuckets = one("buckets").map(_.toInt).getOrElse(Pipeline.DefaultBuckets)
+      nBuckets = one("buckets").map(_.toInt).getOrElse(Pipeline.DefaultBuckets),
+      fixOut = one("fix.out")
     )
   }
 }

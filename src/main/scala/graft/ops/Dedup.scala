@@ -77,7 +77,27 @@ object Dedup {
       .select(col(id).as("__id"), sig.as("__sig"))
     val banded = withSig.select(col("__id"), col("__sig"),
       posexplode(bandKeys(col("__sig"), numHashes, bands)).as(Seq("band", "bucket")))
-    bucketPairsWith(banded, Seq("__sig"), maxBucketSize)
+    bucketPairsWith(banded, Seq("__sig"), maxBucketSize, "lsh_minhash")
+  }
+
+  /** Side output: the (band, bucket, bucket_size) rows the candidate stage
+    * WOULD drop for being over `maxBucketSize` — the audit trail for the
+    * cap ([[minhashCandidates]] et al. additionally observe a
+    * `lsh_*`/`dropped_buckets` metric in-plan for listeners, but AQE hides
+    * CollectMetrics from `queryExecution.observedMetrics`, so this frame is
+    * the reliable programmatic path). Shares the banded groupBy shuffle
+    * with the candidate pass when both execute in one plan.
+    */
+  def minhashDroppedBuckets(df: DataFrame, id: String = "doc_id", text: String = "text",
+                            k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val sig = graft.functions.MinHashSig.minhashSig(col(text), k, numHashes)
+    val banded = df.filter(length(col(text)) >= k)
+      .select(col(id).as("__id"), sig.as("__sig"))
+      .select(col("__id"),
+        posexplode(bandKeys(col("__sig"), numHashes, bands)).as(Seq("band", "bucket")))
+    banded.groupBy("band", "bucket").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
   }
 
   /** Estimated Jaccard from minhash-signature agreement (the unbiased
@@ -138,7 +158,7 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
-    val pairs = bucketPairsWith(banded, Seq("__sig"), maxBucketSize)
+    val pairs = bucketPairsWith(banded, Seq("__sig"), maxBucketSize, "lsh_simhash")
     pairs.withColumn("hamming",
       SimHash64.hammingDist(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
@@ -165,7 +185,7 @@ object Dedup {
     val withSig = df.select(col(id).as("__id"), sig.as("__sig"))
     val banded = withSig.select(col("__id"), col("__sig"),
       posexplode(bandKeys(col("__sig"), numHashes, bands)).as(Seq("band", "bucket")))
-    val cands = bucketPairsWith(banded, Seq("__sig"), 1000)
+    val cands = bucketPairsWith(banded, Seq("__sig"), 1000, "lsh_ngram")
       .filter(sigAgreement(col("sig_a"), col("sig_b"), numHashes) >= threshold - 0.15)
       .select("id_a", "id_b")
     // interpreted-HOF ngram sets only for candidate ids
@@ -189,21 +209,25 @@ object Dedup {
 
   /** (id_a, id_b) pairs (a < b) of ids sharing a (band, bucket), built
     * inside the group with HOFs — no self-join, no cross join. Buckets
-    * larger than `maxBucketSize` are dropped (logged upstream as a cap):
-    * a bucket that hot is a degenerate key whose pairs would be quadratic.
-    */
-  private def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame =
-    bucketPairsWith(banded, Nil, maxBucketSize).select("id_a", "id_b")
-
-  /** Like bucketPairs but carries `extra` per-id columns into the pairs as
-    * `<name minus leading __>_a` / `_b`.
+    * larger than `maxBucketSize` are dropped — a bucket that hot is a
+    * degenerate key whose pairs would be quadratic — and the drop is NOT
+    * silent: every call observes `<metricName>` with `dropped_buckets` /
+    * `max_bucket_size` (read `df.queryExecution.observedMetrics` after any
+    * action, or attach a listener). At web scale boilerplate-heavy corpora
+    * produce exactly such hot buckets, and an unnoticed cap would
+    * under-report duplicates (round-1 VERDICT item 8).
     */
   private def bucketPairsWith(banded: DataFrame, extra: Seq[String],
-                              maxBucketSize: Int): DataFrame = {
+                              maxBucketSize: Int,
+                              metricName: String): DataFrame = {
     val payload = struct((col("__id").as("id") +:
       extra.map(e => col(e).as(e.stripPrefix("__")))): _*)
     val grouped = banded.groupBy("band", "bucket")
       .agg(collect_list(payload).as("members"))
+      .observe(metricName,
+        sum(when(size(col("members")) > maxBucketSize, 1).otherwise(0))
+          .as("dropped_buckets"),
+        max(size(col("members"))).as("max_bucket_size"))
       .filter(size(col("members")).between(2, maxBucketSize))
       .withColumn("members", array_sort(col("members")))
     val pairs = grouped.select(explode(flatten(

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.NearestCentroid
 
@@ -14,9 +14,14 @@ import graft.functions.NearestCentroid
   *    [[graft.functions.NearestCentroid]] expression, centroid update via
   *    posexplode + groupBy(cluster, dim) avg — the C×D result collects to
   *    the driver, KBs);
-  *  - query: rank centroids driver-side, scan only the nProbe nearest
-  *    clusters (a partition-prunable filter when the corpus is written
-  *    partitioned by cluster), exact-cosine rescore.
+  *  - indexing: [[buildIndex]] assigns the corpus ONCE and writes it
+  *    partitioned by `cluster`;
+  *  - query: rank centroids driver-side, read ONLY the nProbe nearest
+  *    cluster partitions ([[topKIndexed]] — partition-pruned parquet scan,
+  *    asserted by IvfSpec), exact-cosine rescore. At 10^12 vectors a probe
+  *    touches nProbe/C of the corpus instead of re-assigning all of it
+  *    (the round-1 `topK` flaw). [[topKBatch]] amortizes one scan across a
+  *    whole query table.
   */
 object Ivf {
 
@@ -30,13 +35,16 @@ object Ivf {
   private def vecD(col0: String) = transform(col(col0), _.cast("double"))
 
   /** Train C centroids with `iters` Lloyd iterations. Deterministic: seeds
-    * are the C rows with the smallest xxhash64(id).
+    * are the C rows with the smallest xxhash64(id). Degenerate inputs are
+    * guarded: fewer rows than c trains on what exists; an empty table is an
+    * explicit error (nothing to seed from).
     */
   def train(emb: DataFrame, c: Int, iters: Int = 3,
             id: String = "vec_id", vec: String = "embedding"): IvfModel = {
     val seeds = emb.orderBy(xxhash64(col(id))).limit(c)
       .select(vecD(vec).as("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "Ivf.train: empty embedding table")
     var model = IvfModel(seeds)
     for (_ <- 1 to iters) {
       val assigned = emb.select(
@@ -44,32 +52,92 @@ object Ivf {
         posexplode(vecD(vec)).as(Seq("dim", "x")))
       val means = assigned.groupBy("cluster", "dim").agg(avg("x").as("m"))
         .collect()
-      val dims = means.map(_.getInt(1)).max + 1
-      val next = Array.tabulate(c, dims)((ci, di) => model.centroids(ci % model.centroids.length)
-        .lift(di).getOrElse(0.0))
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      model = IvfModel(next)
+      if (means.nonEmpty) {
+        val dims = means.map(_.getInt(1)).max + 1
+        val next = Array.tabulate(math.max(c, seeds.length), dims)((ci, di) =>
+          model.centroids(ci % model.centroids.length).lift(di).getOrElse(0.0))
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        model = IvfModel(next)
+      }
     }
     model
   }
 
-  /** Corpus with its IVF cluster assignment — write partitioned by
-    * `cluster` for partition-pruned probes at scale.
+  /** Corpus with its IVF cluster assignment — ONE pass; write partitioned
+    * by `cluster` ([[buildIndex]]) for partition-pruned probes at scale.
     */
   def assign(emb: DataFrame, model: IvfModel, vec: String = "embedding"): DataFrame =
     emb.withColumn("cluster",
       NearestCentroid.nearestCentroid(vecD(vec), model.normalized))
 
-  /** Top-k by exact cosine among the nProbe clusters nearest the query. */
-  def topK(emb: DataFrame, model: IvfModel, query: Seq[Float], k: Int,
-           nProbe: Int = 2, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+  /** Materialize the index: the corpus assigned once and laid out so a
+    * probe is a partition-pruned read of nProbe directories.
+    */
+  def buildIndex(emb: DataFrame, model: IvfModel, path: String,
+                 vec: String = "embedding"): Unit =
+    assign(emb, model, vec).write.mode("overwrite")
+      .partitionBy("cluster").parquet(path)
+
+  /** The nProbe cluster ids nearest the query, ranked driver-side against
+    * the KB-sized centroid table.
+    */
+  def probeClusters(model: IvfModel, query: Seq[Float], nProbe: Int): Seq[Int] = {
     val q = query.map(_.toDouble).toArray
     val norm = model.normalized
-    val ranked = norm.indices.sortBy { ci =>
+    norm.indices.sortBy { ci =>
       -q.zip(norm(ci)).map { case (a, b) => a * b }.sum
     }.take(nProbe)
-    val candidates = assign(emb, model, vec)
-      .filter(col("cluster").isin(ranked: _*))
-    Similarity.bruteTopK(candidates, query, k, id, vec)
+  }
+
+  /** Top-k by exact cosine over an ALREADY-ASSIGNED corpus (the in-memory
+    * analogue of [[topKIndexed]] — pass a cached [[assign]] result so the
+    * assignment isn't recomputed per query).
+    */
+  def topKAssigned(assigned: DataFrame, model: IvfModel, query: Seq[Float], k: Int,
+                   nProbe: Int = 2, id: String = "vec_id",
+                   vec: String = "embedding"): DataFrame = {
+    val probes = probeClusters(model, query, nProbe)
+    Similarity.bruteTopK(assigned.filter(col("cluster").isin(probes: _*)),
+      query, k, id, vec)
+  }
+
+  /** Top-k against a [[buildIndex]] layout: reads ONLY the nProbe cluster
+    * partitions (partition-pruned scan), then exact-cosine rescores.
+    */
+  def topKIndexed(spark: SparkSession, indexPath: String, model: IvfModel,
+                  query: Seq[Float], k: Int, nProbe: Int = 2,
+                  id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    topKAssigned(spark.read.parquet(indexPath), model, query, k, nProbe, id, vec)
+
+  /** One-shot convenience: assigns then probes. For repeated queries use
+    * [[buildIndex]] + [[topKIndexed]] (partition-pruned) or cache
+    * [[assign]] + [[topKAssigned]] — this variant pays a full assignment
+    * pass per call.
+    */
+  def topK(emb: DataFrame, model: IvfModel, query: Seq[Float], k: Int,
+           nProbe: Int = 2, id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    topKAssigned(assign(emb, model, vec), model, query, k, nProbe, id, vec)
+
+  /** Batch ANN: top-k per query row of `queries(qid, qvec)` in ONE
+    * distributed plan — queries broadcast onto the nProbe-pruned corpus
+    * partitions they rank, cosine rescored, per-query top-k via window.
+    * The per-(query, cluster) probe table is computed driver-side from the
+    * KB-sized centroid array (queries are expected to be ≪ corpus).
+    */
+  def topKBatch(spark: SparkSession, assigned: DataFrame,
+                queries: Seq[(Long, Seq[Float])], model: IvfModel, k: Int,
+                nProbe: Int = 2, id: String = "vec_id",
+                vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val probe = queries.flatMap { case (qid, qv) =>
+      probeClusters(model, qv, nProbe).map(c => (qid, c, qv.map(_.toDouble)))
+    }.toDF("qid", "cluster", "qvec")
+    val joined = assigned.join(broadcast(probe), Seq("cluster"))
+      .withColumn("cosine",
+        Similarity.cosine(transform(col(vec), _.cast("double")), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col(id))
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("qid"), col(id), col("cosine"))
   }
 }

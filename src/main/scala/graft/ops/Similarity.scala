@@ -45,18 +45,23 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed approximate top-k: candidates share at least one of
-    * `bands` signature bands with the query; candidates are rescored with
-    * exact cosine. At corpus scale this turns a full scan per query into a
-    * bucket lookup (the signature table is computed once and reusable).
+  /** Corpus with its RHP signature column (`__sig`) — compute (or better:
+    * persist/cache) ONCE and probe it with [[annTopKSigned]]; recomputing
+    * signatures per query is a full scan per query.
     */
-  def annTopK(emb: DataFrame, query: Seq[Float], k: Int,
-              id: String = "vec_id", vec: String = "embedding",
-              bits: Int = 16, bands: Int = 4): DataFrame = {
-    val spark = emb.sparkSession
+  def signed(emb: DataFrame, vec: String = "embedding", bits: Int = 16): DataFrame =
+    emb.withColumn("__sig", rhpSignature(transform(col(vec), _.cast("double")), bits))
+
+  /** LSH-bucketed approximate top-k over a PRE-SIGNED corpus
+    * ([[signed]], ideally persisted bucketed by a band of `__sig`):
+    * candidates share at least one of `bands` signature bands with the
+    * query and are rescored with exact cosine.
+    */
+  def annTopKSigned(signedEmb: DataFrame, query: Seq[Float], k: Int,
+                    id: String = "vec_id", vec: String = "embedding",
+                    bits: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = signedEmb.sparkSession
     val rows = bits / bands
-    val v = transform(col(vec), _.cast("double"))
-    val signed = emb.withColumn("__sig", rhpSignature(v, bits))
 
     // query signature computed through the same expression, on one row
     import spark.implicits._
@@ -64,7 +69,7 @@ object Similarity {
     val qSig = qDf.select(rhpSignature(col("qv"), bits)).collect()(0).getLong(0)
     val qBands = (0 until bands).map(b => (qSig >>> (b * rows)) & ((1L << rows) - 1))
 
-    val candidates = signed.filter(
+    val candidates = signedEmb.filter(
       (0 until bands).map(b =>
         shiftright(col("__sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))
           === qBands(b)).reduce(_ || _))
@@ -75,6 +80,14 @@ object Similarity {
       .orderBy(col("cosine").desc, col(id))
       .limit(k)
   }
+
+  /** One-shot convenience: signs then probes (one signature pass per call —
+    * reuse [[signed]] for repeated queries).
+    */
+  def annTopK(emb: DataFrame, query: Seq[Float], k: Int,
+              id: String = "vec_id", vec: String = "embedding",
+              bits: Int = 16, bands: Int = 4): DataFrame =
+    annTopKSigned(signed(emb, vec, bits), query, k, id, vec, bits, bands)
 
   /** Embedding-cosine near-duplicate pairs: RHP-LSH bucket join +
     * exact-cosine verification — the embedding analogue of
@@ -94,6 +107,11 @@ object Similarity {
         .as(Seq("band", "bucket")))
     val grouped = banded.groupBy("band", "bucket")
       .agg(collect_list(struct(col("__id").as("id"), col("__v").as("v"))).as("m"))
+      // over-size buckets are capped, never silently: see Dedup's
+      // bucketPairsWith note (metric `lsh_cosine`)
+      .observe("lsh_cosine",
+        sum(when(size(col("m")) > maxBucketSize, 1).otherwise(0)).as("dropped_buckets"),
+        max(size(col("m"))).as("max_bucket_size"))
       .filter(size(col("m")).between(2, maxBucketSize))
       .withColumn("m", array_sort(col("m")))
     val pairs = grouped.select(explode(flatten(

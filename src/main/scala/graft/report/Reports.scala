@@ -50,10 +50,25 @@ object Reports {
       .collect()
   }
 
-  /** Reference-shaped XML report string. */
+  /** (subject, predicate, object) triples of the fix log, ordered — the
+    * reference's deletedNTriples flattening (CheckURIExistence.php:190-211).
+    */
+  private def collectFixes(fixLog: Option[DataFrame], maxRows: Int): Seq[(String, String, String)] =
+    fixLog.toSeq.flatMap { log =>
+      log.select(col("doc_id"), col("kind"), explode(col("deleted_refs")).as("ref"))
+        .orderBy("doc_id", "kind", "ref").limit(maxRows).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    }
+
+  /** Reference-shaped XML report string. `fixLog` (the frame
+    * [[graft.engine.Fix.uriFixLog]] returns) renders as the reference's
+    * `<fixes><fix>` block under the URI-EXISTENCE check.
+    */
   def xml(violations: DataFrame, datasets: Seq[String], ontologies: Seq[String],
-          maxRowsPerCheck: Int = 100000): String = {
+          maxRowsPerCheck: Int = 100000,
+          fixLog: Option[DataFrame] = None): String = {
     val rows = collectOrdered(violations, maxRowsPerCheck)
+    val fixes = collectFixes(fixLog, maxRowsPerCheck)
     val sb = new StringBuilder("<checks>\n")
     rows.groupBy(r => checkName(r.getString(0))).toSeq.sortBy(_._1).foreach {
       case (name, rs) =>
@@ -85,16 +100,32 @@ object Reports {
           sb ++= "      </error>\n"
         }
         sb ++= "    </validationErrors>\n"
+        if (name == "URI-EXISTENCE" && fixes.nonEmpty) {
+          sb ++= "    <fixes>\n"
+          fixes.foreach { case (subj, pred, obj) =>
+            sb ++= "      <fix>\n"
+            datasets.foreach(d => sb ++= s"        <dataset>${esc(d)}</dataset>\n")
+            sb ++= s"        <subject>${esc(subj)}</subject>\n"
+            sb ++= s"        <predicate>${esc(pred)}</predicate>\n"
+            sb ++= s"        <object>${esc(obj)}</object>\n"
+            sb ++= "      </fix>\n"
+          }
+          sb ++= "    </fixes>\n"
+        }
         sb ++= "  </check>\n"
     }
     sb ++= "</checks>\n"
     sb.toString
   }
 
-  /** Reference-shaped (but well-formed) JSON report string. */
+  /** Reference-shaped (but well-formed) JSON report string; `fixLog` as in
+    * [[xml]].
+    */
   def json(violations: DataFrame, datasets: Seq[String], ontologies: Seq[String],
-           maxRowsPerCheck: Int = 100000): String = {
+           maxRowsPerCheck: Int = 100000,
+           fixLog: Option[DataFrame] = None): String = {
     val rows = collectOrdered(violations, maxRowsPerCheck)
+    val fixes = collectFixes(fixLog, maxRowsPerCheck)
     val checks = rows.groupBy(r => checkName(r.getString(0))).toSeq.sortBy(_._1).map {
       case (name, rs) =>
         def entries(sev: String) = rs.filter(_.getString(1) == sev).map { r =>
@@ -110,6 +141,22 @@ object Reports {
         }
         val ds = datasets.map(d => s"""      "${jesc(d)}"""").mkString(",\n")
         val os = ontologies.map(o => s"""      "${jesc(o)}"""").mkString(",\n")
+        val fixBlock =
+          if (name == "URI-EXISTENCE" && fixes.nonEmpty) {
+            val fs = fixes.map { case (subj, pred, obj) =>
+              val dsv = datasets.headOption.map(jesc).getOrElse("")
+              s"""      {
+                 |        "dataset": "$dsv",
+                 |        "subject": "${jesc(subj)}",
+                 |        "predicate": "${jesc(pred)}",
+                 |        "object": "${jesc(obj)}"
+                 |      }""".stripMargin
+            }
+            s""",
+               |    "fixes": [
+               |${fs.mkString(",\n")}
+               |    ]""".stripMargin
+          } else ""
         s"""  {
            |    "name": "${jesc(name)}",
            |    "description": "${jesc(name)} validation",
@@ -124,7 +171,7 @@ object Reports {
            |    ],
            |    "validationErrors": [
            |${entries("error").mkString(",\n")}
-           |    ]
+           |    ]$fixBlock
            |  }""".stripMargin
     }
     "{\n  \"checks\": [\n" + checks.mkString(",\n") + "\n  ]\n}\n"

@@ -40,8 +40,13 @@ object ScalaValidators {
     }
   }
 
+  /** Precision cap 38 mirrors the Column twin's `try_cast(decimal(38,0))`
+    * (XsdValidators.integer): both paths reject integers whose significant
+    * digits exceed Spark's max decimal precision.
+    */
   val integer: String => Boolean = s =>
-    integerRx(s) && (try { BigDecimal(s); true } catch { case _: NumberFormatException => false })
+    integerRx(s) && (try { BigDecimal(s).precision <= 38 }
+      catch { case _: NumberFormatException => false })
 
   val boolean: String => Boolean = Set("true", "false", "0", "1")
 

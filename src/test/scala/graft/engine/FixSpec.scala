@@ -42,4 +42,36 @@ class FixSpec extends SparkTestBase {
       .filter(size(col("a.spans")) =!= size(col("b.spans"))).count()
     assert(mismatch == 0)
   }
+
+  test("join-path fix handles 120k dangling refs with no driver materialization") {
+    val session = spark
+    import session.implicits._
+    val n = 120000L
+    // every doc carries one dangling ref + a type span + a keeper span
+    val docs = spark.range(n).map { i =>
+      graft.model.Document(s"doc:$i", Seq(
+        graft.model.Span("type", "class:Article", null, 0),
+        graft.model.Span("med:link", null, s"missing:$i", 1),
+        graft.model.Span("txt:title", s"t$i", null, 2)))
+    }.toDF()
+    val bad = spark.range(n).select(concat(lit("missing:"), col("id")).as("value"))
+
+    val fixed = Fix.applyUriFixJoin(spark, docs, bad)
+    assert(fixed.count() == n)
+    // all dangling spans dropped, everything else intact and ordered
+    val badRows = fixed.filter(size(col("spans")) =!= 2).count()
+    assert(badRows == 0)
+    val orderBroken = fixed.filter(
+      element_at(col("spans"), 1).getField("kind") =!= "type" ||
+        element_at(col("spans"), 2).getField("kind") =!= "txt:title").count()
+    assert(orderBroken == 0)
+
+    val log = Fix.uriFixLog(spark, docs, bad)
+    assert(log.count() == n)
+
+    // the literal path refuses sets beyond the driver-size guard
+    intercept[IllegalArgumentException] {
+      Fix.applyUriFix(spark, docs, (0 until Fix.MaxLiteralUris + 1).map(i => s"missing:$i"))
+    }
+  }
 }

@@ -25,6 +25,7 @@ class ValidatorAppSpec extends SparkTestBase {
          |output.json = $tmp/report.json
          |manifest = $tmp/manifest.jsonl
          |buckets = 8
+         |fix.out = $tmp/fixed
          |""".stripMargin
     Files.writeString(java.nio.file.Paths.get(s"$tmp/run.properties"), conf)
 
@@ -36,9 +37,15 @@ class ValidatorAppSpec extends SparkTestBase {
 
     ValidatorApp.run(spark, cfg, s"$tmp/out")
     val v = spark.read.parquet(s"$tmp/out/violations")
-    assert(v.count() > 0) // plants fire even under the reduced schema
+    val firstRunViolations = v.count()
+    assert(firstRunViolations > 0) // plants fire even under the reduced schema
     assert(Files.exists(java.nio.file.Paths.get(s"$tmp/report.json")))
     assert(Files.exists(java.nio.file.Paths.get(s"$tmp/manifest.jsonl")))
+
+    // --fix: repaired snapshot written, deleted-triples log in the report
+    assert(spark.read.parquet(s"$tmp/fixed").count() == 2000L)
+    val report = Files.readString(java.nio.file.Paths.get(s"$tmp/report.json"))
+    assert(report.contains("\"fixes\"") && report.contains("\"predicate\": \"med:link\""))
 
     // resume: second run over the same snapshot+schema skips everything
     val before = new Manifest(s"$tmp/manifest.jsonl")
@@ -48,5 +55,11 @@ class ValidatorAppSpec extends SparkTestBase {
       spark.read.parquet(s"$tmp/docs"), new Manifest(s"$tmp/manifest.jsonl"),
       "snap-t1", cfg.schema, 8)
     assert(remaining.count() == 0)
+
+    // resumed run writes run-scoped output: prior buckets' results survive
+    ValidatorApp.run(spark, cfg, s"$tmp/out")
+    val afterResume = spark.read.parquet(s"$tmp/out/violations").count()
+    assert(afterResume == firstRunViolations,
+      s"resume clobbered prior results: $afterResume != $firstRunViolations")
   }
 }

@@ -139,4 +139,21 @@ class OpsSpec extends SparkTestBase {
     val top = Similarity.bruteTopK(emb, first, 5)
     assert(top.count() == 5)
   }
+
+  test("LSH bucket cap is observable: dropped buckets surface as a side output") {
+    val session = spark
+    import session.implicits._
+    // 30 identical docs land in ONE bucket per band (8 bands), over the cap
+    val docs = (0 until 30).map(i =>
+      (i.toLong, "identical boilerplate text that lands in a single hot bucket"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(docs, maxBucketSize = 10).collect().isEmpty)
+    // the cap is NOT silent: the audit frame names every dropped bucket
+    val dropped = Dedup.minhashDroppedBuckets(docs, maxBucketSize = 10).collect()
+    assert(dropped.length == 8, s"8 bands x 1 hot bucket, got ${dropped.length}")
+    assert(dropped.forall(_.getLong(2) == 30L))
+    // under the cap: pairs flow and the audit frame is empty
+    assert(Dedup.minhashCandidates(docs, maxBucketSize = 100).collect().nonEmpty)
+    assert(Dedup.minhashDroppedBuckets(docs, maxBucketSize = 100).collect().isEmpty)
+  }
 }

@@ -22,7 +22,10 @@ class ScalaValidatorParitySpec extends SparkTestBase {
       "0FB8", "0fb8", "FB8", "en", "en-GB", "longerThan8", "myElement",
       "pre:myelement3", "-myelement", "ABCD", "contains a space",
       "This is a string!", "AT&T", "3 < 4", "PB&amp;J", "Family Guy@en",
-      "Family Guy@12", "dGhpcyBpcyBhIHRlc3Q=", "dGhpcyBpcyBhIHRlc3Q-")
+      "Family Guy@12", "dGhpcyBpcyBhIHRlc3Q=", "dGhpcyBpcyBhIHRlc3Q-",
+      // decimal(38,0) precision edge: 38 digits fit, 39 overflow, and
+      // leading zeros don't count toward precision
+      "9" * 38, "9" * 39, "-" + "9" * 38, "-" + "9" * 39, "0" * 39, "0" * 5 + "1" * 38)
     val fuzz = (0 until 200).map { _ =>
       val len = rnd.nextInt(12)
       (0 until len).map(_ => "0123456789+-.eEazAZ:# @<&".charAt(rnd.nextInt(25))).mkString
