@@ -61,6 +61,7 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "2000000").toLong
     val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    val probeTrials = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIALS", "2").toInt
     val cooldown = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_SEC", "20").toInt
     val docsPath = java.nio.file.Files.createTempDirectory("graft-bench").toString + "/docs"
     val scalePath = if (scaleDocs == nDocs) docsPath else docsPath + "-scale"
@@ -84,9 +85,14 @@ object Bench {
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.filterNot(_.startsWith("-D")).toSeq ++
         Seq(s"-XX:ActiveProcessorCount=$n")
+      // min-of-`probeTrials` INSIDE the probe JVM: ambient interference on
+      // this sandbox is additive noise with ±15-30% per-run swings, and the
+      // best-of-k time rejects it symmetrically for both sizes
+      val warmup = math.min(scaleDocs / 8, 250000L)
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
         "-cp", System.getProperty("java.class.path"),
-        "graft.ScaleProbe", n.toString, scalePath, scaleDocs.toString)).asJava
+        "graft.ScaleProbe", n.toString, scalePath, scaleDocs.toString,
+        warmup.toString, probeTrials.toString)).asJava
       // inherit stderr: an undrained pipe fills and BLOCKS the probe's
       // logging thread, stalling the measurement
       val p = new ProcessBuilder(cmd)
@@ -98,15 +104,22 @@ object Bench {
         .getOrElse { System.err.println(s"[bench] scale probe n=$n failed"); 0.0 }
     }
     // interleaved rounds: (n, 4n) pairs so both sizes see the same ambient
-    // conditions; capability = best round per size
+    // conditions; estimator = MEDIAN per size across rounds — robust to a
+    // round that caught ambient interference in either direction (a
+    // max-per-size estimator would pair one size's luckiest round against
+    // the other's, comparing different machine states)
     val roundPairs = (1 to scaleRounds).map { r =>
       val tn = probeOnce(scaleN)
       val t4n = probeOnce(4 * scaleN)
-      System.err.println(f"[bench] scale round $r: n=$tn%.0f 4n=$t4n%.0f docs/s")
+      System.err.println(f"[bench] scale round $r: n=$tn%.0f 4n=$t4n%.0f docs/s eff=${t4n / (4 * tn)}%.3f")
       (tn, t4n)
     }
-    val tN = roundPairs.map(_._1).max
-    val t4N = roundPairs.map(_._2).max
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val tN = median(roundPairs.map(_._1))
+    val t4N = median(roundPairs.map(_._2))
     val efficiency = if (tN > 0) t4N / (4.0 * tN) else 0.0
 
     // ---- headline queries at the configured parallelism -----------------

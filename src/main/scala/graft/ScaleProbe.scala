@@ -28,9 +28,13 @@ object ScaleProbe {
     val warmupDocs =
       if (args.length > 3) args(3).toLong else math.min(nDocs / 8, 250000L)
     val trials = if (args.length > 4) args(4).toInt else 1
+    // finer shuffle granularity than 1/core lets AQE smooth stage tails at
+    // small core counts (a 4-core stage with 4 partitions stalls on its
+    // slowest partition); override via SPARK_GRAFT_PROBE_PARTS_PER_CORE
+    val partsPerCore = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS_PER_CORE", "4").toInt
     val builder = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", cores.toInt * partsPerCore)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")

@@ -213,6 +213,15 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, threshold = 0.6)),
 
+    // winnowed rolling-hash fingerprints: the duplicated slice appends a
+    // distinct tail, so pairs surface through SHARED PASSAGES, not
+    // equality (k=16/minShared=12 tuned for this template-heavy corpus:
+    // incidental 16-char template overlaps stay under the bar)
+    "q_winnow_neardup" -> ((s, d) =>
+      Dedup.winnowNearDupPairs(
+        withDups(t(s, d, "documents"), tx => concat(tx, lit(" trailing edit marker"))),
+        k = 16, w = 8, minShared = 12)),
+
     "q_langid_heuristic" -> ((s, d) =>
       t(s, d, "documents").groupBy(TextAnalysis.langId(col("text")).as("lid"))
         .agg(count(lit(1)).as("n"))),

@@ -204,6 +204,40 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Winnowing (rolling-hash fingerprints)
+  // ------------------------------------------------------------------
+
+  /** Near-dup pairs by shared WINNOWED rolling-hash fingerprints
+    * ([[graft.functions.WinnowSig]]): docs sharing ≥ `minShared` selected
+    * k-gram hashes. Inverted-index shape — explode fingerprints, pair
+    * within each fingerprint bucket (capped like the LSH paths), count
+    * shared fingerprints per pair. Catches copied PASSAGES (every shared
+    * substring of length ≥ k+w-1 shares a fingerprint), which
+    * whole-document MinHash dilutes.
+    */
+  def winnowNearDupPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
+                         k: Int = 8, w: Int = 8, minShared: Int = 4,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val fps = df.select(col(id).as("__id"),
+      explode(graft.functions.WinnowSig.winnowSig(col(text), k, w)).as("fp"))
+    val grouped = fps.groupBy("fp")
+      .agg(array_sort(collect_list(col("__id"))).as("members"))
+      .observe("lsh_winnow",
+        sum(when(size(col("members")) > maxBucketSize, 1).otherwise(0))
+          .as("dropped_buckets"),
+        max(size(col("members"))).as("max_bucket_size"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    // pairs per fingerprint (NO distinct — multiplicity IS the shared count)
+    grouped.select(explode(flatten(
+      transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
+  // ------------------------------------------------------------------
   // shared bucket-pair machinery
   // ------------------------------------------------------------------
 

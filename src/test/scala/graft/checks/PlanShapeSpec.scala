@@ -1,0 +1,74 @@
+package graft.checks
+
+import graft.SparkTestBase
+import graft.datagen.DocGen
+import graft.engine.Pipeline
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the scale properties the engine claims must
+  * be visible in the executed plan, not just believed:
+  *  - nested-schema pruning: class projection reads exactly two span
+  *    subfields (the native SpanClass expression takes the subfield arrays,
+  *    not the struct — a struct-typed child would read all four);
+  *  - predicate pushdown: point lookups reach the parquet scan;
+  *  - exchange reuse: the shared subplans (distinct-refs, class table,
+  *    qualified counts) materialize once in the full violations plan.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private lazy val docsPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-plan").toString + "/docs"
+    DocGen.documents(spark, 2000L).toDF().write.mode("overwrite").parquet(p)
+    p
+  }
+
+  // sparkPlan, not executedPlan: AQE wraps plans containing exchanges in
+  // AdaptiveSparkPlanExec, which hides the scan nodes from collect()
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+
+  test("class projection prunes the parquet ReadSchema to spans.kind + spans.text") {
+    val docs = spark.read.parquet(docsPath)
+    val ctx = CheckContext(spark, docs, DocGen.schema)
+    val rs = scans(ctx.docsCls).head.metadata("ReadSchema")
+    assert(rs.contains("kind") && rs.contains("text"), rs)
+    assert(!rs.contains("media_ref") && !rs.contains("offset"),
+      s"class projection must not read unrelated span subfields: $rs")
+  }
+
+  test("distinct-kinds pass reads only spans.kind") {
+    val docs = spark.read.parquet(docsPath)
+    val ctx = CheckContext(spark, docs, DocGen.schema)
+    val rs = scans(ctx.distinctKinds).head.metadata("ReadSchema")
+    assert(rs.contains("kind") && !rs.contains("text") && !rs.contains("media_ref"), rs)
+  }
+
+  test("point lookup pushes the doc_id predicate into the scan") {
+    val docs = spark.read.parquet(docsPath)
+    val q = docs.filter(col("doc_id") === DocGen.docId(7))
+    val pushed = scans(q).head.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(doc_id"), s"filter not pushed: $pushed")
+  }
+
+  test("violations plan reuses the shared exchanges (distinct-refs, class table, counts)") {
+    // ReuseExchange is explicit in the non-adaptive plan; under AQE the
+    // same reuse happens at stage-materialization time
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val docs = spark.read.parquet(docsPath)
+      val plan = Pipeline.violations(spark, docs, DocGen.schema)
+        .queryExecution.executedPlan.toString
+      val reused = "ReusedExchange".r.findAllIn(plan).length
+      assert(reused >= 3, s"expected >=3 reused exchanges, got $reused")
+    }
+  }
+
+  private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

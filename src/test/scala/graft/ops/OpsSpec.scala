@@ -156,4 +156,27 @@ class OpsSpec extends SparkTestBase {
     assert(Dedup.minhashCandidates(docs, maxBucketSize = 100).collect().nonEmpty)
     assert(Dedup.minhashDroppedBuckets(docs, maxBucketSize = 100).collect().isEmpty)
   }
+
+  test("winnowing: shared-passage pairs found, unrelated docs silent") {
+    val session = spark
+    import session.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "bright satellites trace slow arcs across the winter sky above the harbor"
+    val docs = Seq(
+      (1L, "intro text. " + passage + " closing remarks."),
+      (2L, "different opening here. " + passage + " and a different ending."),
+      (3L, "entirely unrelated content about parquet column chunk statistics " +
+        "and dictionary encoding with no overlap whatsoever in any window")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDupPairs(docs, minShared = 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      s"got ${pairs.mkString(",")}")
+    // determinism + guarantee: identical texts share ALL fingerprints
+    val sig = graft.functions.WinnowSig.compute(passage, 8, 8)
+    assert(sig.sameElements(graft.functions.WinnowSig.compute(passage, 8, 8)))
+    assert(sig.length > 4 && sig.distinct.length == sig.length)
+    // short text: below k -> empty, k..k+w-1 -> single fingerprint
+    assert(graft.functions.WinnowSig.compute("abc", 8, 8).isEmpty)
+    assert(graft.functions.WinnowSig.compute("abcdefgh", 8, 8).length == 1)
+  }
 }
