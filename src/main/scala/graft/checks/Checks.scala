@@ -112,10 +112,12 @@ final case class CheckContext(
     docsCls.select(col("doc_id"),
       coalesce(col("cls"), lit(SchemaDef.OWL_THING)).as("cls"))
 
-  /** (doc_id, kind, media_ref, targetCls) for every reference span whose
-    * kind is targeted by a class-qualified (owl:onClass /
-    * owl:someValuesFrom-class / owl:allValuesFrom-class) restriction, with
-    * the TARGET document's class resolved (owl:Thing for untyped/dangling
+  /** (doc_id, cls, kind, media_ref, targetCls) for every reference span
+    * whose kind is targeted by a class-qualified (owl:onClass /
+    * owl:someValuesFrom-class / owl:allValuesFrom-class) restriction:
+    * the SUBJECT's class is carried through the explode (row-local — no
+    * join needed for it), and the TARGET document's class is resolved with
+    * the one genuinely required join (owl:Thing for untyped/dangling
     * targets, CheckOwlRestrictionMax.php:190-194 analogue). Shared by the
     * qualified-cardinality, existential and universal object-variant
     * frames, so the scan+explode and the ref→target-class join exchanges
@@ -127,8 +129,10 @@ final case class CheckContext(
       .map(_.onProperty).distinct
     val refSpans = filter(zipped("kind", "media_ref"), p =>
       p.getField("media_ref").isNotNull && p.getField("kind").isin(kinds: _*))
-    val refs = docs.select(col("doc_id"), explode(refSpans).as("r"))
-      .select(col("doc_id"), col("r.kind").as("kind"),
+    val refs = docs.select(col("doc_id"),
+      coalesce(clsCol, lit(SchemaDef.OWL_THING)).as("cls"),
+      explode(refSpans).as("r"))
+      .select(col("doc_id"), col("cls"), col("r.kind").as("kind"),
         col("r.media_ref").as("media_ref"))
     val targetCls = docsCls.select(col("doc_id").as("media_ref"),
       col("cls").as("targetCls"))
@@ -144,10 +148,14 @@ final case class CheckContext(
     schema.restrictions.filter(_.classExpr != null)
 
   /** Per-subject counts for EVERY class-qualified restriction in one
-    * aggregation — (doc_id, cls, q0, t0, q1, t1, …) — left-joined onto the
-    * subject-class table so zero-value subjects appear with null counts.
-    * CheckCardinality and CheckSome both emit from this exact frame, so the
-    * aggregation and both its joins materialize once (ReuseExchange).
+    * aggregation — (doc_id, cls, q0, t0, q1, t1, …). The subject class is
+    * carried (functionally dependent on doc_id), so NO join against the
+    * full corpus: subjects with zero values of a property simply have no
+    * row, which is exactly what the qualified count/some queries need
+    * (they all require ≥1 binding); the zero-occurrence `-103` cases are
+    * recovered by a guarded anti-join in CheckCardinality instead of
+    * paying a corpus-wide left join on every run. CheckCardinality and
+    * CheckSome both emit from this exact frame (ReuseExchange).
     */
   lazy val qualifiedCounts: DataFrame = {
     val rs = classQualifiedRestrictions
@@ -156,8 +164,7 @@ final case class CheckContext(
         .as(s"q$i"),
       count(when(col("kind") === r.onProperty, 1)).as(s"t$i"))
     }
-    val counts = restrictionRefTargets.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    subjectCls.join(counts, Seq("doc_id"), "left")
+    restrictionRefTargets.groupBy("doc_id", "cls").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Does `targetCls` satisfy class expression `classExpr`? owl:Thing as a
@@ -507,32 +514,51 @@ object CheckCardinality extends RowLocalCheck {
       case (r, _) => Set("min", "max", "exact").contains(r.rtype) }
     if (indexed.isEmpty) return Nil
 
-    val structs = indexed.flatMap { case (r, i) =>
-      val app = col("cls").isin(
-        ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq: _*)
-      val q = coalesce(col(s"q$i"), lit(0L))
-      val t = coalesce(col(s"t$i"), lit(0L))
+    def appOf(r: RestrictionDef) = col("cls").isin(
+      ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq: _*)
+    def expOf(r: RestrictionDef) = {
       val word = r.rtype match {
         case "max" => "at most"; case "min" => "at least"; case _ => "exactly" }
-      val exp = lit(s"$word ${r.n} ${r.onProperty} of class ${r.classExpr}")
-      def v(cid: String, cnt: Column) = ctx.vStruct(cid, lit(r.onProperty), cnt, exp)
+      lit(s"$word ${r.n} ${r.onProperty} of class ${r.classExpr}")
+    }
+
+    // ≥1-binding violations from the shared counts frame (subjects with no
+    // value of the property have no row — matching the reference's count
+    // query, which binds no group for them)
+    val structs = indexed.flatMap { case (r, i) =>
+      val app = appOf(r)
+      val q = col(s"q$i")
+      def v(cid: String) = ctx.vStruct(cid, lit(r.onProperty), q, expOf(r))
       r.rtype match {
-        case "max" => Seq(
-          when(app && q > r.n, v("OWL-RESTRICTION-MAX-101", q)))
-        case "min" => Seq(
-          when(app && q > 0 && q < r.n, v("OWL-RESTRICTION-MIN-101", q)),
-          when(app && t === 0, v("OWL-RESTRICTION-MIN-103", t)))
-        case "exact" => Seq(
-          when(app && q > 0 && q =!= r.n, v("OWL-RESTRICTION-EXACT-101", q)),
-          when(app && t === 0 && r.n != 0, v("OWL-RESTRICTION-EXACT-103", t)))
+        case "max" => Seq(when(app && q > r.n, v("OWL-RESTRICTION-MAX-101")))
+        case "min" => Seq(when(app && q > 0 && q < r.n, v("OWL-RESTRICTION-MIN-101")))
+        case "exact" => Seq(when(app && q > 0 && q =!= r.n, v("OWL-RESTRICTION-EXACT-101")))
       }
     }
-    Seq(ctx.qualifiedCounts
+    val counted = ctx.qualifiedCounts
       .select(col("doc_id"),
         explode(filter(array(structs: _*), v => v.isNotNull)).as("v"))
       .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
         col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
-        col("v.value").as("value"), col("v.expected").as("expected")))
+        col("v.value").as("value"), col("v.expected").as("expected"))
+
+    // zero-occurrence `-103` cases (`filter not exists { ?s <p> ?value }`,
+    // Min:831-842): the only piece that genuinely needs the all-subjects
+    // side — a guarded per-kind anti-join, skipped entirely when no
+    // qualified min/exact restriction exists
+    val zeroRs = indexed.map(_._1).filter(r =>
+      r.rtype == "min" || (r.rtype == "exact" && r.n != 0))
+    val zeroFrames = zeroRs.map { r =>
+      val cid = if (r.rtype == "min") "OWL-RESTRICTION-MIN-103"
+                else "OWL-RESTRICTION-EXACT-103"
+      val hasValue = ctx.restrictionRefTargets
+        .filter(col("kind") === r.onProperty).select("doc_id").distinct()
+      ctx.subjectCls.filter(appOf(r))
+        .join(hasValue, Seq("doc_id"), "left_anti")
+        .select(ctx.violation(cid, "error", col("doc_id"), lit(r.onProperty),
+          lit("0"), expOf(r)): _*)
+    }
+    Seq((counted +: zeroFrames).reduce(_ unionByName _))
   }
 }
 
@@ -582,10 +608,9 @@ object CheckSome extends RowLocalCheck {
     val structs = indexed.map { case (r, i) =>
       val app = col("cls").isin(
         ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq: _*)
-      val q = coalesce(col(s"q$i"), lit(0L))
-      val t = coalesce(col(s"t$i"), lit(0L))
-      when(app && t > 0 && q === 0, ctx.vStruct(s"$id-101", lit(r.onProperty),
-        lit(null), lit(s"some ${r.classExpr} value for ${r.onProperty}")))
+      when(app && col(s"t$i") > 0 && col(s"q$i") === 0,
+        ctx.vStruct(s"$id-101", lit(r.onProperty),
+          lit(null), lit(s"some ${r.classExpr} value for ${r.onProperty}")))
     }
     Seq(ctx.qualifiedCounts
       .select(col("doc_id"),
@@ -625,9 +650,9 @@ object CheckOnly extends RowLocalCheck {
     * class is outside the class-expression closure (untyped targets
     * included — `filter not exists { ?value a ?value_type ... }`,
     * :719-723) → ONLY-101, one error per offending (subject, value).
-    * Candidate refs are filtered BEFORE joining subject classes, so the
-    * class join sees offenders only. N/A by design: ONLY-50..53 are OSF
-    * web-service failure artifacts.
+    * The subject class is already carried on the shared ref frame, so this
+    * is a pure filter — no join beyond the shared target-class resolution.
+    * N/A by design: ONLY-50..53 are OSF web-service failure artifacts.
     */
   override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
     val rs = ctx.schema.restrictions.filter(r => r.rtype == "only" && r.classExpr != null)
@@ -635,14 +660,13 @@ object CheckOnly extends RowLocalCheck {
     val candidate = ctx.restrictionRefTargets.filter(
       rs.map(r => col("kind") === r.onProperty && !ctx.qualifies(r.classExpr))
         .reduce(_ || _))
-    val withCls = candidate.join(ctx.subjectCls, Seq("doc_id"))
     val structs = rs.map { r =>
       val app = col("cls").isin(
         ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq: _*)
       when(app && col("kind") === r.onProperty && !ctx.qualifies(r.classExpr),
         ctx.vStruct(s"$id-101", col("kind"), col("media_ref"), lit(r.classExpr)))
     }
-    Seq(withCls
+    Seq(candidate
       .select(col("doc_id"),
         explode(filter(array(structs: _*), v => v.isNotNull)).as("v"))
       .select(col("v.checkId").as("checkId"), lit("error").as("severity"),

@@ -79,4 +79,40 @@ object StreamingValidator {
       .groupBy(org.apache.spark.sql.functions.window(col(eventTime), window),
         col("checkId"))
       .agg(count(lit(1)).as("nViolations"))
+
+  /** Streaming exact-dedup for ingestion pipelines: keep the FIRST arrival
+    * of each content digest; duplicates within the watermark horizon are
+    * dropped with BOUNDED state (`dropDuplicatesWithinWatermark` evicts
+    * digests older than the event-time watermark — an unbounded-state
+    * dropDuplicates would OOM a long-running 100 TB ingest).
+    */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+                  eventTime: String = "ts",
+                  delay: String = "10 minutes"): DataFrame =
+    docs.withColumn("__digest", md5(col(textCol)))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
+  /** Stateful per-kind violation monitor: running violation totals per
+    * check kind across micro-batches via flatMapGroupsWithState — emits a
+    * row whenever a kind's cumulative count changes (the streaming
+    * analogue of the per-partition verdict rollup, with explicit state).
+    */
+  def runningViolationTotals(spark: SparkSession, violations: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    violations.select(col("checkId").as[String], lit(1L).as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) => {
+          val add = rows.map(_._2).sum
+          if (add == 0) Iterator.empty
+          else {
+            val total = state.getOption.getOrElse(0L) + add
+            state.update(total)
+            Iterator((key, total))
+          }
+        }).toDF("checkId", "totalViolations")
+  }
 }

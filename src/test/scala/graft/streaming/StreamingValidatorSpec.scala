@@ -82,4 +82,51 @@ class StreamingValidatorSpec extends SparkTestBase {
       assert(counts == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("streaming exact-dedup: first arrival kept, watermark-bounded state") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+
+    val out = StreamingValidator.dedupStream(docs, "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sv_dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 1L, "same text"),
+        (java.sql.Timestamp.valueOf("2026-01-01 10:00:05"), 2L, "same text"),
+        (java.sql.Timestamp.valueOf("2026-01-01 10:00:10"), 3L, "other text"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch, still within the watermark
+      stream.addData(
+        (java.sql.Timestamp.valueOf("2026-01-01 10:01:00"), 4L, "same text"))
+      q.processAllAvailable()
+      val ids = spark.table("sv_dedup").collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("stateful running violation totals across micro-batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val viols = stream.toDF().toDF("checkId")
+
+    val out = StreamingValidator.runningViolationTotals(spark, viols)
+    val q = out.writeStream.format("memory").queryName("sv_tot")
+      .outputMode("update").start()
+    try {
+      stream.addData("C1", "C1", "C2")
+      q.processAllAvailable()
+      stream.addData("C1")
+      q.processAllAvailable()
+      val last = spark.table("sv_tot").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) =>
+          k -> rs.map(_.getLong(1)).max }
+      assert(last == Map("C1" -> 3L, "C2" -> 1L), s"got $last")
+    } finally q.stop()
+  }
 }
