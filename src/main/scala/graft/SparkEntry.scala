@@ -246,6 +246,12 @@ object SparkEntry {
     "q_cosine_dup" -> ((s, d) =>
       Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.99)),
 
+    // int8 symmetric quantization of the embedding column (4x storage for
+    // ANN candidate generation; rescore from fp32)
+    "q_quantize_int8" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("qv"))),
+
     "q_stats_profile" -> ((s, d) =>
       ColumnStats.profile(t(s, d, "lineitem")).drop("kll"))
   )

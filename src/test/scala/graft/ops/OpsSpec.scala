@@ -179,4 +179,37 @@ class OpsSpec extends SparkTestBase {
     assert(graft.functions.WinnowSig.compute("abc", 8, 8).isEmpty)
     assert(graft.functions.WinnowSig.compute("abcdefgh", 8, 8).length == 1)
   }
+
+  test("int8 embedding quantization: 4x smaller, cosine preserved to ~1%") {
+    val session = spark
+    import session.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"),
+      Similarity.quantizeInt8(col("embedding")).as("qv"))
+      .withColumn("vq", Similarity.dequantizeInt8(col("qv")))
+      .withColumn("cos", Similarity.cosine(col("v"), col("vq")))
+    val worst = q.agg(min(col("cos"))).collect()(0).getDouble(0)
+    assert(worst > 0.99, s"quantization distorted cosine: $worst")
+    // zero vector round-trips to zeros, no division blowup
+    val z = Seq((1L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8(col("embedding")).as("qv"))
+      .select(Similarity.dequantizeInt8(col("qv")).as("vq")).collect()(0).getSeq[Double](0)
+    assert(z.forall(_ == 0.0))
+  }
+
+  test("winnowing guarantee: any shared substring >= k+w-1 shares a fingerprint") {
+    val rnd = new scala.util.Random(7)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 8; val w = 8
+    (1 to 25).foreach { _ =>
+      val shared = randText(k + w - 1) // minimal guaranteed-shared window
+      val a = randText(rnd.nextInt(40)) + shared + randText(rnd.nextInt(40))
+      val b = randText(rnd.nextInt(40)) + shared + randText(rnd.nextInt(40))
+      val fa = graft.functions.WinnowSig.compute(a, k, w).toSet
+      val fb = graft.functions.WinnowSig.compute(b, k, w).toSet
+      assert((fa intersect fb).nonEmpty,
+        s"no shared fingerprint for shared substring: a=$a b=$b")
+    }
+  }
 }
