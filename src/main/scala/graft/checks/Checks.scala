@@ -36,9 +36,18 @@ import graft.validators.XsdValidators
 final case class CheckContext(
     spark: SparkSession,
     docs: DataFrame,
-    schema: SchemaDef
+    schema: SchemaDef,
+    universeOpt: Option[DataFrame] = None
 ) {
   import spark.implicits._
+
+  /** Referential TARGET universe. Defaults to `docs`, but a resumed run
+    * validates a bucket-filtered subset whose references may point into
+    * already-completed buckets — probing the filtered frame would flag those
+    * as dangling (and resolve their classes to owl:Thing). Callers that
+    * filter `docs` must pass the full corpus here (see ValidatorApp).
+    */
+  lazy val universe: DataFrame = universeOpt.getOrElse(docs)
 
   /** Array of one span subfield — `spans.kind` etc. Catalyst prunes the
     * Parquet ReadSchema to exactly this subfield.
@@ -66,6 +75,14 @@ final case class CheckContext(
     * identically and materialize once at runtime.
     */
   lazy val docsCls: DataFrame = docs.select(col("doc_id"), clsCol.as("cls"))
+
+  /** (doc_id, cls) over the TARGET universe — what reference targets join
+    * against. The same instance as [[docsCls]] when no separate universe is
+    * set, so ReuseExchange keeps sharing the one class-projection subplan in
+    * the common (non-resumed) case.
+    */
+  lazy val universeCls: DataFrame =
+    universeOpt.map(u => u.select(col("doc_id"), clsCol.as("cls"))).getOrElse(docsCls)
 
   lazy val kindsDf: DataFrame =
     schema.kinds.map(k => (k.kind, k.kindType, k.range)).toDF("kind", "kindType", "range")
@@ -134,7 +151,7 @@ final case class CheckContext(
       explode(refSpans).as("r"))
       .select(col("doc_id"), col("cls"), col("r.kind").as("kind"),
         col("r.media_ref").as("media_ref"))
-    val targetCls = docsCls.select(col("doc_id").as("media_ref"),
+    val targetCls = universeCls.select(col("doc_id").as("media_ref"),
       col("cls").as("targetCls"))
     refs.join(targetCls, Seq("media_ref"), "left")
       .withColumn("targetCls", coalesce(col("targetCls"), lit(SchemaDef.OWL_THING)))
@@ -284,7 +301,7 @@ object CheckUriExistence extends ConstraintCheck {
   def run(ctx: CheckContext): DataFrame = {
     val refs = ctx.distinctRefs
       .filter(!col("kind").isin(SchemaDef.UriExistenceExcludedKinds: _*))
-    val universe = ctx.docs.select(col("doc_id").as("media_ref"))
+    val universe = ctx.universe.select(col("doc_id").as("media_ref"))
     refs.join(universe, Seq("media_ref"), "left_anti")
       .select(ctx.violation(s"$id-100", "error", lit(null), col("kind"),
         col("media_ref"), lit("referenced URI exists")): _*)
@@ -313,7 +330,7 @@ object CheckObjectRange extends ConstraintCheck {
     // exchange with the URI-existence check (see CheckContext.distinctRefs)
     val targets = ctx.distinctRefs.filter(col("kind").isin(withRange: _*))
 
-    val targetCls = ctx.docsCls.select(
+    val targetCls = ctx.universeCls.select(
       col("doc_id").as("media_ref"), col("cls").as("valueCls"))
 
     val typed = targets.join(targetCls, Seq("media_ref"), "left")
@@ -508,6 +525,17 @@ object CheckCardinality extends RowLocalCheck {
     * property AT ALL (`filter not exists { ?s <p> ?value }`, Min:831-842) —
     * a subject whose values exist but none qualify escapes both queries
     * (the count query binds no group for it); that quirk is preserved.
+    *
+    * DELIBERATE DEVIATION (Min only): the reference's Min count query
+    * filters `?value in (<subclasses>)` — the value URI itself against a
+    * list of CLASS URIs, with no `?value a ?value_type` triple in the
+    * pattern (CheckOwlRestrictionMin.php:761-762) — so a value qualifies
+    * only if it literally IS a class URI, i.e. the qualified count is
+    * almost always 0 and MIN-101 can essentially never fire. Max (:705)
+    * and Exact (:707) filter `?value_type` as expected; the Min form is a
+    * copy-paste bug, not a semantic. This engine normalizes MIN-101 to the
+    * Max/Exact target-class semantics (count values whose TYPE is in the
+    * closure) instead of replicating the broken filter.
     */
   override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
     val indexed = ctx.classQualifiedRestrictions.zipWithIndex.filter {

@@ -37,8 +37,9 @@ object Pipeline {
   def violations(spark: SparkSession, docs: DataFrame, schema: SchemaDef,
                  checks: Seq[ConstraintCheck] = Checks.all,
                  fused: Boolean = true,
-                 native: Boolean = true): DataFrame = {
-    val ctx = CheckContext(spark, docs, schema)
+                 native: Boolean = true,
+                 universe: Option[DataFrame] = None): DataFrame = {
+    val ctx = CheckContext(spark, docs, schema, universe)
     val (rowLocal, others) = checks.partition(c => fused && c.isInstanceOf[RowLocalCheck])
 
     val fusedFrames: Seq[DataFrame] =

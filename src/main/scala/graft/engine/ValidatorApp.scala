@@ -12,6 +12,39 @@ import graft.report.Reports
   */
 object ValidatorApp {
 
+  /** Union-of-runs violations reader — the REQUIRED read path for a
+    * multi-run output dir. Run writes and manifest records are not atomic
+    * (the Iceberg-snapshot seam, SURVEY.md §4.5): a run can durably write
+    * buckets that never get recorded, and the resume then re-writes them
+    * into a new `run=` dir. A naive union would double those rows.
+    * Last-run-wins per docId (and per the dataset-level docId-null group)
+    * makes the union exact: each document's violations come from the most
+    * recent run that validated its bucket. (Re-validation of one snapshot
+    * against one constraint set is deterministic, so a doc-granular window
+    * equals bucket granularity; different constraints belong in a different
+    * outDir — the manifest keys completion by constraintHash for the same
+    * reason.)
+    */
+  def readViolations(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$outDir/violations")
+      .withColumn("__maxRun", max(col("run")).over(Window.partitionBy(col("docId"))))
+      .filter(col("run") === col("__maxRun"))
+      .drop("__maxRun", "run")
+  }
+
+  /** Union-of-runs verdicts reader: last-run-wins per (partitionId, checkId)
+    * — see [[readViolations]] for why the naive union is wrong.
+    */
+  def readVerdicts(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$outDir/verdicts")
+      .withColumn("__maxRun",
+        max(col("run")).over(Window.partitionBy(col("partitionId"), col("checkId"))))
+      .filter(col("run") === col("__maxRun"))
+      .drop("__maxRun", "run")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(configPath, outDir) = args.take(2)
     val cfg = ValidatorConfig.load(configPath)
@@ -33,24 +66,47 @@ object ValidatorApp {
 
     val all = spark.read.parquet(cfg.documentsPath)
     val manifest = cfg.manifestPath.map(new Manifest(_))
-    val docs = manifest match {
-      case Some(m) => Pipeline.resumable(spark, all, m, cfg.snapshotId, cfg.schema, cfg.nBuckets)
-      case None => all
-    }
+    val done = manifest.map(_.completedBuckets(cfg.snapshotId, cfg.schema.constraintHash))
+      .getOrElse(Set.empty[Int])
+    // a resume: some buckets are recorded complete, so this run validates a
+    // strict subset. The FIRST recorded run is always a full pass (nothing
+    // was in the manifest to filter), so every dataset-level result for this
+    // (snapshot, constraintHash) is already durably written by it.
+    val isResume = done.nonEmpty
+    val docs =
+      if (!isResume) all
+      else Pipeline.withBucket(all, cfg.nBuckets)
+        .filter(!col("bucket").isin(done.toSeq: _*)).drop("bucket")
 
     // run-scoped partition subdirs: a RESUMED run writes alongside prior
     // runs instead of overwriting them (overwrite on the shared dir would
     // destroy buckets the manifest records complete while keeping them
-    // marked done); read the parent dir to union all runs
+    // marked done); union runs via readViolations/readVerdicts, which
+    // apply last-run-wins (a naive parent-dir read double-counts buckets
+    // written by a run that crashed before recording them)
     val runId = s"run=${System.currentTimeMillis()}"
 
-    val violations = Pipeline.violations(spark, docs, cfg.schema, checks).cache()
+    // referential checks must probe the FULL corpus even on a resume —
+    // refs in remaining buckets can point at docs in completed buckets
+    val universe = if (isResume) Some(all) else None
+    val violationsRaw =
+      Pipeline.violations(spark, docs, cfg.schema, checks, universe = universe).cache()
+    // dataset-level rows (docId null → bucket -1: vocabulary checks, the
+    // -50 warning series, URI-existence) belong to the snapshot, not to a
+    // bucket subset. On a resume they were fully written by the first run;
+    // recomputing them over the remaining subset would union duplicated,
+    // subset-derived rows alongside run 1's (round-2 advice).
+    val violations =
+      if (isResume) violationsRaw.filter(col("docId").isNotNull) else violationsRaw
     violations.write.mode("overwrite").parquet(s"$outDir/violations/$runId")
 
     // verdicts roll up the already-materialized violations (no second
-    // validation pass)
-    val verdicts = Pipeline.verdictsFrom(spark, violations, docs, cfg.schema,
+    // validation pass); the partitionId = -1 dataset-level verdict row is
+    // likewise emitted only by the first (full) run
+    val verdictsAll = Pipeline.verdictsFrom(spark, violations, docs, cfg.schema,
       cfg.snapshotId, cfg.nBuckets, checks)
+    val verdicts =
+      if (isResume) verdictsAll.filter(col("partitionId") >= 0) else verdictsAll
     verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/$runId")
 
     // record completed buckets (per-partition lineage + metrics) — THIS
@@ -67,10 +123,13 @@ object ValidatorApp {
 
     // --fix analogue: repair dangling refs into a new snapshot and embed
     // the deleted-triples log in the reports (CheckURIExistence.php:190-211).
-    // Skipped when the resume filter left nothing to validate — a fully-
-    // resumed run must not overwrite a prior fixed snapshot with emptiness.
-    val fixLog = cfg.fixOut.filter(_ => !docs.isEmpty).map { p =>
-      Fix.fixDanglingRefs(spark, docs, cfg.schema, p).cache()
+    // ALWAYS over the FULL corpus: the fix is snapshot-level, and running it
+    // against the resume-filtered subset would treat refs into completed
+    // buckets as dangling and overwrite the snapshot with an over-pruned
+    // corpus (round-2 advice, high). Idempotent, so a fully-resumed rerun
+    // rewrites the same repaired snapshot.
+    val fixLog = cfg.fixOut.map { p =>
+      Fix.fixDanglingRefs(spark, all, cfg.schema, p).cache()
     }
 
     cfg.xmlOut.foreach { p =>
@@ -88,6 +147,6 @@ object ValidatorApp {
     val nErr = violations.filter(col("severity") === "error").count()
     val nWarn = violations.filter(col("severity") === "warning").count()
     println(s"[graft] ${cfg.checkKeys.size} checks, $nErr errors, $nWarn warnings → $outDir")
-    violations.unpersist()
+    violationsRaw.unpersist()
   }
 }

@@ -19,6 +19,16 @@ import graft.functions.SimHash64
   */
 object Dedup {
 
+  /** Observe() names must be unique within one analyzed plan — a query
+    * containing two instances of the same candidate generator (e.g. a union
+    * of minhashCandidates over two corpora) would otherwise fail analysis
+    * with duplicate CollectMetrics names. Every call site takes a fresh
+    * `<prefix>_<n>` name; listeners should match on the prefix.
+    */
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private[ops] def uniqueMetricName(prefix: String): String =
+    s"${prefix}_${metricSeq.incrementAndGet()}"
+
   // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
@@ -222,7 +232,7 @@ object Dedup {
       explode(graft.functions.WinnowSig.winnowSig(col(text), k, w)).as("fp"))
     val grouped = fps.groupBy("fp")
       .agg(array_sort(collect_list(col("__id"))).as("members"))
-      .observe("lsh_winnow",
+      .observe(uniqueMetricName("lsh_winnow"),
         sum(when(size(col("members")) > maxBucketSize, 1).otherwise(0))
           .as("dropped_buckets"),
         max(size(col("members"))).as("max_bucket_size"))
@@ -258,7 +268,7 @@ object Dedup {
       extra.map(e => col(e).as(e.stripPrefix("__")))): _*)
     val grouped = banded.groupBy("band", "bucket")
       .agg(collect_list(payload).as("members"))
-      .observe(metricName,
+      .observe(uniqueMetricName(metricName),
         sum(when(size(col("members")) > maxBucketSize, 1).otherwise(0))
           .as("dropped_buckets"),
         max(size(col("members"))).as("max_bucket_size"))

@@ -128,8 +128,9 @@ object Similarity {
     val grouped = banded.groupBy("band", "bucket")
       .agg(collect_list(struct(col("__id").as("id"), col("__v").as("v"))).as("m"))
       // over-size buckets are capped, never silently: see Dedup's
-      // bucketPairsWith note (metric `lsh_cosine`)
-      .observe("lsh_cosine",
+      // bucketPairsWith note (metric prefix `lsh_cosine`; names are
+      // uniquified per call so two instances can share one plan)
+      .observe(Dedup.uniqueMetricName("lsh_cosine"),
         sum(when(size(col("m")) > maxBucketSize, 1).otherwise(0)).as("dropped_buckets"),
         max(size(col("m"))).as("max_bucket_size"))
       .filter(size(col("m")).between(2, maxBucketSize))

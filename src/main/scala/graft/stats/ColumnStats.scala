@@ -29,6 +29,7 @@ object ColumnStats {
       case _: NumericType => true
       case org.apache.spark.sql.types.StringType => true
       case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
       case org.apache.spark.sql.types.DateType => true
       case org.apache.spark.sql.types.BooleanType => true
       case _ => false

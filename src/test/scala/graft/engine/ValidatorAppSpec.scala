@@ -62,4 +62,54 @@ class ValidatorAppSpec extends SparkTestBase {
     assert(afterResume == firstRunViolations,
       s"resume clobbered prior results: $afterResume != $firstRunViolations")
   }
+
+  test("PARTIAL resume: full-corpus fix, no dataset-row duplication, exact union-of-runs") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-resume").toString
+    DocGen.documents(spark, 3000L).toDF()
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    val cfg = ValidatorConfig(
+      documentsPath = s"$tmp/docs", snapshotId = "snap-partial",
+      checkKeys = Seq("kinds-defined", "classes-defined", "uri-existence",
+        "object-range", "domain", "datatype", "cardinality", "some", "only"),
+      schema = DocGen.schema, xmlOut = None, jsonOut = None,
+      manifestPath = Some(s"$tmp/manifest.jsonl"), nBuckets = 8,
+      fixOut = Some(s"$tmp/fixed"))
+
+    ValidatorApp.run(spark, cfg, s"$tmp/out")
+    val datasetRows = ValidatorApp.readViolations(spark, s"$tmp/out")
+      .filter(col("docId").isNull).count()
+
+    // simulate a crash between the violations write and recordRun: only 4
+    // of the 8 buckets made it into the manifest
+    val mf = java.nio.file.Paths.get(s"$tmp/manifest.jsonl")
+    val lines = Files.readAllLines(mf)
+    Files.write(mf, new java.util.ArrayList(lines.subList(0, 4)))
+    Thread.sleep(5) // distinct run= timestamp
+    ValidatorApp.run(spark, cfg, s"$tmp/out")
+
+    // fix is snapshot-level: the repaired snapshot must NEVER be truncated
+    // to the resumed subset (round-2 advice, high)
+    assert(spark.read.parquet(s"$tmp/fixed").count() == 3000L)
+
+    // dataset-level rows come only from the first (full) run — the resumed
+    // run must not union subset-derived duplicates (round-2 advice, medium)
+    val union = ValidatorApp.readViolations(spark, s"$tmp/out")
+    assert(union.filter(col("docId").isNull).count() == datasetRows)
+    val dupMinus1 = ValidatorApp.readVerdicts(spark, s"$tmp/out")
+      .filter(col("partitionId") === -1)
+      .groupBy("checkId").count().filter(col("count") > 1).count()
+    assert(dupMinus1 == 0)
+
+    // union-of-runs ≡ a fresh full validation, row-for-row (null-safe keys:
+    // several checks emit value = NULL)
+    val fresh = Pipeline.violations(spark, spark.read.parquet(s"$tmp/docs"),
+      cfg.schema).filter(col("docId").isNotNull).na.fill("<null>", Seq("value"))
+    val got = union.filter(col("docId").isNotNull).na.fill("<null>", Seq("value"))
+    val f = fresh.groupBy("check", "checkId", "docId", "kind", "value").count()
+    val g = got.groupBy("check", "checkId", "docId", "kind", "value").count()
+    val mismatch = f.join(g, Seq("check", "checkId", "docId", "kind", "value"), "full")
+      .filter(!(f("count") <=> g("count"))).count()
+    assert(mismatch == 0, s"union-of-runs differs from a fresh full run on $mismatch keys")
+  }
 }
