@@ -195,6 +195,22 @@ object SparkEntry {
       viol(s, "OWL-RESTRICTION-SOME", "OWL-RESTRICTION-ONLY")
         .select("checkId", "docId", "kind", "value")),
 
+    // strict-mode datatype check over the ANNOTATED corpus (span-level
+    // datatype seam): -100 asserted-datatype mismatches (Virtuoso coercion
+    // whitelist applied) + -101 lexical errors on the values that pass the
+    // gate — reference control flow CheckDatatypePropertiesDatatype.php:198-495
+    "q_validate_dtstrict" -> ((s, _) => {
+      val strictChecks = graft.checks.Checks.all.map {
+        case c: graft.checks.CheckDatatypeImpl => c.configure(Map("mode" -> "strict"))
+        case c => c
+      }
+      Pipeline.violations(s, DocGen.annotatedDocuments(s, VerifyDocs).toDF(),
+          DocGen.schema, strictChecks)
+        .filter(col("check") === "DATATYPE-PROPERTIES-DATATYPE" &&
+          col("severity") === "error")
+        .select("checkId", "docId", "kind", "value")
+    }),
+
     // --- whole-pipeline rollup: per-family violation counts, oracle = the
     // seven family SQLs UNION ALL'd and counted (group-count over a union)
     "q_validate_docs" -> ((s, d) =>
@@ -408,6 +424,34 @@ object SparkEntry {
   // lazy: the Spans/Cls/Art fragment vals below are declared later in the
   // object and would still be null during eager initialization
   private lazy val ValidateSql: Map[String, String] = Map(
+    // strict-mode gate + lexical pass over the annotated fixture: adt =
+    // asserted datatype (null → rdfs:Literal), rng = declared range;
+    // whitelist = the one Virtuoso coercion this schema can hit
+    // (boolean ← integer); dt:score is the only custom range (string-
+    // asserted values skip the lexical pass)
+    "q_validate_dtstrict" ->
+      ("WITH sa AS (SELECT * FROM read_parquet('__OUT__/fixtures/docs_spans_annot/*.parquet')), " +
+        "d AS (SELECT doc_id, kind, text, " +
+        s"coalesce(datatype, '${SchemaRdfs}Literal') AS adt, " +
+        s"CASE kind WHEN 'txt:title' THEN '${SchemaXsd}string' " +
+        s"WHEN 'txt:count' THEN '${SchemaXsd}unsignedInt' " +
+        s"WHEN 'txt:date' THEN '${SchemaXsd}dateTime' " +
+        s"WHEN 'txt:lang' THEN '${SchemaXsd}language' " +
+        "WHEN 'txt:score' THEN 'dt:score' " +
+        s"WHEN 'txt:flag' THEN '${SchemaXsd}boolean' " +
+        s"WHEN 'txt:uri' THEN '${SchemaXsd}anyURI' END AS rng " +
+        "FROM sa WHERE text IS NOT NULL AND kind IN ('txt:title','txt:count','txt:date','txt:lang','txt:score','txt:flag','txt:uri')), " +
+        s"g AS (SELECT *, (adt <> rng AND adt <> '${SchemaXsd}string' AND NOT (rng = '${SchemaXsd}boolean' AND adt = '${SchemaXsd}integer')) AS mismatch FROM d) " +
+        "SELECT 'DATATYPE-PROPERTIES-DATATYPE-100' AS checkId, doc_id AS docId, kind, text AS value FROM g WHERE mismatch " +
+        "UNION ALL SELECT 'DATATYPE-PROPERTIES-DATATYPE-101', doc_id, kind, text FROM g " +
+        s"WHERE NOT mismatch AND NOT (rng = 'dt:score' AND adt = '${SchemaXsd}string') AND (" +
+        "(kind = 'txt:count' AND NOT (regexp_matches(text, '^\\+?[0-9]+$') AND try_cast(text AS UBIGINT) <= 4294967295)) OR " +
+        "(kind = 'txt:flag' AND text NOT IN ('true','false','0','1')) OR " +
+        "(kind = 'txt:uri' AND regexp_matches(text, '#.*#')) OR " +
+        s"(kind = 'txt:lang' AND NOT regexp_matches(text, '$LangRx')) OR " +
+        s"(kind = 'txt:date' AND NOT regexp_matches(text, '$DateRx')) OR " +
+        s"(kind = 'txt:score' AND NOT ($ScoreOk)))"),
+
     "q_validate_datatype" ->
       (SpansCte +
         "SELECT doc_id AS docId, kind, text AS value FROM s WHERE " +
@@ -479,6 +523,8 @@ object SparkEntry {
     "cls AS (SELECT doc_id, min(CASE WHEN kind = 'type' THEN text END) AS cls FROM s GROUP BY doc_id)"
   private val ArtCte =
     "art AS (SELECT doc_id FROM cls WHERE cls = 'class:Article')"
+  private val SchemaXsd = "http://www.w3.org/2001/XMLSchema#"
+  private val SchemaRdfs = "http://www.w3.org/2000/01/rdf-schema#"
   private val LangRx = "^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$"
   private val DateRx =
     "^\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])T([01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?$"

@@ -32,6 +32,14 @@ object Verify {
         col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))
       .coalesce(1).write.mode("overwrite").parquet(s"$absOut/fixtures/docs_spans")
 
+    // annotated twin (span-level datatype seam) for the strict-mode oracle
+    graft.datagen.DocGen.annotatedDocuments(spark, SparkEntry.VerifyDocs).toDF()
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.offset").as("offset"),
+        col("s.datatype").as("datatype"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$absOut/fixtures/docs_spans_annot")
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

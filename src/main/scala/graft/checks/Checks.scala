@@ -54,6 +54,26 @@ final case class CheckContext(
     */
   def field(name: String): Column = col(s"spans.$name")
 
+  /** Ordinal of the OPTIONAL span-level `datatype` annotation field in the
+    * span struct (-1 when the corpus carries none). Its presence enables
+    * strict-mode datatype comparison and datatype-qualified cardinality
+    * counting (the span-datatype seam).
+    */
+  lazy val spanDatatypeOrd: Int = docs.schema.find(_.name == "spans").map(_.dataType) match {
+    case Some(org.apache.spark.sql.types.ArrayType(
+        st: org.apache.spark.sql.types.StructType, _)) =>
+      st.fieldNames.indexOf("datatype")
+    case _ => -1
+  }
+  def hasSpanDatatype: Boolean = spanDatatypeOrd >= 0
+
+  /** Number of fields in the span struct (4, or 5 with the datatype seam). */
+  lazy val spanArity: Int = docs.schema.find(_.name == "spans").map(_.dataType) match {
+    case Some(org.apache.spark.sql.types.ArrayType(
+        st: org.apache.spark.sql.types.StructType, _)) => st.size
+    case _ => 4
+  }
+
   /** Array of (f1, f2, ...) structs zipped from span subfields — also
     * nested-pruning-friendly (unlike a lambda that rebuilds the struct).
     */
@@ -240,6 +260,11 @@ object CheckContext {
 sealed trait ConstraintCheck {
   def id: String
   def run(ctx: CheckContext): DataFrame
+  /** Parameterized variant of this check — the `?k=v` per-check config
+    * syntax of the reference CLI (dvt:142-146, e.g. `datatype?mode=strict`).
+    * Default: parameters are ignored.
+    */
+  def configure(params: Map[String, String]): ConstraintCheck = this
 }
 
 /** A check whose error path is a row-local violation-struct array. Such
@@ -396,23 +421,36 @@ object CheckDomain extends RowLocalCheck {
   }
 }
 
-/** Datatype-conformance check (CheckDatatypePropertiesDatatype.php): every
-  * text value of a datatype kind must be lexically valid for the kind's
-  * declared range datatype (facet-aware for custom datatypes). Single scan,
-  * shuffle-free error path: offending spans are filtered row-locally
-  * pre-explode with one CASE dispatch per kind. Kinds used without a
-  * declared range → warning `-50` (:104-115).
+/** Datatype-conformance check (CheckDatatypePropertiesDatatype.php).
+  * Reference id convention (:219, :488): `-100` = STRICT-mode mismatch of
+  * the value's asserted datatype annotation against the declared range,
+  * `-101` = lexically invalid value. Kinds used without a declared range →
+  * warning `-50` (:104-115).
   *
-  * N/A by design: (a) strict mode's `-101` (:198-231,:488) compares the
-  * value's ASSERTED datatype annotation against the declared range — our
-  * span model carries no datatype annotations (text is a plain lexical
-  * form), so there is nothing to compare; lexical validity (`-100`) is the
-  * whole check. A span-level `datatype` column would make `-101`
-  * expressible if a future source carries annotations. (b) `-51/-52`
-  * (:504-517) are OSF web-service failure artifacts.
+  * Lexical validity (`-101`, facet-aware for custom datatypes) evaluates in
+  * a single scan, shuffle-free: offending spans are filtered row-locally
+  * pre-explode with one CASE dispatch per kind.
+  *
+  * Strict mode (`datatype?mode=strict`, dvt-style per-check param) engages
+  * when the corpus carries the span-level `datatype` annotation column:
+  * unannotated values compare as rdfs:Literal (:188-192); asserted
+  * xsd:string always passes (:196-201 — Virtuoso's default type); the
+  * coercion whitelist (:204-213, [[SchemaDef.VirtuosoCoercions]]) mutes the
+  * listed integer/decimal rewrites; a mismatch emits `-100` and skips
+  * lexical validation (the reference's `continue`). Custom-range values
+  * asserted xsd:string skip lexical validation (validateCustomDatatype
+  * cannot resolve xsd:string as a custom type).
+  *
+  * N/A by design: `-51/-52` (:504-517) are OSF web-service failure artifacts.
   */
-object CheckDatatype extends RowLocalCheck {
+class CheckDatatypeImpl(val strict: Boolean) extends RowLocalCheck {
   val id = "DATATYPE-PROPERTIES-DATATYPE"
+
+  override def configure(params: Map[String, String]): ConstraintCheck =
+    if (params.get("mode").contains("strict")) new CheckDatatypeImpl(true)
+    else if (params.get("mode").contains("loose")) new CheckDatatypeImpl(false)
+    else this
+
   def violArray(ctx: CheckContext): Column = {
     val dtKinds = ctx.schema.kinds.filter(k => k.kindType == "datatype" && k.range != null)
     if (dtKinds.isEmpty) return ctx.emptyVArray
@@ -425,14 +463,45 @@ object CheckDatatype extends RowLocalCheck {
       dtKinds.foldLeft(lit(null).cast("string")) { (acc, k) =>
         when(kind === k.kind, lit(k.range)).otherwise(acc)
       }
+    def rangeOf(kind: Column): Column = expectedOf(kind)
 
-    val badSpans = filter(ctx.zipped("kind", "text"), p =>
-      p.getField("kind").isin(dtKinds.map(_.kind): _*) &&
-        p.getField("text").isNotNull &&
+    val strictOn = strict && ctx.hasSpanDatatype
+    val spans =
+      if (strictOn) ctx.zipped("kind", "text", "datatype")
+      else ctx.zipped("kind", "text")
+    val isDtKind = (p: Column) =>
+      p.getField("kind").isin(dtKinds.map(_.kind): _*) && p.getField("text").isNotNull
+
+    if (!strictOn) {
+      val badSpans = filter(spans, p => isDtKind(p) &&
         !coalesce(validOf(p.getField("kind"), p.getField("text")), lit(false)))
-    transform(badSpans, p =>
-      ctx.vStruct(s"$id-100", p.getField("kind"), p.getField("text"),
-        expectedOf(p.getField("kind"))))
+      transform(badSpans, p =>
+        ctx.vStruct(s"$id-101", p.getField("kind"), p.getField("text"),
+          expectedOf(p.getField("kind"))))
+    } else {
+      val xsdString = SchemaDef.XSD + "string"
+      val customRanges = dtKinds.map(_.range).filter(ctx.schema.isCustomDatatype).distinct
+      def asserted(p: Column): Column =
+        coalesce(p.getField("datatype"), lit(SchemaDef.RDFS + "Literal"))
+      def whitelisted(p: Column): Column =
+        SchemaDef.VirtuosoCoercions.foldLeft(lit(false)) { case (acc, (range, dts)) =>
+          when(rangeOf(p.getField("kind")) === range,
+            asserted(p).isin(dts.toSeq: _*)).otherwise(acc)
+        }
+      def mismatch(p: Column): Column =
+        asserted(p) =!= rangeOf(p.getField("kind")) &&
+          asserted(p) =!= xsdString && !whitelisted(p)
+      def skipLexical(p: Column): Column = mismatch(p) ||
+        (rangeOf(p.getField("kind")).isin(customRanges: _*) && asserted(p) === xsdString)
+
+      val flagged = filter(spans, p => isDtKind(p) && (mismatch(p) ||
+        (!skipLexical(p) &&
+          !coalesce(validOf(p.getField("kind"), p.getField("text")), lit(false)))))
+      transform(flagged, p =>
+        ctx.vStruct(null, p.getField("kind"), p.getField("text"),
+          expectedOf(p.getField("kind"))).withField("checkId",
+          when(mismatch(p), lit(s"$id-100")).otherwise(lit(s"$id-101"))))
+    }
   }
 
   override def extraFrames(ctx: CheckContext): Seq[DataFrame] = {
@@ -444,6 +513,11 @@ object CheckDatatype extends RowLocalCheck {
         lit(null), lit("kind has a declared range datatype")): _*))
   }
 }
+
+/** Default (loose-mode) datatype check instance; `configure(mode=strict)`
+  * returns the strict variant.
+  */
+object CheckDatatype extends CheckDatatypeImpl(false)
 
 /** Cardinality restrictions (CheckOwlRestriction{Max,Min,Exact}.php): the
   * reference's `group by ?s ?onProperty having count(...)` is re-expressed
@@ -476,7 +550,17 @@ object CheckCardinality extends RowLocalCheck {
     val cls = ctx.clsCol
     val counted = rs.flatMap { r =>
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
-      val cnt = size(filter(ctx.field("kind"), k => k === r.onProperty))
+      // datatype-qualified count when the corpus carries annotations
+      // (datatype(?value) filter, CheckOwlRestrictionMax.php:122-150;
+      // unannotated values compare as xsd:string); unqualified otherwise
+      val accept = ctx.schema.qualifiedDtAccept(r.dataRange)
+      val cnt =
+        if (ctx.hasSpanDatatype && accept != null)
+          size(filter(ctx.zipped("kind", "datatype"), p =>
+            p.getField("kind") === r.onProperty &&
+              coalesce(p.getField("datatype"), lit(SchemaDef.XSD + "string"))
+                .isin(accept.toSeq: _*)))
+        else size(filter(ctx.field("kind"), k => k === r.onProperty))
       val app = cls.isin(applicable: _*)
       r.rtype match {
         case "max" => Seq(

@@ -16,15 +16,15 @@ import graft.model._
   *   m=101  span with undefined kind          → PROPERTIES-DEFINED-100
   *   m=103  type span with undefined class    → CLASSES-DEFINED-100
   *   m=97   dangling media_ref                → URI-EXISTENCE-100
-  *   m=89   txt:count = "abc"                 → DATATYPE-PROPERTIES-DATATYPE-100
-  *   m=53   txt:uri invalid IRI               → DATATYPE-PROPERTIES-DATATYPE-100
-  *   m=47   txt:flag = "T"                    → DATATYPE-PROPERTIES-DATATYPE-100
+  *   m=89   txt:count = "abc"                 → DATATYPE-PROPERTIES-DATATYPE-101
+  *   m=53   txt:uri invalid IRI               → DATATYPE-PROPERTIES-DATATYPE-101
+  *   m=47   txt:flag = "T"                    → DATATYPE-PROPERTIES-DATATYPE-101
   *   m=79   Article missing txt:title         → OWL-RESTRICTION-MIN-102 (lcm 474)
   *   m=73   Article with 3 med:image          → OWL-RESTRICTION-MAX-101 (lcm 438;
   *          -101: the med:image restriction is class-qualified)
   *   m=83   Article with 0 txt:date           → OWL-RESTRICTION-EXACT-102 (lcm 498)
   *   m=71   Article with 2 txt:date           → OWL-RESTRICTION-EXACT-100 (lcm 426)
-  *   m=29   first txt:date lexically invalid  → DATATYPE-PROPERTIES-DATATYPE-100
+  *   m=29   first txt:date lexically invalid  → DATATYPE-PROPERTIES-DATATYPE-101
   *          (+ OWL-RESTRICTION-EXACT-104 on Articles: the per-value
   *          validity sub-pass of the exact-1 dateTime restriction; lcm 174)
   *   m=37   Article's med:attach targets an Audio doc (normally Video)
@@ -137,6 +137,50 @@ object DocGen {
   def documents(spark: SparkSession, n: Long): Dataset[Document] = {
     import spark.implicits._
     spark.range(n).as[Long].map(i => make(i, n))
+  }
+
+  /** Asserted-datatype annotation of a span in the ANNOTATED corpus variant
+    * (the span-datatype seam). Default: every datatype-kind span is
+    * annotated with its declared range (a well-typed source). Plants:
+    *   m=31  txt:count → xsd:integer   strict MISMATCH → DATATYPE-...-100
+    *         (integer→unsignedInt is NOT a Virtuoso coercion)
+    *   m=23  txt:flag  → xsd:integer   whitelisted coercion (boolean ←
+    *         integer) → NO -100; lexical validation still runs
+    *   m=19  txt:date  → unannotated   strict -100 (rdfs:Literal mismatch)
+    *         AND the value stops counting toward the datatype-qualified
+    *         EXACT-1 dateTime restriction (datatype() = xsd:string) —
+    *         Articles at lcm 114 flip to OWL-RESTRICTION-EXACT-102
+    *   m=13  txt:score → xsd:string    strict custom-range skip: the gate
+    *         passes (xsd:string) but validateCustomDatatype can't target
+    *         'xsd:string', so NO lexical verdict — a doc at lcm(13,59)=767
+    *         keeps its "150" without a -101 in strict mode (loose flags it)
+    * Non-datatype kinds (type, med:*, txt:note, undefined) stay null.
+    */
+  def spanDatatype(i: Long, kind: String): String = kind match {
+    case "txt:title" => SchemaDef.XSD + "string"
+    case "txt:count" =>
+      if (i % 31 == 0) SchemaDef.XSD + "integer" else SchemaDef.XSD + "unsignedInt"
+    case "txt:date" => if (i % 19 == 0) null else SchemaDef.XSD + "dateTime"
+    case "txt:lang" => SchemaDef.XSD + "language"
+    case "txt:score" => if (i % 13 == 0) SchemaDef.XSD + "string" else "dt:score"
+    case "txt:flag" =>
+      if (i % 23 == 0) SchemaDef.XSD + "integer" else SchemaDef.XSD + "boolean"
+    case "txt:uri" => SchemaDef.XSD + "anyURI"
+    case _ => null
+  }
+
+  /** [[make]] with the optional 5th span field populated — the annotated
+    * twin corpus for the strict-mode / qualified-count checks.
+    */
+  def makeAnnotated(i: Long, n: Long): AnnotatedDocument = {
+    val d = make(i, n)
+    AnnotatedDocument(d.doc_id, d.spans.map(s =>
+      AnnotatedSpan(s.kind, s.text, s.media_ref, s.offset, spanDatatype(i, s.kind))))
+  }
+
+  def annotatedDocuments(spark: SparkSession, n: Long): Dataset[AnnotatedDocument] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map(i => makeAnnotated(i, n))
   }
 
   /** The constraint-schema fixture matching the generator (FIXTURES.md §2). */

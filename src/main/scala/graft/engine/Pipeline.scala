@@ -48,9 +48,18 @@ object Pipeline {
         val one =
           if (native) {
             // the native single-pass expression: compiled validators,
-            // primitive counters, one output array — codegen'd end to end
+            // primitive counters, one output array — codegen'd end to end.
+            // Strictness and the optional span-datatype layout flow in from
+            // the configured check / the corpus schema (the datatype seam).
+            val strictDt = rowLocal.exists {
+              case c: graft.checks.CheckDatatypeImpl => c.strict
+              case _ => false
+            }
             val cc = graft.functions.CompiledConstraints.from(
-              schema, rowLocal.map(_.id).toSet)
+              schema, rowLocal.map(_.id).toSet,
+              strictDt = strictDt,
+              spanArity = ctx.spanArity,
+              dtOrdinal = ctx.spanDatatypeOrd)
             docs.select(col("doc_id"),
               explode(graft.functions.ValidateSpans.validateSpans(col("spans"), cc)).as("v"))
               .select(col("v.checkId").as("checkId"), lit("error").as("severity"),

@@ -61,10 +61,18 @@ object ValidatorApp {
   }
 
   def run(spark: SparkSession, cfg: ValidatorConfig, outDir: String): Unit = {
-    val checks = cfg.checkKeys.map(k => ValidatorConfig.CheckRegistry.getOrElse(k,
-      sys.error(s"unknown check key '$k' (known: ${ValidatorConfig.CheckRegistry.keys.toSeq.sorted.mkString(", ")})")))
+    val checks = cfg.checkKeys.map { key =>
+      val (base, params) = ValidatorConfig.parseCheckKey(key)
+      ValidatorConfig.CheckRegistry.getOrElse(base,
+        sys.error(s"unknown check key '$base' (known: ${ValidatorConfig.CheckRegistry.keys.toSeq.sorted.mkString(", ")})"))
+        .configure(params)
+    }
 
-    val all = spark.read.parquet(cfg.documentsPath)
+    // bucketed catalog table preferred: the doc_id universe side of the
+    // referential joins then scans pre-hashed buckets shuffle-free
+    val all = cfg.bucketedTable
+      .map(t => Layout.readBucketed(spark, t))
+      .getOrElse(spark.read.parquet(cfg.documentsPath))
     val manifest = cfg.manifestPath.map(new Manifest(_))
     val done = manifest.map(_.completedBuckets(cfg.snapshotId, cfg.schema.constraintHash))
       .getOrElse(Set.empty[Int])
@@ -131,15 +139,16 @@ object ValidatorApp {
     val fixLog = cfg.fixOut.map { p =>
       Fix.fixDanglingRefs(spark, all, cfg.schema, p).cache()
     }
+    val sourceLabel = cfg.bucketedTable.map("table:" + _).getOrElse(cfg.documentsPath)
 
     cfg.xmlOut.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        Reports.xml(violations, Seq(cfg.documentsPath),
+        Reports.xml(violations, Seq(sourceLabel),
           Seq("schema:" + cfg.schema.constraintHash), fixLog = fixLog))
     }
     cfg.jsonOut.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        Reports.json(violations, Seq(cfg.documentsPath),
+        Reports.json(violations, Seq(sourceLabel),
           Seq("schema:" + cfg.schema.constraintHash), fixLog = fixLog))
     }
     fixLog.foreach(_.unpersist())

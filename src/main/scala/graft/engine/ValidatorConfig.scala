@@ -40,7 +40,12 @@ final case class ValidatorConfig(
     jsonOut: Option[String],
     manifestPath: Option[String],
     nBuckets: Int,
-    fixOut: Option[String] = None // `fix.out`: dvt --fix analogue — write the URI-fixed snapshot here
+    fixOut: Option[String] = None, // `fix.out`: dvt --fix analogue — write the URI-fixed snapshot here
+    // `data.bucketedTable`: read the corpus from a doc_id-bucketed catalog
+    // table (Layout.writeBucketed) instead of `data.documents` — the
+    // universe side of the referential joins then scans pre-hashed buckets
+    // with NO exchange (the largest shuffle in the pipeline at 10^12 docs)
+    bucketedTable: Option[String] = None
 )
 
 object ValidatorConfig {
@@ -58,6 +63,20 @@ object ValidatorConfig {
     "field-type-defined" -> graft.checks.CheckFieldTypeDefined,
     "doc-id-unique" -> graft.checks.CheckDocIdUnique
   )
+
+  /** `cardinality?maxBuckets=128&mode=x` → ("cardinality",
+    * Map(maxBuckets -> 128, mode -> x)) — the reference CLI's per-check
+    * parameter syntax (dvt:142-146: `--check-name?param=value`).
+    */
+  def parseCheckKey(key: String): (String, Map[String, String]) =
+    key.split("\\?", 2) match {
+      case Array(base) => (base.trim, Map.empty)
+      case Array(base, q) =>
+        (base.trim, q.split("&").iterator.map(_.split("=", 2)).collect {
+          case Array(k, v) => k.trim -> v.trim
+          case Array(k) => k.trim -> ""
+        }.toMap)
+    }
 
   def load(path: String): ValidatorConfig = {
     val lines = Files.readAllLines(Paths.get(path)).asScala
@@ -106,7 +125,8 @@ object ValidatorConfig {
 
     ValidatorConfig(
       documentsPath = one("data.documents").getOrElse(
-        sys.error(s"$path: data.documents is required")),
+        if (one("data.bucketedTable").isDefined) ""
+        else sys.error(s"$path: data.documents or data.bucketedTable is required")),
       snapshotId = one("data.snapshotId").getOrElse("snapshot-0"),
       checkKeys = {
         val ks = list("checks")
@@ -120,7 +140,8 @@ object ValidatorConfig {
       jsonOut = one("output.json"),
       manifestPath = one("manifest"),
       nBuckets = one("buckets").map(_.toInt).getOrElse(Pipeline.DefaultBuckets),
-      fixOut = one("fix.out")
+      fixOut = one("fix.out"),
+      bucketedTable = one("data.bucketedTable")
     )
   }
 }

@@ -64,23 +64,51 @@ case class ValidateSpans(child: Expression, constraints: CompiledConstraints)
   override def prettyName: String = "validate_spans"
 }
 
+/** One compiled datatype-kind entry: declared range, its lexical validator,
+  * the strict-mode coercion whitelist for the range, and whether the range
+  * is a facet-defined custom datatype (strict mode skips lexical validation
+  * of custom-range values asserted xsd:string — the reference's
+  * validateCustomDatatype can't resolve 'xsd:string' as a custom type).
+  */
+final case class DtDef(range: String, validator: String => Boolean,
+                       coerce: Set[String], isCustom: Boolean)
+    extends Serializable
+
+/** One compiled min/max/exact restriction: `acceptDt` is the asserted-
+  * datatype filter of a datatype-qualified count
+  * ([[graft.model.SchemaDef.qualifiedDtAccept]]); null = unqualified. It is
+  * applied only when the corpus carries the span-level datatype column.
+  */
+final case class CardDef(classes: Set[String], prop: String, rtype: String,
+                         n: Int, dataRange: String,
+                         validator: String => Boolean, acceptDt: Set[String])
+    extends Serializable
+
 /** Driver-compiled, serializable form of the subject-local constraint set.
   * Validators are compiled `String => Boolean` closures over precompiled
   * regex patterns ([[ScalaValidators]]); class sets are hash sets.
+  *
+  * `spanArity`/`dtOrdinal` describe the physical span-struct layout:
+  * (kind, text, media_ref, offset) plus the OPTIONAL trailing `datatype`
+  * annotation column — `dtOrdinal = -1` when the corpus has none, in which
+  * case strict mode and qualified counting are inert. `strictDt` is the
+  * reference's `?mode=strict` check parameter.
   */
 final case class CompiledConstraints(
-    // datatype kind -> (expected datatype uri, validator)
-    dtKinds: Map[String, (String, String => Boolean)],
+    // datatype kind -> compiled entry
+    dtKinds: Map[String, DtDef],
     // kind -> allowed subject classes (domain closure)
     domainKinds: Map[String, Set[String]],
-    // (classSet, prop, rtype, n, dataRange|null, validator|null) for
     // data-range/unqualified min/max/exact; the validator drives the
     // per-value lexical sub-pass (MAX-102 / MIN-104 / EXACT-104)
-    cards: Seq[(Set[String], String, String, Int, String, String => Boolean)],
+    cards: Seq[CardDef],
     // (classSet, prop, dataRange, validator) for some
     somes: Seq[(Set[String], String, String, String => Boolean)],
     // (classSet, prop, dataRange, validator) for only
-    onlys: Seq[(Set[String], String, String, String => Boolean)]
+    onlys: Seq[(Set[String], String, String, String => Boolean)],
+    strictDt: Boolean = false,
+    spanArity: Int = 4,
+    dtOrdinal: Int = -1
 ) extends Serializable {
   /** Per-JVM UTF8String-keyed runtime index — rebuilt after deserialization
     * on each executor; avoids materializing a java.lang.String per span
@@ -102,10 +130,16 @@ final class RuntimeIndex(cc: CompiledConstraints) {
 
   val typeKind: UTF8String = u(SchemaDef.TypeKind)
   val owlThing: UTF8String = u(SchemaDef.OWL_THING)
+  val xsdString: UTF8String = u(SchemaDef.XSD + "string")
+  val rdfsLiteral: UTF8String = u(SchemaDef.RDFS + "Literal")
 
-  final class DtEntry(val expected: UTF8String, val fn: String => Boolean)
+  final class DtEntry(val expected: UTF8String, val fn: String => Boolean,
+                      val coerce: java.util.HashSet[UTF8String],
+                      val isCustom: Boolean)
   val dt = new java.util.HashMap[UTF8String, DtEntry]()
-  cc.dtKinds.foreach { case (k, (exp, fn)) => dt.put(u(k), new DtEntry(u(exp), fn)) }
+  cc.dtKinds.foreach { case (k, d) =>
+    dt.put(u(k), new DtEntry(u(d.range), d.validator, uset(d.coerce), d.isCustom))
+  }
 
   val domain = new java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]]()
   cc.domainKinds.foreach { case (k, cls) => domain.put(u(k), uset(cls)) }
@@ -115,9 +149,10 @@ final class RuntimeIndex(cc: CompiledConstraints) {
                         val idWrong: UTF8String, val idZero: UTF8String,
                         val expected: UTF8String,
                         val fn: String => Boolean, val idInvalid: UTF8String,
-                        val expectedDt: UTF8String)
-  val cards: Array[CardEntry] = cc.cards.map { case (cls, prop, rtype, n, dr, fn) =>
-    val (idW, idZ, idI, word) = rtype match {
+                        val expectedDt: UTF8String,
+                        val acceptDt: java.util.HashSet[UTF8String])
+  val cards: Array[CardEntry] = cc.cards.map { c =>
+    val (idW, idZ, idI, word) = c.rtype match {
       case "max" => (u("OWL-RESTRICTION-MAX-100"), null,
         u("OWL-RESTRICTION-MAX-102"), "at most")
       case "min" => (u("OWL-RESTRICTION-MIN-100"), u("OWL-RESTRICTION-MIN-102"),
@@ -125,9 +160,11 @@ final class RuntimeIndex(cc: CompiledConstraints) {
       case _ => (u("OWL-RESTRICTION-EXACT-100"), u("OWL-RESTRICTION-EXACT-102"),
         u("OWL-RESTRICTION-EXACT-104"), "exactly")
     }
-    val rt = rtype match { case "max" => 0; case "min" => 1; case _ => 2 }
-    new CardEntry(uset(cls), u(prop), rt, n, idW, idZ, u(s"$word $n $prop"),
-      fn, idI, if (dr == null) null else u(dr))
+    val rt = c.rtype match { case "max" => 0; case "min" => 1; case _ => 2 }
+    new CardEntry(uset(c.classes), u(c.prop), rt, c.n, idW, idZ,
+      u(s"$word ${c.n} ${c.prop}"), c.validator, idI,
+      if (c.dataRange == null) null else u(c.dataRange),
+      if (c.acceptDt == null) null else uset(c.acceptDt))
   }.toArray
 
   final class SomeEntry(val classes: java.util.HashSet[UTF8String],
@@ -154,22 +191,29 @@ object CompiledConstraints {
   def from(schema: SchemaDef,
            enable: Set[String] = Set("OBJECT-DATATYPE-PROPERTIES-DOMAIN",
              "DATATYPE-PROPERTIES-DATATYPE", "OWL-RESTRICTION-CARD",
-             "OWL-RESTRICTION-SOME", "OWL-RESTRICTION-ONLY")): CompiledConstraints = {
+             "OWL-RESTRICTION-SOME", "OWL-RESTRICTION-ONLY"),
+           strictDt: Boolean = false,
+           spanArity: Int = 4,
+           dtOrdinal: Int = -1): CompiledConstraints = {
     def closure(c: String): Set[String] =
       schema.subClosure.getOrElse(c, Set(c))
     CompiledConstraints(
       dtKinds = if (!enable.contains("DATATYPE-PROPERTIES-DATATYPE")) Map.empty
         else schema.kinds.filter(k => k.kindType == "datatype" && k.range != null)
-          .map(k => k.kind -> (k.range, ScalaValidators.validatorFor(schema, k.range))).toMap,
+          .map(k => k.kind -> DtDef(k.range,
+            ScalaValidators.validatorFor(schema, k.range),
+            SchemaDef.VirtuosoCoercions.getOrElse(k.range, Set.empty),
+            schema.isCustomDatatype(k.range))).toMap,
       domainKinds = if (!enable.contains("OBJECT-DATATYPE-PROPERTIES-DOMAIN")) Map.empty
         else schema.kinds.filter(_.domain.nonEmpty)
           .map(k => k.kind -> k.domain.flatMap(closure).toSet).toMap,
       cards = if (!enable.contains("OWL-RESTRICTION-CARD")) Nil
         else schema.restrictions
           .filter(r => Set("min", "max", "exact").contains(r.rtype) && r.classExpr == null)
-          .map(r => (closure(r.onClass), r.onProperty, r.rtype, r.n, r.dataRange,
+          .map(r => CardDef(closure(r.onClass), r.onProperty, r.rtype, r.n, r.dataRange,
             if (r.dataRange == null) null
-            else ScalaValidators.validatorFor(schema, r.dataRange))),
+            else ScalaValidators.validatorFor(schema, r.dataRange),
+            schema.qualifiedDtAccept(r.dataRange))),
       somes = if (!enable.contains("OWL-RESTRICTION-SOME")) Nil
         else schema.restrictions.filter(r => r.rtype == "some" && r.dataRange != null)
           .map(r => (closure(r.onClass), r.onProperty, r.dataRange,
@@ -177,7 +221,10 @@ object CompiledConstraints {
       onlys = if (!enable.contains("OWL-RESTRICTION-ONLY")) Nil
         else schema.restrictions.filter(r => r.rtype == "only" && r.dataRange != null)
           .map(r => (closure(r.onClass), r.onProperty, r.dataRange,
-            ScalaValidators.validatorFor(schema, r.dataRange)))
+            ScalaValidators.validatorFor(schema, r.dataRange))),
+      strictDt = strictDt,
+      spanArity = spanArity,
+      dtOrdinal = dtOrdinal
     )
   }
 }
@@ -190,7 +237,10 @@ object ValidateSpans {
     StructField("check", StringType))), containsNull = false)
 
   private def u(s: String) = UTF8String.fromString(s)
+  // reference id convention (CheckDatatypePropertiesDatatype.php:219,:488):
+  // -100 = strict-mode asserted-datatype mismatch, -101 = lexically invalid
   private val DT100 = u("DATATYPE-PROPERTIES-DATATYPE-100")
+  private val DT101 = u("DATATYPE-PROPERTIES-DATATYPE-101")
   private val DTCHK = u("DATATYPE-PROPERTIES-DATATYPE")
   private val DOM100 = u("OBJECT-DATATYPE-PROPERTIES-DOMAIN-100")
   private val DOMCHK = u("OBJECT-DATATYPE-PROPERTIES-DOMAIN")
@@ -208,11 +258,14 @@ object ValidateSpans {
 
   /** Referenced from generated code — must stay public.
     * spans struct layout: (kind string, text string, media_ref string,
-    * offset int) — field ordinals 0..3.
+    * offset int) — field ordinals 0..3 — plus the optional trailing
+    * `datatype` annotation at `cc.dtOrdinal` (arity `cc.spanArity`).
     */
   def compute(spans: ArrayData, cc: CompiledConstraints): ArrayData = {
     val idx = cc.index
     val n = spans.numElements()
+    val arity = cc.spanArity
+    val dtOrd = cc.dtOrdinal
     val out = new java.util.ArrayList[InternalRow](4)
 
     // pass 1: subject class (first type-kind span)
@@ -220,7 +273,7 @@ object ValidateSpans {
     var i = 0
     var seenType = false
     while (i < n && !seenType) {
-      val s = spans.getStruct(i, 4)
+      val s = spans.getStruct(i, arity)
       if (!s.isNullAt(0) && idx.typeKind.equals(s.getUTF8String(0))) {
         seenType = true
         cls = if (s.isNullAt(1)) null else s.getUTF8String(1)
@@ -242,16 +295,40 @@ object ValidateSpans {
 
     i = 0
     while (i < n) {
-      val s = spans.getStruct(i, 4)
+      val s = spans.getStruct(i, arity)
       if (!s.isNullAt(0)) {
         val kind = s.getUTF8String(0)
         val text = if (s.isNullAt(1)) null else s.getUTF8String(1)
+        val dtAnn: UTF8String =
+          if (dtOrd >= 0 && !s.isNullAt(dtOrd)) s.getUTF8String(dtOrd) else null
 
-        // datatype conformance
+        // datatype conformance: strict-mode asserted-datatype gate first
+        // (mismatch → -100 and NO lexical validation — the reference's
+        // `continue`), then lexical validity (→ -101)
         if (text != null) {
           val dt = idx.dt.get(kind)
-          if (dt != null && !dt.fn(text.toString)) {
-            out.add(row(DT100, kind, text, dt.expected, DTCHK))
+          if (dt != null) {
+            var skipLexical = false
+            if (cc.strictDt && dtOrd >= 0) {
+              // unannotated values compare as rdfs:Literal at this layer
+              // (CheckDatatypePropertiesDatatype.php:188-192)
+              val asserted = if (dtAnn == null) idx.rdfsLiteral else dtAnn
+              if (!asserted.equals(dt.expected) && !asserted.equals(idx.xsdString)) {
+                if (!dt.coerce.contains(asserted)) {
+                  out.add(row(DT100, kind, text, dt.expected, DTCHK))
+                  skipLexical = true
+                }
+                // whitelisted coercion → fall through to lexical validation
+              } else if (dt.isCustom && asserted.equals(idx.xsdString)) {
+                // custom range + asserted xsd:string: the reference would
+                // call validateCustomDatatype('xsd:string', v), which cannot
+                // resolve — no lexical verdict either way
+                skipLexical = true
+              }
+            }
+            if (!skipLexical && !dt.fn(text.toString)) {
+              out.add(row(DT101, kind, text, dt.expected, DTCHK))
+            }
           }
         }
 
@@ -269,7 +346,13 @@ object ValidateSpans {
         while (c < idx.cards.length) {
           val e = idx.cards(c)
           if (e.prop.equals(kind)) {
-            cardCounts(c) += 1
+            // datatype-qualified count: with annotations present, only
+            // values whose asserted datatype (unannotated → xsd:string at
+            // the SPARQL datatype() layer) passes the range filter count
+            val counted =
+              if (dtOrd < 0 || e.acceptDt == null) true
+              else e.acceptDt.contains(if (dtAnn == null) idx.xsdString else dtAnn)
+            if (counted) cardCounts(c) += 1
             if (e.fn != null && text != null && e.classes.contains(clsOrThing) &&
               !e.fn(text.toString)) {
               if (cardBadSeen == null)

@@ -22,6 +22,29 @@ final case class Document(
     spans: Seq[Span]
 )
 
+/** Span with an optional asserted-datatype annotation — the OPTIONAL 5th
+  * span field (the "span-level datatype seam"). Sources whose literals carry
+  * datatype annotations (the reference's resultset values always do —
+  * CheckDatatypePropertiesDatatype.php:188-192) use this shape; the checks
+  * detect the extra field by schema and enable strict-mode datatype
+  * comparison (`DATATYPE-...-100`) and datatype-qualified cardinality
+  * counting. `datatype == null` means unannotated (the reference maps that
+  * to rdfs:Literal at the value layer and xsd:string at the SPARQL
+  * `datatype(?value)` layer — both conventions are preserved per call site).
+  */
+final case class AnnotatedSpan(
+    kind: String,
+    text: String,
+    media_ref: String,
+    offset: Int,
+    datatype: String
+)
+
+final case class AnnotatedDocument(
+    doc_id: String,
+    spans: Seq[AnnotatedSpan]
+)
+
 /** One violation row — the Spark-native re-expression of the reference's
   * heterogeneous `errors[]` entries (checks/Check.php:17 and e.g.
   * CheckURIExistence.php:77-81). Id convention from the reference:

@@ -121,6 +121,31 @@ final case class SchemaDef(
 
   lazy val kindByName: Map[String, KindDef] = kinds.map(k => k.kind -> k).toMap
 
+  /** Is `dt` a facet-defined custom datatype of this schema? */
+  def isCustomDatatype(dt: String): Boolean = facets.exists(_.datatype == dt)
+
+  /** Asserted datatypes accepted by a datatype-qualified restriction count,
+    * verbatim re-expression of the reference's `datatype(?value)` filter
+    * (CheckOwlRestrictionMax.php:122-150; Min/Exact identical):
+    *  - rdfs:Literal → {rdfs:Literal, xsd:string} (Virtuoso default-type);
+    *  - custom datatype with base xsd:anySimpleType → {dt, base, xsd:string};
+    *  - custom datatype with another base → {dt, base};
+    *  - plain datatype → {dt} exactly.
+    * Unannotated spans compare as xsd:string (SPARQL `datatype()` of a plain
+    * literal under Virtuoso). Returns null when the restriction has no
+    * dataRange (unqualified count).
+    */
+  def qualifiedDtAccept(dataRange: String): Set[String] =
+    if (dataRange == null) null
+    else if (dataRange == SchemaDef.RDFS + "Literal")
+      Set(dataRange, SchemaDef.XSD + "string")
+    else facets.find(_.datatype == dataRange) match {
+      case Some(f) if f.base == SchemaDef.XSD + "anySimpleType" =>
+        Set(dataRange, f.base, SchemaDef.XSD + "string")
+      case Some(f) if f.base != null => Set(dataRange, f.base)
+      case _ => Set(dataRange)
+    }
+
   /** Stable hash of the constraint set, recorded in verdict/lineage rows so a
     * resume only reuses partitions validated under the identical schema.
     */
@@ -143,6 +168,22 @@ object SchemaDef {
 
   /** The span kind that carries a record's class, mirroring `?s a ?class`. */
   val TypeKind = "type"
+
+  /** Virtuoso's internal datatype coercions, verbatim from
+    * CheckDatatypePropertiesDatatype.php:204-213: declared range → asserted
+    * datatypes whose mismatch is muted in strict mode ("false positives" —
+    * Virtuoso rewrites equivalent literals to these types internally).
+    */
+  val VirtuosoCoercions: Map[String, Set[String]] = Map(
+    XSD + "boolean" -> Set(XSD + "integer"),
+    XSD + "unsignedByte" -> Set(XSD + "integer"),
+    XSD + "nonPositiveInteger" -> Set(XSD + "integer"),
+    XSD + "positiveInteger" -> Set(XSD + "integer"),
+    XSD + "negativeInteger" -> Set(XSD + "integer"),
+    XSD + "unsignedLong" -> Set(XSD + "integer", XSD + "decimal"),
+    XSD + "nonNegativeInteger" -> Set(XSD + "integer"),
+    XSD + "unsignedShort" -> Set(XSD + "integer")
+  )
 
   /** Kinds excluded from the referential-existence check, verbatim from
     * CheckURIExistence.php:50.

@@ -74,7 +74,7 @@ class PipelineGoldenSpec extends SparkTestBase {
     expectSet("OBJECT-DATATYPE-PROPERTIES-DOMAIN-100", expected)
   }
 
-  test("DATATYPE-PROPERTIES-DATATYPE-100: exactly the planted lexical errors") {
+  test("DATATYPE-PROPERTIES-DATATYPE-101: exactly the planted lexical errors") {
     def did(i: Long) = DocGen.docId(i)
     val bad = (0L until n).flatMap { i =>
       Seq(
@@ -86,7 +86,9 @@ class PipelineGoldenSpec extends SparkTestBase {
         if (i % 29 == 0 && i % 83 != 0) Some((did(i), "txt:date", "2020-99-99T99:99:99Z")) else None
       ).flatten
     }.toSet
-    expectSet("DATATYPE-PROPERTIES-DATATYPE-100", bad)
+    // -101 per the reference id convention: lexical invalidity (the -100
+    // code is the strict-mode asserted-datatype mismatch)
+    expectSet("DATATYPE-PROPERTIES-DATATYPE-101", bad)
   }
 
   test("DATATYPE-PROPERTIES-DATATYPE-50: warning for range-less kind txt:note") {
@@ -158,7 +160,7 @@ class PipelineGoldenSpec extends SparkTestBase {
       "OBJECT-PROPERTIES-RANGE-100", "OBJECT-PROPERTIES-RANGE-50",
       "OBJECT-DATATYPE-PROPERTIES-DOMAIN-100",
       "OBJECT-DATATYPE-PROPERTIES-DOMAIN-50",
-      "DATATYPE-PROPERTIES-DATATYPE-100", "DATATYPE-PROPERTIES-DATATYPE-50",
+      "DATATYPE-PROPERTIES-DATATYPE-101", "DATATYPE-PROPERTIES-DATATYPE-50",
       "OWL-RESTRICTION-MAX-100", "OWL-RESTRICTION-MAX-101",
       "OWL-RESTRICTION-MIN-100", "OWL-RESTRICTION-MIN-102",
       "OWL-RESTRICTION-EXACT-100", "OWL-RESTRICTION-EXACT-102",

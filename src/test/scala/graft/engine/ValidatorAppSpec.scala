@@ -63,6 +63,32 @@ class ValidatorAppSpec extends SparkTestBase {
       s"resume clobbered prior results: $afterResume != $firstRunViolations")
   }
 
+  test("per-check ?k=v params: datatype?mode=strict flows config → registry → pipeline") {
+    import org.apache.spark.sql.functions._
+    val (base, params) = ValidatorConfig.parseCheckKey("datatype?mode=strict")
+    assert(base == "datatype" && params == Map("mode" -> "strict"))
+    assert(ValidatorConfig.CheckRegistry(base).configure(params)
+      .asInstanceOf[graft.checks.CheckDatatypeImpl].strict)
+
+    val tmp = Files.createTempDirectory("graft-params").toString
+    DocGen.annotatedDocuments(spark, 1000L).toDF()
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/run.properties"),
+      s"""data.documents = $tmp/docs
+         |data.snapshotId = snap-params
+         |checks = datatype?mode=strict
+         |""".stripMargin)
+    // schema from the fixture (the properties file would need ~20 kind
+    // lines; the param syntax under test lives in `checks`)
+    val cfg = ValidatorConfig.load(s"$tmp/run.properties").copy(schema = DocGen.schema)
+    assert(cfg.checkKeys == Seq("datatype?mode=strict"))
+    ValidatorApp.run(spark, cfg, s"$tmp/out")
+    val ids = spark.read.parquet(s"$tmp/out/violations")
+      .select("checkId").distinct().collect().map(_.getString(0)).toSet
+    assert(ids.contains("DATATYPE-PROPERTIES-DATATYPE-100"),
+      s"strict-mode -100 rows expected, got $ids") // m=31/m=19 annotation plants
+  }
+
   test("PARTIAL resume: full-corpus fix, no dataset-row duplication, exact union-of-runs") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("graft-resume").toString

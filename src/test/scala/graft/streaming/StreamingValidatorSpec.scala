@@ -30,7 +30,7 @@ class StreamingValidatorSpec extends SparkTestBase {
           Span("txt:count", "17", null, 1))))
       q.processAllAvailable()
       val rows = spark.table("sv_viols").collect()
-      val dt = rows.filter(_.getString(0) == "DATATYPE-PROPERTIES-DATATYPE-100")
+      val dt = rows.filter(_.getString(0) == "DATATYPE-PROPERTIES-DATATYPE-101")
       assert(dt.length == 1 && dt(0).getString(2) == "doc:a" && dt(0).getString(4) == "not-a-number")
       // doc:a is an Article missing med:image MAX? no - but score/flag/uri missing
       // is fine; no false datatype positives on doc:b:
