@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`), for
@@ -88,6 +88,54 @@ object Similarity {
               id: String = "vec_id", vec: String = "embedding",
               bits: Int = 16, bands: Int = 4): DataFrame =
     annTopKSigned(signed(emb, vec, bits), query, k, id, vec, bits, bands)
+
+  /** Persist the RHP-LSH index PARTITIONED BY (band, bucket) — the 100 TB
+    * probe path (mirrors [[Ivf.buildIndex]]): each vector is written once
+    * per band under `band=<b>/bucket=<key>/`, so a probe is a
+    * partition-PRUNED read of exactly `bands` directories instead of a full
+    * scan of the signed table (the round-2 scale-killer on this operator).
+    * Storage is `bands`× the corpus — the standard LSH-index tradeoff;
+    * prefer [[Ivf]] when write amplification matters more than probe
+    * latency.
+    */
+  def buildAnnIndex(emb: DataFrame, path: String,
+                    id: String = "vec_id", vec: String = "embedding",
+                    bits: Int = 16, bands: Int = 4): Unit = {
+    val rows = bits / bands
+    signed(emb, vec, bits)
+      .select(col(id), col(vec),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("__sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
+          .as(Seq("band", "bucket")))
+      .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+  }
+
+  /** Partition-pruned approximate top-k over a [[buildAnnIndex]] layout:
+    * reads only the `bands` (band, bucket) directories the query hashes
+    * into, dedupes candidates that collide in several bands, and rescores
+    * with exact cosine.
+    */
+  def annTopKIndexed(spark: SparkSession, indexPath: String, query: Seq[Float],
+                     k: Int, id: String = "vec_id", vec: String = "embedding",
+                     bits: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = bits / bands
+    import spark.implicits._
+    val qDf = Seq(query.map(_.toDouble)).toDF("qv")
+    val qSig = qDf.select(rhpSignature(col("qv"), bits)).collect()(0).getLong(0)
+    val qBands = (0 until bands).map(b => (qSig >>> (b * rows)) & ((1L << rows) - 1))
+
+    val idx = spark.read.parquet(indexPath)
+    // disjunction of (band, bucket) literals → partition pruning at the scan
+    val cands = idx.filter(
+      (0 until bands).map(b =>
+        col("band") === b && col("bucket") === qBands(b)).reduce(_ || _))
+      .dropDuplicates(id)
+    val q = typedLit(query.map(_.toDouble))
+    cands.select(col(id),
+      cosine(transform(col(vec), _.cast("double")), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * = max|x|/127, values round to [-127, 127] — 4× smaller storage/IO for
