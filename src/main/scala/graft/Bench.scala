@@ -82,8 +82,12 @@ object Bench {
     val probeTrials = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIALS", "2").toInt
     val cooldown = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_SEC", "20").toInt
     // whole-run wall-clock budget: probes stop when the NEXT round would
-    // overrun it (estimated from the last round's duration)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    // overrun it (estimated from the last round's duration). 1500s fits
+    // corpus+headline (~75s) plus TWO probe rounds at the 2M-doc default
+    // (~637s each, measured) under the driver's observed ~30min ceiling —
+    // one round can land in a noisy ambient window (measured eff 0.68 in a
+    // window with 19% trial-to-trial swing), so the second chance matters.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
     // a round is eligible for best-round selection only if its N-core
     // throughput ≥ eligTol × the max N-core throughput across rounds
     val eligTol = sys.env.getOrElse("SPARK_GRAFT_ELIG_TOL", "0.92").toDouble

@@ -224,8 +224,14 @@ object SparkEntry {
       Pipeline.verdicts(s, DocGen.documents(s, VerifyDocs).toDF(), DocGen.schema,
         snapshotId = "verify", nBuckets = 16)),
 
+    // oracle-able like q_ngram_jaccard: the fixture's ≥0.8 pairs all sit at
+    // j ≥ 0.93 (next pair down is < 0.55), where 8-band/4-row MinHash
+    // recall is 1-(1-0.93^4)^8 ≈ 1-2e-5 — the LSH set equals the oracle's
+    // exact all-pairs set
     "q_minhash_neardup" -> ((s, d) =>
-      Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.8)),
+      Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1e6).cast("bigint").as("j_e6"))),
 
     "q_simhash_neardup" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)),
@@ -253,6 +259,17 @@ object SparkEntry {
     "q_langid_heuristic" -> ((s, d) =>
       t(s, d, "documents").groupBy(TextAnalysis.langId(col("text")).as("lid"))
         .agg(count(lit(1)).as("n"))),
+
+    // exact brute-force cosine top-k — the ANN family's correctness
+    // baseline, oracle-checked end-to-end (cosine reported at 1e-6
+    // precision; the fixture's rank gaps are ~1e-2, far above any
+    // summation-order FP noise)
+    "q_brute_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+      Similarity.bruteTopK(emb, q, 10)
+        .select(col("vec_id"), round(col("cosine") * 1e6).cast("bigint").as("cos_e6"))
+    }),
 
     "q_ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -363,6 +380,17 @@ object SparkEntry {
         "CAST(list_sum(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / (CASE WHEN s = 0 THEN 1 ELSE s END)) AS BIGINT))) AS BIGINT) AS q_sum, " +
         "len(embedding) AS q_len FROM e"),
 
+    // all-pairs exact char-5-shingle Jaccard (the MinHash pipeline's
+    // verification metric), computed exactly in DuckDB at fixture scale
+    "q_minhash_neardup" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5), " +
+        "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM d, UNNEST(generate_series(1, length(text) - 4)) AS u(i)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, CAST(round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) * 1000000) AS BIGINT) AS j_e6 " +
+        "FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8"),
+
     // all-pairs exact word-3-gram Jaccard — at fixture scale the LSH result
     // is provably the full set (all matched pairs are ≥0.9-similar)
     "q_ngram_jaccard" ->
@@ -388,6 +416,15 @@ object SparkEntry {
         "WHEN s_fr = greatest(s_en,s_fr,s_de,s_es) THEN 'fr' " +
         "WHEN s_de = greatest(s_en,s_fr,s_de,s_es) THEN 'de' " +
         "ELSE 'es' END AS lid, count(*) AS n FROM sc GROUP BY 1"),
+
+    "q_brute_topk" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1), " +
+        "sc AS (SELECT vec_id, " +
+        "list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS c " +
+        "FROM embeddings) " +
+        "SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6 FROM sc ORDER BY c DESC, vec_id LIMIT 10"),
 
     // exact stats per column (the sketch columns are dropped on both sides)
     "q_stats_profile" ->
