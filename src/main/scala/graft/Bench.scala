@@ -28,16 +28,22 @@ import graft.stats.ColumnStats
   *  - one fresh JVM per measurement ("one spark-submit per size"), spawned
   *    with `-XX:ActiveProcessorCount=cores` so an N-core probe is an honest
   *    N-core node — GC/JIT/netty pools don't borrow the other host cores;
-  *  - probe JVMs run INTERLEAVED (n, 4n, n, 4n, …) so each round is a
-  *    condition-consistent N-vs-4N comparison (both probes share the same
-  *    few-minute ambient window);
-  *  - headline efficiency = best round among ELIGIBLE rounds, where a round
-  *    is eligible only if its N-core throughput is within `eligTol` of the
-  *    best N-core throughput observed across rounds. One-sided noise that
-  *    depresses tN inflates that round's ratio; requiring tN near its
-  *    cross-round max rejects exactly those rounds, making best-round
-  *    selection symmetric (round-2 advice). `efficiency_median` and all
-  *    per-round throughputs ship in the JSON.
+  *  - probe JVMs run INTERLEAVED (n, 4n, n, 4n, …), so several rounds
+  *    sample several ambient windows;
+  *  - headline efficiency = max(t4n over rounds) / (4 · max(tn over
+  *    rounds)) — the per-size CAPABILITY estimator. Ambient interference on
+  *    this shared host is strictly additive (it only slows a probe down),
+  *    so the max over rounds is each size's best capability estimate, and
+  *    the ratio of the two needs no round pairing at all. This is symmetric
+  *    by construction (round-2 advice): a round whose tn was depressed
+  *    cannot inflate the headline, because the denominator takes the best
+  *    tn from ANY round (measured failure mode: a loaded 1-core window next
+  *    to a quiet 4-core window produced a nonsense paired ratio of 1.106).
+  *    `efficiency_median` (of per-round paired ratios) and all per-round
+  *    throughputs ship in the JSON for transparency;
+  *  - early-stop only when the estimate is CREDIBLE: 0.8 ≤ eff ≤ 1.02.
+  *    A superlinear estimate means the tn side is still noise-depressed —
+  *    spend remaining budget on another round instead of recording it.
   *
   * Scaling pair default N=1 vs 4N=4: per-core throughput is flat through
   * ~8 local cores, beyond which one JVM saturates the socket's memory
@@ -75,10 +81,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "800000").toLong
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "2000000").toLong
+    // 1.5M: large enough that fixed per-run overhead (~2s) stays ≤7% of the
+    // 4-core probe, small enough that TWO interleaved rounds fit the budget
+    // even under ambient load (a 2M round measured 637-913s; noise windows
+    // here last tens of minutes, so the second round is the variance
+    // reducer that matters most)
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1500000").toLong
     // max probe rounds; the loop also early-stops on criterion-met and on
     // the wall-clock budget, so this is a ceiling, not a schedule
-    val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+    val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     val probeTrials = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIALS", "2").toInt
     val cooldown = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_SEC", "20").toInt
     // whole-run wall-clock budget: probes stop when the NEXT round would
@@ -88,9 +99,9 @@ object Bench {
     // one round can land in a noisy ambient window (measured eff 0.68 in a
     // window with 19% trial-to-trial swing), so the second chance matters.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
-    // a round is eligible for best-round selection only if its N-core
-    // throughput ≥ eligTol × the max N-core throughput across rounds
-    val eligTol = sys.env.getOrElse("SPARK_GRAFT_ELIG_TOL", "0.92").toDouble
+    // early-stop credibility window for the capability estimator
+    val effMin = sys.env.getOrElse("SPARK_GRAFT_EFF_STOP_MIN", "0.8").toDouble
+    val effMax = sys.env.getOrElse("SPARK_GRAFT_EFF_STOP_MAX", "1.02").toDouble
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val docsPath = java.nio.file.Files.createTempDirectory("graft-bench").toString + "/docs"
     val scalePath = if (scaleDocs == nDocs) docsPath else docsPath + "-scale"
@@ -104,25 +115,22 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // headline = best ELIGIBLE round (tN within eligTol of cross-round max);
-    // guards against noise-depressed tN rounds being preferentially picked
-    def eligiblePairs: Seq[(Double, Double)] = {
-      val ps = roundPairs.toSeq.filter(_._1 > 0)
-      if (ps.isEmpty) Nil
-      else { val m = ps.map(_._1).max; ps.filter(_._1 >= eligTol * m) }
-    }
-    def eff(p: (Double, Double)): Double = p._2 / (4.0 * p._1)
+    // CAPABILITY estimator: interference is additive, so max-over-rounds is
+    // each size's best capability estimate; the ratio needs no round
+    // pairing and no best-round selection (symmetric by construction)
+    def capN: Double = { val xs = roundPairs.toSeq.map(_._1).filter(_ > 0)
+      if (xs.isEmpty) 0.0 else xs.max }
+    def cap4N: Double = { val xs = roundPairs.toSeq.map(_._2).filter(_ > 0)
+      if (xs.isEmpty) 0.0 else xs.max }
+    def capEff: Double = if (capN > 0) cap4N / (4.0 * capN) else 0.0
     def snapshotJson(done: Boolean): String = {
       val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val failed = results.values.count(_ < 0)
       val total = results.values.filter(_ >= 0).sum
       def arr(xs: Seq[Double]) = xs.map(_.toLong).mkString("[", ",", "]")
-      val elig = eligiblePairs
-      val (tN, t4N) =
-        if (elig.nonEmpty) elig.maxBy(eff) else (0.0, 0.0)
-      val efficiency = if (elig.nonEmpty) elig.map(eff).max else 0.0
-      val effMedian = median(roundPairs.toSeq.filter(_._1 > 0).map(eff))
-      val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${tN.toLong},"docs_per_sec_4n":${t4N.toLong},"efficiency":$efficiency%.3f,"efficiency_median":$effMedian%.3f,"docs":$scaleDocs,"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"elig_tol":$eligTol}"""
+      val effMedian = median(roundPairs.toSeq.filter(_._1 > 0)
+        .map(p => p._2 / (4.0 * p._1)))
+      val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${capN.toLong},"docs_per_sec_4n":${cap4N.toLong},"efficiency":$capEff%.3f,"efficiency_median":$effMedian%.3f,"docs":$scaleDocs,"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"estimator":"per-size max over rounds"}"""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","scaling":$scaling,"complete":$done,"elapsed_sec":${elapsedSec.toLong}}"""
     }
     def flush(done: Boolean = false): Unit =
@@ -222,9 +230,10 @@ object Bench {
     var r = 1
     var stop = false
     while (r <= scaleRounds && !stop) {
-      // budget gate: skip the round if the last round's duration (or, for
-      // round 1, a conservative floor) would overrun the wall budget
-      val estimate = if (lastRoundSec > 0) lastRoundSec else 120.0
+      // budget gate: skip the round if the last round's duration (plus a
+      // 15% load-growth margin — a measured round stretched 692→772 s) or,
+      // for round 1, a conservative floor, would overrun the wall budget
+      val estimate = if (lastRoundSec > 0) lastRoundSec * 1.15 else 120.0
       if (elapsedSec + estimate > budgetSec) {
         System.err.println(f"[bench] budget: ${elapsedSec.toLong}s elapsed + ~${estimate.toLong}s round > ${budgetSec.toLong}s — stopping probes")
         stop = true
@@ -235,11 +244,11 @@ object Bench {
         val t4n = probeOnce(4 * scaleN)
         roundPairs += ((tn, t4n))
         lastRoundSec = (System.nanoTime() - rt0) / 1e9
-        System.err.println(f"[bench] scale round $r: n=$tn%.0f 4n=$t4n%.0f docs/s eff=${if (tn > 0) t4n / (4 * tn) else 0.0}%.3f (${lastRoundSec.toLong}s)")
+        System.err.println(f"[bench] scale round $r: n=$tn%.0f 4n=$t4n%.0f docs/s capEff=$capEff%.3f (${lastRoundSec.toLong}s)")
         flush()
-        // early-stop: the ≥0.8 criterion is met by an eligible round —
-        // further rounds only spend budget re-proving it
-        if (eligiblePairs.nonEmpty && eligiblePairs.map(eff).max >= 0.8) {
+        // early-stop only on a CREDIBLE pass: a superlinear estimate means
+        // the n-core side is still noise-depressed — keep probing
+        if (capEff >= effMin && capEff <= effMax) {
           System.err.println("[bench] scaling criterion met — stopping probes early")
           stop = true
         }
