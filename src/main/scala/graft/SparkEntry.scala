@@ -139,6 +139,26 @@ object SparkEntry {
         col("event_type"))
         .agg(count(lit(1)).as("n"))),
 
+    // --- gap-based sessionization (window functions; batch twin of
+    // session_window) — micros precision, 10h gap segments this fixture
+    "q_sessionize" -> ((s, d) =>
+      graft.ops.Sessions.sessionize(t(s, d, "events"), "user_id", "ts",
+        gapSec = 36000L)),
+
+    // --- deterministic cross-engine hash sampling (md5-bucket; ~10.2%) ---
+    "q_hash_sample" -> ((s, d) =>
+      graft.ops.Sampling.md5Sample(t(s, d, "documents"), "doc_id", 26)
+        .select("doc_id", "lang")),
+
+    // --- top-k per group (keep-best-doc-per-key shape; window function) --
+    "q_rank_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, d, "documents").withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+    }),
+
     // --- training-pipeline ops over the driver documents table ----------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(withDups(t(s, d, "documents")))
@@ -371,6 +391,20 @@ object SparkEntry {
       "SELECT o_orderkey FROM (SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)",
     "q_event_window" ->
       "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+
+    "q_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+        "s AS (SELECT user_id, t, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 36000000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "g AS (SELECT user_id, t, sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM s) " +
+        "SELECT user_id, CAST(sid AS BIGINT) AS sid, min(t) AS session_start, max(t) AS session_end, count(*) AS n_events FROM g GROUP BY 1, 2"),
+
+    "q_hash_sample" ->
+      "SELECT doc_id, lang FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'",
+
+    "q_rank_per_group" ->
+      ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
+        "(SELECT lang, doc_id, n_chars, row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk FROM documents) " +
+        "WHERE rk <= 3"),
 
     // int8 quantization: same IEEE double ops in both engines (abs-max/127,
     // per-element round), integer outputs — bit-stable cross-engine

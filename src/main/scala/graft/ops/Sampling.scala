@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Pipelines at 100 TB scale need samples that are (a) reproducible across
+  * runs and engines — a seed-free pure function of the row key, so a rerun,
+  * a backfill, and an audit query in another engine select the SAME rows —
+  * and (b) cheap: a row-local filter with no shuffle, which also pushes
+  * into the scan when the key is a partition/bucket column.
+  *
+  * Two variants:
+  *  - [[md5Sample]]: bucket = first two hex chars of md5(key) — md5 hex is
+  *    byte-identical across Spark/DuckDB/Trino/Python, so the sample is
+  *    cross-engine reproducible (the oracle checks THIS exact operator);
+  *  - [[hashSample]]: xxhash64-based — ~10× cheaper per row (no digest
+  *    materialization), Spark-reproducible only; the production default
+  *    when no cross-engine contract is needed.
+  */
+object Sampling {
+
+  /** Keep ≈ `buckets256`/256 of rows, keyed on md5(key): bucket =
+    * hex prefix in [00, ff], kept iff < `buckets256`. Deterministic,
+    * engine-portable, shuffle-free.
+    */
+  def md5Bucket(key: Column): Column = substring(md5(key.cast("string")), 1, 2)
+
+  def md5Sample(df: DataFrame, key: String, buckets256: Int): DataFrame = {
+    require(buckets256 >= 0 && buckets256 <= 256, s"buckets256=$buckets256 out of [0,256]")
+    df.filter(md5Bucket(col(key)) < lit(f"$buckets256%02x"))
+  }
+
+  /** xxhash64 variant: keep rows with pmod(xxhash64(key, seed), den) < num. */
+  def hashSample(df: DataFrame, key: String, num: Int, den: Int = 10000,
+                 seed: Int = 42): DataFrame =
+    df.filter(pmod(xxhash64(col(key), lit(seed)), lit(den)) < num)
+}

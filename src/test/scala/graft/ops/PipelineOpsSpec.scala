@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("sessionize: gap threshold segments per key, micros precision") {
+    val session = spark
+    import session.implicits._
+    // user 1: events at 0s, 10s, 2000s (gap>30min? no — use gapSec=60):
+    // 0s,10s | 2000s ; user 2: single event
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:33:20")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Sessions.sessionize(df, gapSec = 60L)
+      .orderBy("user_id", "sid").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 1L && out(0).getLong(4) == 2L)
+    assert(out(1).getLong(0) == 1L && out(1).getLong(1) == 2L && out(1).getLong(4) == 1L)
+    assert(out(2).getLong(0) == 2L && out(2).getLong(1) == 1L && out(2).getLong(4) == 1L)
+    // a sub-gap burst 0.5s apart stays one session (micros, not seconds)
+    val burst = Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.2")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.7"))
+    ).toDF("user_id", "ts")
+    assert(Sessions.sessionize(burst, gapSec = 1L).count() == 1)
+  }
+
+  test("md5 sampling: deterministic, engine-portable bucket fraction") {
+    val session = spark
+    import session.implicits._
+    val df = (0L until 10000L).toDF("doc_id")
+    val a = Sampling.md5Sample(df, "doc_id", 26).collect().map(_.getLong(0)).toSet
+    val b = Sampling.md5Sample(df, "doc_id", 26).collect().map(_.getLong(0)).toSet
+    assert(a == b) // pure function of the key
+    assert(math.abs(a.size / 10000.0 - 26.0 / 256) < 0.02) // ≈10.2%
+    // buckets nest: a smaller sample is a subset of a larger one
+    val small = Sampling.md5Sample(df, "doc_id", 13).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+    // xxhash variant: deterministic and roughly calibrated too
+    val h = Sampling.hashSample(df, "doc_id", 1000).collect().map(_.getLong(0)).toSet
+    assert(math.abs(h.size / 10000.0 - 0.1) < 0.02)
+    assert(Sampling.hashSample(df, "doc_id", 1000).count() == h.size)
+  }
+}
