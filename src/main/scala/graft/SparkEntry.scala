@@ -319,6 +319,21 @@ object SparkEntry {
       Similarity.cosineDupPairs(emb.unionByName(planted), threshold = 0.99)
     }),
 
+    // SemDeDup-shaped semantic dedup: IVF-cluster the embeddings, mine
+    // near-dup pairs within clusters only (planted twins, rows-only —
+    // k-means isn't DuckDB-expressible; pair exactness is asserted in
+    // AnnIndexSpec against planted twins)
+    "q_semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.001f)).otherwise(x)))
+      val all = emb.unionByName(planted)
+      val model = graft.ops.Ivf.train(all, c = 8, iters = 2)
+      Similarity.semanticDupPairs(all, model, threshold = 0.99)
+    }),
+
     // int8 symmetric quantization of the embedding column (4x storage for
     // ANN candidate generation; rescore from fp32). Output is flattened to
     // scalar columns — struct columns break the driver's pandas comparator

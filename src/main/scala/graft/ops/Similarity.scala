@@ -173,7 +173,45 @@ object Similarity {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("__sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
         .as(Seq("band", "bucket")))
-    val grouped = banded.groupBy("band", "bucket")
+    bandedCosinePairs(banded, Seq("band", "bucket"), threshold, maxBucketSize)
+  }
+
+  /** SemDeDup-shaped semantic deduplication (cluster-then-dedup, after
+    * Abbas et al. 2023): assign each embedding to its IVF cluster, then
+    * mine near-duplicate pairs ONLY within a cluster — the LSH buckets are
+    * scoped by cluster id, so two vectors must agree on (cluster, band,
+    * bucket) to be candidates. Cross-cluster pairs are sacrificed BY
+    * DESIGN: that is what bounds the candidate space at 10^12 vectors (and
+    * near-duplicates land in the same coarse cell with overwhelming
+    * probability). Returns (cluster, id_a, id_b, cosine) at ≥ threshold;
+    * compose with a keep-min-id window for the pruned corpus.
+    */
+  def semanticDupPairs(emb: DataFrame, model: Ivf.IvfModel,
+                       threshold: Double = 0.95,
+                       id: String = "vec_id", vec: String = "embedding",
+                       bits: Int = 16, bands: Int = 4,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    val rows = bits / bands
+    val v = transform(col(vec), _.cast("double"))
+    val assigned = Ivf.assign(emb, model, vec)
+    val signed = assigned.select(col(id).as("__id"), col(vec).as("__v"),
+      col("cluster"), rhpSignature(v, bits).as("__sig"))
+    val banded = signed.select(col("__id"), col("__v"), col("cluster"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
+        .as(Seq("band", "bucket")))
+    bandedCosinePairs(banded, Seq("cluster", "band", "bucket"),
+      threshold, maxBucketSize, carry = Seq("cluster"))
+  }
+
+  /** Shared in-bucket pair mining + exact-cosine verify over a pre-banded
+    * frame `(__id, __v, <groupCols>)`; `carry` columns survive into the
+    * output (deduped pairs keep the first group's values).
+    */
+  private def bandedCosinePairs(banded: DataFrame, groupCols: Seq[String],
+                                threshold: Double, maxBucketSize: Int,
+                                carry: Seq[String] = Nil): DataFrame = {
+    val grouped = banded.groupBy(groupCols.map(col): _*)
       .agg(collect_list(struct(col("__id").as("id"), col("__v").as("v"))).as("m"))
       // over-size buckets are capped, never silently: see Dedup's
       // bucketPairsWith note (metric prefix `lsh_cosine`; names are
@@ -183,17 +221,18 @@ object Similarity {
         max(size(col("m"))).as("max_bucket_size"))
       .filter(size(col("m")).between(2, maxBucketSize))
       .withColumn("m", array_sort(col("m")))
-    val pairs = grouped.select(explode(flatten(
+    val pairs = grouped.select(carry.map(col) :+ explode(flatten(
       transform(col("m"), (x, i) =>
         transform(slice(col("m"), i + 2, size(col("m"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        col("p.a.v").as("v_a"), col("p.b.v").as("v_b"))
+          struct(x.as("a"), y.as("b")))))).as("p"): _*)
+      .select(carry.map(col) ++ Seq(
+        col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.v").as("v_a"), col("p.b.v").as("v_b")): _*)
       .dropDuplicates("id_a", "id_b")
     pairs.withColumn("cosine",
       cosine(transform(col("v_a"), _.cast("double")),
         transform(col("v_b"), _.cast("double"))))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .select(carry.map(col) ++ Seq(col("id_a"), col("id_b"), col("cosine")): _*)
   }
 }

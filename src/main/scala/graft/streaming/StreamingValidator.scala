@@ -80,6 +80,23 @@ object StreamingValidator {
         col("checkId"))
       .agg(count(lit(1)).as("nViolations"))
 
+  /** Streaming gap-based sessionization: `session_window` merges events of
+    * one key whose gaps stay under `gap`; the watermark bounds session
+    * state (a session closes — and emits — once the watermark passes its
+    * end + gap). The streaming twin of [[graft.ops.Sessions.sessionize]];
+    * run both over the same events to reconcile a live sessionizer against
+    * the batch backfill.
+    */
+  def sessionStream(events: DataFrame, key: String = "user_id",
+                    eventTime: String = "ts", gap: String = "30 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(eventTime, lateness)
+      .groupBy(session_window(col(eventTime), gap), col(key))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(key), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Streaming exact-dedup for ingestion pipelines: keep the FIRST arrival
     * of each content digest; duplicates within the watermark horizon are
     * dropped with BOUNDED state (`dropDuplicatesWithinWatermark` evicts

@@ -108,6 +108,36 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionization: session_window merges within-gap events, emits on close") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = stream.toDF().toDF("ts", "user_id")
+
+    val out = StreamingValidator.sessionStream(events, "user_id", "ts",
+      gap = "1 minute", lateness = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sv_sess")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 20s apart (one session), then one 5 minutes
+      // later (a second session); an advancing watermark event closes them
+      stream.addData(
+        (java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 7L),
+        (java.sql.Timestamp.valueOf("2026-01-01 10:00:20"), 7L),
+        (java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), 7L))
+      q.processAllAvailable()
+      stream.addData((java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), 99L))
+      q.processAllAvailable()
+      val rows = spark.table("sv_sess").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+        .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events"))).sortBy(_._1)
+      assert(rows.toSeq == Seq(("2026-01-01 10:00:00.0", 2L), ("2026-01-01 10:05:00.0", 1L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful running violation totals across micro-batches") {
     val session = spark
     import session.implicits._
