@@ -514,10 +514,13 @@ class CheckDatatypeImpl(val strict: Boolean) extends RowLocalCheck {
   }
 }
 
-/** Default (loose-mode) datatype check instance; `configure(mode=strict)`
-  * returns the strict variant.
+/** Default datatype check instance. The default mode is STRICT, matching
+  * the reference (`private $mode = 'strict'`,
+  * CheckDatatypePropertiesDatatype.php:10) — inert on corpora without the
+  * span-level datatype column, reference-default behavior on annotated
+  * ones; `configure(mode=loose)` opts out.
   */
-object CheckDatatype extends CheckDatatypeImpl(false)
+object CheckDatatype extends CheckDatatypeImpl(true)
 
 /** Cardinality restrictions (CheckOwlRestriction{Max,Min,Exact}.php): the
   * reference's `group by ?s ?onProperty having count(...)` is re-expressed

@@ -17,8 +17,11 @@ class DatatypeSeamSpec extends SparkTestBase {
 
   private val n = 3000L
   private lazy val schema = DocGen.schema
-  private val strictChecks = Checks.all.map {
-    case c: CheckDatatypeImpl => c.configure(Map("mode" -> "strict"))
+  // strict IS the default (reference: private $mode = 'strict'); loose is
+  // the configured opt-out
+  private val strictChecks = Checks.all
+  private val looseChecks = Checks.all.map {
+    case c: CheckDatatypeImpl => c.configure(Map("mode" -> "loose"))
     case c => c
   }
 
@@ -58,7 +61,13 @@ class DatatypeSeamSpec extends SparkTestBase {
   private lazy val strictActual = collectSets(
     Pipeline.violations(spark, annotated, schema, strictChecks))
   private lazy val looseActual = collectSets(
-    Pipeline.violations(spark, annotated, schema))
+    Pipeline.violations(spark, annotated, schema, looseChecks))
+
+  test("strict is the default mode, matching the reference") {
+    assert(CheckDatatype.strict)
+    assert(!CheckDatatype.configure(Map("mode" -> "loose"))
+      .asInstanceOf[CheckDatatypeImpl].strict)
+  }
 
   test("strict mode: -100 mismatches and -101 lexical errors match the replay exactly") {
     val (e100, e101) = strictReplay()
@@ -108,7 +117,7 @@ class DatatypeSeamSpec extends SparkTestBase {
       Pipeline.violations(spark, annotated, schema, checks, fused, native).collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2),
           r.getString(3), r.getString(4), r.getString(6))).toSet
-    for (checks <- Seq(strictChecks, Checks.all)) {
+    for (checks <- Seq(strictChecks, looseChecks)) {
       val nat = sets(checks, fused = true, native = true)
       val hof = sets(checks, fused = true, native = false)
       val per = sets(checks, fused = false, native = false)
