@@ -585,10 +585,22 @@ object CheckCardinality extends RowLocalCheck {
       val applicable = ctx.schema.subClosure.getOrElse(r.onClass, Set(r.onClass)).toSeq
       val valid = ctx.validatorFor(r.dataRange)
       val vid = s"OWL-RESTRICTION-${r.rtype.toUpperCase}-${if (r.rtype == "max") 102 else 104}"
+      // the reference's validity query carries the same datatypeFilter as
+      // the count query (CheckOwlRestrictionMax.php:244-252) — with
+      // annotations present, only accepted-datatype values are validated
+      val accept = ctx.schema.qualifiedDtAccept(r.dataRange)
+      val useDt = ctx.hasSpanDatatype && accept != null
+      val zippedSpans =
+        if (useDt) ctx.zipped("kind", "text", "datatype")
+        else ctx.zipped("kind", "text")
+      def dtOk(p: Column): Column =
+        if (!useDt) lit(true)
+        else coalesce(p.getField("datatype"), lit(SchemaDef.XSD + "string"))
+          .isin(accept.toSeq: _*)
       val offending = array_distinct(transform(
-        filter(ctx.zipped("kind", "text"), p =>
+        filter(zippedSpans, p =>
           p.getField("kind") === r.onProperty && p.getField("text").isNotNull &&
-            !coalesce(valid(p.getField("text")), lit(false))),
+            dtOk(p) && !coalesce(valid(p.getField("text")), lit(false))),
         p => p.getField("text")))
       when(cls.isin(applicable: _*),
         transform(offending, t =>

@@ -346,14 +346,17 @@ object ValidateSpans {
         while (c < idx.cards.length) {
           val e = idx.cards(c)
           if (e.prop.equals(kind)) {
-            // datatype-qualified count: with annotations present, only
+            // datatype-qualified gate: with annotations present, only
             // values whose asserted datatype (unannotated → xsd:string at
-            // the SPARQL datatype() layer) passes the range filter count
+            // the SPARQL datatype() layer) passes the range filter count —
+            // AND only those reach the per-value validity sub-pass (the
+            // reference's validity query carries the SAME datatypeFilter,
+            // CheckOwlRestrictionMax.php:244-252)
             val counted =
               if (dtOrd < 0 || e.acceptDt == null) true
               else e.acceptDt.contains(if (dtAnn == null) idx.xsdString else dtAnn)
             if (counted) cardCounts(c) += 1
-            if (e.fn != null && text != null && e.classes.contains(clsOrThing) &&
+            if (counted && e.fn != null && text != null && e.classes.contains(clsOrThing) &&
               !e.fn(text.toString)) {
               if (cardBadSeen == null)
                 cardBadSeen = new Array[java.util.HashSet[UTF8String]](idx.cards.length)

@@ -29,7 +29,11 @@ object Sampling {
 
   def md5Sample(df: DataFrame, key: String, buckets256: Int): DataFrame = {
     require(buckets256 >= 0 && buckets256 <= 256, s"buckets256=$buckets256 out of [0,256]")
-    df.filter(md5Bucket(col(key)) < lit(f"$buckets256%02x"))
+    // 256 must short-circuit: its threshold would format as the 3-char
+    // "100", and 2-char hex prefixes compare lexicographically against it
+    // ("19" > "100"), silently keeping only the "0x" prefixes
+    if (buckets256 == 256) df
+    else df.filter(md5Bucket(col(key)) < lit(f"$buckets256%02x"))
   }
 
   /** xxhash64 variant: keep rows with pmod(xxhash64(key, seed), den) < num. */

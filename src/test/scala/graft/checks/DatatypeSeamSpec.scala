@@ -15,7 +15,10 @@ import graft.validators.ScalaValidators
   */
 class DatatypeSeamSpec extends SparkTestBase {
 
-  private val n = 3000L
+  // 3500 covers doc 3306 = lcm(19, 29, 6): an Article with BOTH the
+  // dropped-annotation plant and the invalid-date plant (the validity-
+  // filter test below)
+  private val n = 3500L
   private lazy val schema = DocGen.schema
   // strict IS the default (reference: private $mode = 'strict'); loose is
   // the configured opt-out
@@ -110,6 +113,25 @@ class DatatypeSeamSpec extends SparkTestBase {
         .filter(_._2 == "txt:date") == zero)
       assert(actual.getOrElse("OWL-RESTRICTION-EXACT-100", Set.empty) == two)
     }
+  }
+
+  test("per-value validity sub-pass is datatype-filtered on annotated corpora") {
+    // doc 3306: Article, txt:date annotation dropped (m=19) AND the date is
+    // lexically invalid (m=29). The reference's validity query filters
+    // datatype(?value) like the count query, so the value never reaches the
+    // validator on the annotated corpus — but IS flagged on the plain one.
+    val i = 3306L
+    assert(DocGen.isArticle(i) && i % 19 == 0 && i % 29 == 0 && i % 83 != 0)
+    for (actual <- Seq(strictActual, looseActual)) {
+      val e104 = actual.getOrElse("OWL-RESTRICTION-EXACT-104", Set.empty)
+      assert(!e104.exists(_._1 == DocGen.docId(i)),
+        "datatype-excluded value must not reach the validity sub-pass")
+      assert(e104.nonEmpty) // other m=29 Articles still flagged
+    }
+    val plain = collectSets(
+      Pipeline.violations(spark, DocGen.documents(spark, n).toDF(), schema))
+    assert(plain.getOrElse("OWL-RESTRICTION-EXACT-104", Set.empty)
+      .exists(_._1 == DocGen.docId(i)))
   }
 
   test("native ≡ HOF ≡ per-check on the annotated corpus, strict and loose") {

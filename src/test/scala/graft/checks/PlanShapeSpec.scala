@@ -63,6 +63,40 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("sessionize reads only (key, ts) from the source; ONE exchange (the key)") {
+    val p = java.nio.file.Files.createTempDirectory("graft-plan-ev").toString + "/events"
+    spark.range(1000).selectExpr("id AS event_id",
+      "timestamp_micros(CAST(1700000000000000 + id * 1e7 AS LONG)) AS ts",
+      "id % 20 AS user_id", "'x' AS event_type", "CAST(id AS DOUBLE) AS value")
+      .write.mode("overwrite").parquet(p)
+    val q = graft.ops.Sessions.sessionize(spark.read.parquet(p), "user_id", "ts", 60L)
+    val rs = scans(q).head.metadata("ReadSchema")
+    assert(rs.contains("user_id") && rs.contains("ts"), rs)
+    assert(!rs.contains("event_type") && !rs.contains("value"),
+      s"sessionize must not read payload columns: $rs")
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      // one hash exchange on the session key; the groupBy(key, sid) after
+      // the window is partition-local (key ⊆ grouping key), no re-shuffle
+      val exchanges = q.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+    }
+  }
+
+  test("top-k-per-group reads only the three involved columns") {
+    // SparkEntry queries read <dir>/documents.parquet
+    val p = java.nio.file.Files.createTempDirectory("graft-plan-doc").toString + "/documents.parquet"
+    spark.range(500).selectExpr("id AS doc_id", "'t' AS text",
+      "CAST(id % 3 AS STRING) AS lang", "'s' AS source", "id * 7 AS n_chars")
+      .write.mode("overwrite").parquet(p)
+    val q = graft.SparkEntry.queries("q_rank_per_group")(spark,
+      new java.io.File(p).getParent)
+    val rs = scans(q).head.metadata("ReadSchema")
+    assert(rs.contains("lang") && rs.contains("n_chars") && rs.contains("doc_id"), rs)
+    assert(!rs.contains("text") && !rs.contains("source"),
+      s"rank query must not read the text payload: $rs")
+  }
+
   private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
