@@ -17,8 +17,8 @@ import graft.stats.ColumnStats
   * Stage order is chosen so the most valuable evidence lands first:
   *  1. headline queries at the configured parallelism (minutes);
   *  2. scaling probes, time-boxed by `SPARK_GRAFT_BENCH_BUDGET_SEC`
-  *     (default 1200 s wall clock for the WHOLE run) with early-stop once
-  *     an eligible paired round meets the ≥ 0.8 criterion.
+  *     (default 1500 s wall clock for the WHOLE run) with early-stop once
+  *     the capability estimate credibly meets the ≥ 0.8 criterion.
   * Round 2 inverted this order and raised the probe schedule to ~29 min;
   * the driver killed the run at timeout and recorded nothing (BENCH_r02
   * rc=124) — hence headline-first + budget + per-stage flush.
@@ -126,7 +126,10 @@ object Bench {
     def snapshotJson(done: Boolean): String = {
       val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val failed = results.values.count(_ < 0)
-      val total = results.values.filter(_ >= 0).sum
+      // informational `_first` entries are not part of the workload total
+      // (validate_full already contributes its steady-state time)
+      val total = results.collect {
+        case (k, v) if v >= 0 && !k.endsWith("_first") => v }.sum
       def arr(xs: Seq[Double]) = xs.map(_.toLong).mkString("[", ",", "]")
       val effMedian = median(roundPairs.toSeq.filter(_._1 > 0)
         .map(p => p._2 / (4.0 * p._1)))
@@ -157,11 +160,18 @@ object Bench {
 
     // two timed passes: first ≈ what a cold driver run sees, min ≈ steady
     // state (closes the round-1 driver-38.8s-vs-builder-13s gap honestly —
-    // both numbers ship)
-    val vf1 = time(Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count())
-    val vf2 = time(Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count())
-    results("validate_full") = math.min(vf1, vf2)
-    results("validate_full_first") = vf1
+    // both numbers ship; `_first` is informational and excluded from the
+    // headline total). try/catch like bench(): one failing query must not
+    // abort the whole benchmark before the first flush.
+    try {
+      val vf1 = time(Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count())
+      val vf2 = time(Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count())
+      results("validate_full") = math.min(vf1, vf2)
+      results("validate_full_first") = vf1
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] validate_full failed: ${e.getMessage}")
+      results("validate_full") = -1.0
+    }
     flush()
     // verdicts roll up an already-materialized violations frame (the
     // ValidatorApp flow): cache violations untimed, time only the rollup
@@ -232,8 +242,9 @@ object Bench {
     while (r <= scaleRounds && !stop) {
       // budget gate: skip the round if the last round's duration (plus a
       // 15% load-growth margin — a measured round stretched 692→772 s) or,
-      // for round 1, a conservative floor, would overrun the wall budget
-      val estimate = if (lastRoundSec > 0) lastRoundSec * 1.15 else 120.0
+      // for round 1, a measured-floor estimate (rounds at the 1.5M-doc
+      // default measured 446-913 s), would overrun the wall budget
+      val estimate = if (lastRoundSec > 0) lastRoundSec * 1.15 else 480.0
       if (elapsedSec + estimate > budgetSec) {
         System.err.println(f"[bench] budget: ${elapsedSec.toLong}s elapsed + ~${estimate.toLong}s round > ${budgetSec.toLong}s — stopping probes")
         stop = true

@@ -459,11 +459,11 @@ class CheckDatatypeImpl(val strict: Boolean) extends RowLocalCheck {
       dtKinds.foldLeft(lit(true)) { (acc, k) =>
         when(kind === k.kind, ctx.validatorFor(k.range)(text)).otherwise(acc)
       }
+    // the declared range: doubles as the violation's `expected` field
     def expectedOf(kind: Column): Column =
       dtKinds.foldLeft(lit(null).cast("string")) { (acc, k) =>
         when(kind === k.kind, lit(k.range)).otherwise(acc)
       }
-    def rangeOf(kind: Column): Column = expectedOf(kind)
 
     val strictOn = strict && ctx.hasSpanDatatype
     val spans =
@@ -485,14 +485,14 @@ class CheckDatatypeImpl(val strict: Boolean) extends RowLocalCheck {
         coalesce(p.getField("datatype"), lit(SchemaDef.RDFS + "Literal"))
       def whitelisted(p: Column): Column =
         SchemaDef.VirtuosoCoercions.foldLeft(lit(false)) { case (acc, (range, dts)) =>
-          when(rangeOf(p.getField("kind")) === range,
+          when(expectedOf(p.getField("kind")) === range,
             asserted(p).isin(dts.toSeq: _*)).otherwise(acc)
         }
       def mismatch(p: Column): Column =
-        asserted(p) =!= rangeOf(p.getField("kind")) &&
+        asserted(p) =!= expectedOf(p.getField("kind")) &&
           asserted(p) =!= xsdString && !whitelisted(p)
       def skipLexical(p: Column): Column = mismatch(p) ||
-        (rangeOf(p.getField("kind")).isin(customRanges: _*) && asserted(p) === xsdString)
+        (expectedOf(p.getField("kind")).isin(customRanges: _*) && asserted(p) === xsdString)
 
       val flagged = filter(spans, p => isDtKind(p) && (mismatch(p) ||
         (!skipLexical(p) &&

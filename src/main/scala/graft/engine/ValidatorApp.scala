@@ -45,6 +45,14 @@ object ValidatorApp {
       .drop("__maxRun", "run")
   }
 
+  /** Strictly-increasing run timestamps: two runs into one outDir within
+    * the same millisecond (a fast resume loop) would otherwise share a
+    * `run=` dir and mode(overwrite) would destroy the earlier run's output.
+    */
+  private val lastRunId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextRunId(): Long =
+    lastRunId.updateAndGet(prev => math.max(System.currentTimeMillis(), prev + 1))
+
   def main(args: Array[String]): Unit = {
     val Array(configPath, outDir) = args.take(2)
     val cfg = ValidatorConfig.load(configPath)
@@ -83,8 +91,8 @@ object ValidatorApp {
     val isResume = done.nonEmpty
     val docs =
       if (!isResume) all
-      else Pipeline.withBucket(all, cfg.nBuckets)
-        .filter(!col("bucket").isin(done.toSeq: _*)).drop("bucket")
+      else Pipeline.resumable(spark, all, manifest.get, cfg.snapshotId,
+        cfg.schema, cfg.nBuckets)
 
     // run-scoped partition subdirs: a RESUMED run writes alongside prior
     // runs instead of overwriting them (overwrite on the shared dir would
@@ -92,7 +100,7 @@ object ValidatorApp {
     // marked done); union runs via readViolations/readVerdicts, which
     // apply last-run-wins (a naive parent-dir read double-counts buckets
     // written by a run that crashed before recording them)
-    val runId = s"run=${System.currentTimeMillis()}"
+    val runId = s"run=${nextRunId()}"
 
     // referential checks must probe the FULL corpus even on a resume —
     // refs in remaining buckets can point at docs in completed buckets
@@ -141,20 +149,26 @@ object ValidatorApp {
     }
     val sourceLabel = cfg.bucketedTable.map("table:" + _).getOrElse(cfg.documentsPath)
 
+    // reports and console totals describe the WHOLE snapshot: on a resume
+    // this run's frame covers only the remaining buckets (and no
+    // dataset-level rows), so read the union of all runs (last-run-wins)
+    val snapshotViolations =
+      if (isResume) readViolations(spark, outDir) else violations
+
     cfg.xmlOut.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        Reports.xml(violations, Seq(sourceLabel),
+        Reports.xml(snapshotViolations, Seq(sourceLabel),
           Seq("schema:" + cfg.schema.constraintHash), fixLog = fixLog))
     }
     cfg.jsonOut.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        Reports.json(violations, Seq(sourceLabel),
+        Reports.json(snapshotViolations, Seq(sourceLabel),
           Seq("schema:" + cfg.schema.constraintHash), fixLog = fixLog))
     }
     fixLog.foreach(_.unpersist())
 
-    val nErr = violations.filter(col("severity") === "error").count()
-    val nWarn = violations.filter(col("severity") === "warning").count()
+    val nErr = snapshotViolations.filter(col("severity") === "error").count()
+    val nWarn = snapshotViolations.filter(col("severity") === "warning").count()
     println(s"[graft] ${cfg.checkKeys.size} checks, $nErr errors, $nWarn warnings → $outDir")
     violationsRaw.unpersist()
   }
