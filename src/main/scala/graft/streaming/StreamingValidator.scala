@@ -34,12 +34,23 @@ object StreamingValidator {
   /** Violation stream from a streaming documents DataFrame (same schema as
     * the batch table): the native single-pass ValidateSpans expression —
     * one stateless projection, identical semantics to the batch row-local
-    * path.
+    * path, INCLUDING the span-datatype seam (strict mode + qualified
+    * counts engage when the stream's span struct carries the annotation
+    * field, exactly as in Pipeline.violations).
     */
-  def violationStream(spark: SparkSession, docs: DataFrame, schema: SchemaDef): DataFrame = {
+  def violationStream(spark: SparkSession, docs: DataFrame, schema: SchemaDef,
+                      checks: Seq[ConstraintCheck] = StatelessChecks): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, lit}
+    val ctx = CheckContext(spark, docs, schema) // schema introspection only
+    val strictDt = checks.exists {
+      case c: CheckDatatypeImpl => c.strict
+      case _ => false
+    }
     val cc = graft.functions.CompiledConstraints.from(
-      schema, StatelessChecks.map(_.id).toSet)
+      schema, checks.map(_.id).toSet,
+      strictDt = strictDt,
+      spanArity = ctx.spanArity,
+      dtOrdinal = ctx.spanDatatypeOrd)
     docs.select(col("doc_id"),
       explode(graft.functions.ValidateSpans.validateSpans(col("spans"), cc)).as("v"))
       .select(col("v.checkId").as("checkId"), lit("error").as("severity"),

@@ -39,6 +39,34 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("annotated stream: strict-mode datatype mismatch (-100) surfaces per micro-batch") {
+    import graft.model.{AnnotatedDocument, AnnotatedSpan}
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[AnnotatedDocument]
+    val xsd = graft.model.SchemaDef.XSD
+
+    val out = StreamingValidator.violationStream(spark, stream.toDF(), DocGen.schema)
+    val q = out.writeStream.format("memory").queryName("sv_strict")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        AnnotatedDocument("doc:s1", Seq(
+          AnnotatedSpan("type", "class:Post", null, 0, null),
+          // asserted integer vs declared unsignedInt: NOT whitelisted → -100
+          AnnotatedSpan("txt:count", "17", null, 1, xsd + "integer"),
+          // asserted integer vs boolean: whitelisted coercion → lexical only
+          AnnotatedSpan("txt:flag", "true", null, 2, xsd + "integer"))))
+      q.processAllAvailable()
+      val rows = spark.table("sv_strict").collect()
+      val m100 = rows.filter(_.getString(0) == "DATATYPE-PROPERTIES-DATATYPE-100")
+      assert(m100.length == 1 && m100(0).getString(3) == "txt:count")
+      assert(!rows.exists(r => r.getString(0).startsWith("DATATYPE") &&
+        r.getString(3) == "txt:flag"))
+    } finally q.stop()
+  }
+
   test("stream-static referential check: dangling ref against a static universe") {
     val session = spark
     import session.implicits._
