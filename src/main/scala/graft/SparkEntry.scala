@@ -160,6 +160,17 @@ object SparkEntry {
       graft.ops.Sampling.md5Sample(t(s, d, "documents"), "doc_id", 26)
         .select("doc_id", "lang")),
 
+    // --- benchmark decontamination: corpus docs sharing word n-grams with
+    // an eval slice (GPT-3-style overlap filter; broadcast benchmark side).
+    // n=4 on this template-heavy fixture → a non-trivial contaminated set
+    // (true 5-grams leave a single hit)
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Decontamination.contaminated(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 4)
+    }),
+
     // --- top-k per group (keep-best-doc-per-key shape; window function) --
     "q_rank_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -415,6 +426,13 @@ object SparkEntry {
 
     "q_hash_sample" ->
       "SELECT doc_id, lang FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'",
+
+    "q_decontaminate" ->
+      ("WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
+        "g0 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM d, UNNEST(generate_series(1, greatest(len(w)-3, 1))) AS u(i)), " +
+        "gs AS (SELECT DISTINCT doc_id, g FROM g0), " +
+        "bench AS (SELECT DISTINCT g FROM gs WHERE doc_id % 50 = 0) " +
+        "SELECT doc_id, count(*) AS n_shared FROM gs WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench) GROUP BY doc_id"),
 
     "q_rank_per_group" ->
       ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +

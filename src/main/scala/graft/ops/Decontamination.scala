@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag (or drop) training
+  * documents that share word n-grams with an evaluation set — the
+  * GPT-3-style 13-gram overlap filter.
+  *
+  * Scale shape: the BENCHMARK side is eval-set sized (thousands of docs),
+  * so its distinct-gram set broadcasts; the corpus side then never
+  * shuffles — contamination detection over 10^12 documents is a map-only
+  * broadcast semi/inner join on the gram key. Grams are matched as strings
+  * (exact, cross-engine checkable); swap in `xxhash64(g)` on both sides if
+  * the broadcast needs to shrink.
+  */
+object Decontamination {
+
+  /** Distinct word n-grams of a text (documents shorter than n words
+    * contribute their whole token sequence as one gram).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = split(text, "\\s+")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Corpus docs sharing at least one n-gram with the benchmark:
+    * (id, n_shared) where n_shared counts the doc's DISTINCT overlapping
+    * grams.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+                   id: String = "doc_id", text: String = "text"): DataFrame = {
+    val cg = corpus.select(col(id), explode(ngrams(col(text), n)).as("g"))
+    val bg = benchmark.select(explode(ngrams(col(text), n)).as("g")).distinct()
+    cg.join(broadcast(bg), Seq("g"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Corpus with contaminated documents removed. */
+  def clean(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+            id: String = "doc_id", text: String = "text"): DataFrame =
+    corpus.join(contaminated(corpus, benchmark, n, id, text).select(id),
+      Seq(id), "left_anti")
+}

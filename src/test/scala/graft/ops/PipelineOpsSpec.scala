@@ -30,6 +30,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Sessions.sessionize(burst, gapSec = 1L).count() == 1)
   }
 
+  test("decontamination: n-gram overlap flags exactly the leaky docs") {
+    val session = spark
+    import session.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps over something"), // 5-gram overlap
+      (2L, "a completely different sentence with no shared passages at all"),
+      (3L, "fox jumps over the lazy end of this one")                     // 5-gram overlap
+    ).toDF("doc_id", "text")
+    val hits = Decontamination.contaminated(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L, 3L), s"got $hits")
+    assert(hits(1L) == 2L) // "the quick brown fox jumps", "quick brown fox jumps over"
+    val kept = Decontamination.clean(corpus, bench, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("md5 sampling: deterministic, engine-portable bucket fraction") {
     val session = spark
     import session.implicits._
