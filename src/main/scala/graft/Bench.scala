@@ -131,14 +131,24 @@ object Bench {
       val total = results.collect {
         case (k, v) if v >= 0 && !k.endsWith("_first") => v }.sum
       def arr(xs: Seq[Double]) = xs.map(_.toLong).mkString("[", ",", "]")
-      val effMedian = median(roundPairs.toSeq.filter(_._1 > 0)
+      // only fully-measured rounds: a failed 4n probe (0.0) would skew the
+      // median toward zero while the capability headline correctly skips it
+      val effMedian = median(roundPairs.toSeq.filter(p => p._1 > 0 && p._2 > 0)
         .map(p => p._2 / (4.0 * p._1)))
       val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${capN.toLong},"docs_per_sec_4n":${cap4N.toLong},"efficiency":$capEff%.3f,"efficiency_median":$effMedian%.3f,"docs":$scaleDocs,"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"estimator":"per-size max over rounds"}"""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","scaling":$scaling,"complete":$done,"elapsed_sec":${elapsedSec.toLong}}"""
     }
     def flush(done: Boolean = false): Unit =
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), snapshotJson(done) + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+      try {
+        // temp-write + atomic move: a kill mid-write must not truncate the
+        // previously flushed stages (the whole point of per-stage flushing)
+        val target = java.nio.file.Paths.get(outFile)
+        val tmp = java.nio.file.Paths.get(outFile + ".tmp")
+        java.nio.file.Files.writeString(tmp, snapshotJson(done) + "\n")
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
 
     // ---- materialize the headline corpus (128-way layout) ---------------
     var spark = session(cpus)
@@ -165,12 +175,16 @@ object Bench {
     // abort the whole benchmark before the first flush.
     try {
       val vf1 = time(Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count())
+      // record the first pass immediately: a failure of the SECOND pass
+      // must not discard a valid measurement
+      results("validate_full") = vf1
+      results("validate_full_first") = vf1
+      flush()
       val vf2 = time(Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count())
       results("validate_full") = math.min(vf1, vf2)
-      results("validate_full_first") = vf1
     } catch { case e: Throwable =>
       System.err.println(s"[bench] validate_full failed: ${e.getMessage}")
-      results("validate_full") = -1.0
+      if (!results.contains("validate_full")) results("validate_full") = -1.0
     }
     flush()
     // verdicts roll up an already-materialized violations frame (the
@@ -251,9 +265,13 @@ object Bench {
       } else {
         val rt0 = System.nanoTime()
         val tn = probeOnce(scaleN)
+        // provisional half-round so a kill during the 4n probe still leaves
+        // the measured tn on disk (t4n = 0 marks it incomplete; the
+        // capability estimator and median skip zero sides)
+        roundPairs += ((tn, 0.0))
         flush()
         val t4n = probeOnce(4 * scaleN)
-        roundPairs += ((tn, t4n))
+        roundPairs(roundPairs.length - 1) = ((tn, t4n))
         lastRoundSec = (System.nanoTime() - rt0) / 1e9
         System.err.println(f"[bench] scale round $r: n=$tn%.0f 4n=$t4n%.0f docs/s capEff=$capEff%.3f (${lastRoundSec.toLong}s)")
         flush()

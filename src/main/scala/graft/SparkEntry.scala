@@ -549,7 +549,7 @@ object SparkEntry {
         "SELECT 'DATATYPE-PROPERTIES-DATATYPE-100' AS checkId, doc_id AS docId, kind, text AS value FROM g WHERE mismatch " +
         "UNION ALL SELECT 'DATATYPE-PROPERTIES-DATATYPE-101', doc_id, kind, text FROM g " +
         s"WHERE NOT mismatch AND NOT (rng = 'dt:score' AND adt = '${SchemaXsd}string') AND (" +
-        "(kind = 'txt:count' AND NOT (regexp_matches(text, '^\\+?[0-9]+$') AND try_cast(text AS UBIGINT) <= 4294967295)) OR " +
+        "(kind = 'txt:count' AND NOT (regexp_matches(text, '^\\+?[0-9]+$') AND coalesce(try_cast(text AS UBIGINT) <= 4294967295, FALSE))) OR " +
         "(kind = 'txt:flag' AND text NOT IN ('true','false','0','1')) OR " +
         "(kind = 'txt:uri' AND regexp_matches(text, '#.*#')) OR " +
         s"(kind = 'txt:lang' AND NOT regexp_matches(text, '$LangRx')) OR " +
@@ -559,7 +559,7 @@ object SparkEntry {
     "q_validate_datatype" ->
       (SpansCte +
         "SELECT doc_id AS docId, kind, text AS value FROM s WHERE " +
-        "(kind = 'txt:count' AND NOT (regexp_matches(text, '^\\+?[0-9]+$') AND try_cast(text AS UBIGINT) <= 4294967295)) OR " +
+        "(kind = 'txt:count' AND NOT (regexp_matches(text, '^\\+?[0-9]+$') AND coalesce(try_cast(text AS UBIGINT) <= 4294967295, FALSE))) OR " +
         "(kind = 'txt:flag' AND text NOT IN ('true','false','0','1')) OR " +
         "(kind = 'txt:uri' AND regexp_matches(text, '#.*#')) OR " +
         s"(kind = 'txt:lang' AND NOT regexp_matches(text, '$LangRx')) OR " +

@@ -185,12 +185,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
                         n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                         threshold: Double = 0.7): DataFrame = {
-    def ngrams(t: Column): Column = {
-      val toks = split(t, "\\s+")
-      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-      array_distinct(transform(idx, i =>
-        array_join(slice(toks, i + 1, lit(n)), " ")))
-    }
+    // the ONE word-ngram definition, shared with the decontamination filter
+    // so the two operators' gram sets (and their oracles) cannot drift
+    def ngrams(t: Column): Column = Decontamination.ngrams(t, n)
     val sig = graft.functions.MinHashNgramSig.minhashNgramSig(col(text), n, numHashes)
     val withSig = df.select(col(id).as("__id"), sig.as("__sig"))
     val banded = withSig.select(col("__id"), col("__sig"),
@@ -255,11 +252,13 @@ object Dedup {
     * inside the group with HOFs — no self-join, no cross join. Buckets
     * larger than `maxBucketSize` are dropped — a bucket that hot is a
     * degenerate key whose pairs would be quadratic — and the drop is NOT
-    * silent: every call observes `<metricName>` with `dropped_buckets` /
-    * `max_bucket_size` (read `df.queryExecution.observedMetrics` after any
-    * action, or attach a listener). At web scale boilerplate-heavy corpora
-    * produce exactly such hot buckets, and an unnoticed cap would
-    * under-report duplicates (round-1 VERDICT item 8).
+    * silent: every call observes a `<metricName>_<n>` metric (uniquified
+    * per call, see [[uniqueMetricName]] — match on the PREFIX) with
+    * `dropped_buckets` / `max_bucket_size` (read
+    * `df.queryExecution.observedMetrics` after any action, or attach a
+    * listener). At web scale boilerplate-heavy corpora produce exactly
+    * such hot buckets, and an unnoticed cap would under-report duplicates
+    * (round-1 VERDICT item 8).
     */
   private def bucketPairsWith(banded: DataFrame, extra: Seq[String],
                               maxBucketSize: Int,

@@ -52,6 +52,17 @@ object Similarity {
   def signed(emb: DataFrame, vec: String = "embedding", bits: Int = 16): DataFrame =
     emb.withColumn("__sig", rhpSignature(transform(col(vec), _.cast("double")), bits))
 
+  /** The ONE band-key derivation shared by every signature consumer — the
+    * index writer, the pruned probe and the pair miners MUST agree on band
+    * layout or candidates silently miss their buckets: band b's key is bits
+    * [b·rows, (b+1)·rows) of the signature.
+    */
+  private def rhpBandKeys(sig: Column, bits: Int, bands: Int): Column = {
+    val rows = bits / bands
+    array((0 until bands).map(b =>
+      shiftright(sig, b * rows).bitwiseAND(lit((1L << rows) - 1))): _*)
+  }
+
   /** LSH-bucketed approximate top-k over a PRE-SIGNED corpus
     * ([[signed]], ideally persisted bucketed by a band of `__sig`):
     * candidates share at least one of `bands` signature bands with the
@@ -101,12 +112,9 @@ object Similarity {
   def buildAnnIndex(emb: DataFrame, path: String,
                     id: String = "vec_id", vec: String = "embedding",
                     bits: Int = 16, bands: Int = 4): Unit = {
-    val rows = bits / bands
     signed(emb, vec, bits)
       .select(col(id), col(vec),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("__sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
-          .as(Seq("band", "bucket")))
+        posexplode(rhpBandKeys(col("__sig"), bits, bands)).as(Seq("band", "bucket")))
       .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
   }
 
@@ -165,14 +173,11 @@ object Similarity {
                      id: String = "vec_id", vec: String = "embedding",
                      bits: Int = 16, bands: Int = 4,
                      maxBucketSize: Int = 1000): DataFrame = {
-    val rows = bits / bands
     val v = transform(col(vec), _.cast("double"))
     val signed = emb.select(col(id).as("__id"), col(vec).as("__v"),
       rhpSignature(v, bits).as("__sig"))
     val banded = signed.select(col("__id"), col("__v"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("__sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
-        .as(Seq("band", "bucket")))
+      posexplode(rhpBandKeys(col("__sig"), bits, bands)).as(Seq("band", "bucket")))
     bandedCosinePairs(banded, Seq("band", "bucket"), threshold, maxBucketSize)
   }
 
@@ -191,15 +196,12 @@ object Similarity {
                        id: String = "vec_id", vec: String = "embedding",
                        bits: Int = 16, bands: Int = 4,
                        maxBucketSize: Int = 1000): DataFrame = {
-    val rows = bits / bands
     val v = transform(col(vec), _.cast("double"))
     val assigned = Ivf.assign(emb, model, vec)
     val signed = assigned.select(col(id).as("__id"), col(vec).as("__v"),
       col("cluster"), rhpSignature(v, bits).as("__sig"))
     val banded = signed.select(col("__id"), col("__v"), col("cluster"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("__sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
-        .as(Seq("band", "bucket")))
+      posexplode(rhpBandKeys(col("__sig"), bits, bands)).as(Seq("band", "bucket")))
     bandedCosinePairs(banded, Seq("cluster", "band", "bucket"),
       threshold, maxBucketSize, carry = Seq("cluster"))
   }
