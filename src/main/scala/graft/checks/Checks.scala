@@ -529,6 +529,16 @@ object CheckDatatype extends CheckDatatypeImpl(true)
   * violation-array pattern. Includes the zero-occurrence edge cases the
   * reference handles with separate `filter not exists` queries
   * (CheckOwlRestrictionMin.php:211-223, Exact:208-220).
+  *
+  * DELIBERATE DEVIATION (Exact zero case): the reference guards its EXACT
+  * zero-occurrence query with `if($exactCardinality['onProperty'] > 0)`
+  * (Exact:206) — comparing the property URI, a string, numerically. Under
+  * the PHP 5/7 semantics of the reference's era a URI coerces to 0, the
+  * guard is always false, and the EXACT-102 zero case is dead code (Min
+  * runs its zero case unguarded at :210-223; the Exact guard's evident
+  * intent is the cardinality N — an exactly-0 restriction is satisfied by
+  * zero occurrences). This engine implements the intent: EXACT-102 fires
+  * when count = 0 and the declared cardinality is non-zero.
   */
 object CheckCardinality extends RowLocalCheck {
   val id = "OWL-RESTRICTION-CARD"
