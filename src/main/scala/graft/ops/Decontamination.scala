@@ -17,13 +17,13 @@ import org.apache.spark.sql.functions._
 object Decontamination {
 
   /** Distinct word n-grams of a text (documents shorter than n words
-    * contribute their whole token sequence as one gram).
+    * contribute their whole token sequence as one gram) — the native
+    * codegen'd [[graft.functions.WordNgrams]] expression: this runs over
+    * the FULL corpus, where the interpreted HOF formulation is the
+    * documented anti-pattern (CodegenFallback, per-element interpretation).
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = split(text, "\\s+")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
+  def ngrams(text: Column, n: Int): Column =
+    graft.functions.WordNgrams.wordNgrams(text, n)
 
   /** Corpus docs sharing at least one n-gram with the benchmark:
     * (id, n_shared) where n_shared counts the doc's DISTINCT overlapping

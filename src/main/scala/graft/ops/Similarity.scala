@@ -52,15 +52,23 @@ object Similarity {
   def signed(emb: DataFrame, vec: String = "embedding", bits: Int = 16): DataFrame =
     emb.withColumn("__sig", rhpSignature(transform(col(vec), _.cast("double")), bits))
 
-  /** The ONE band-key derivation shared by every signature consumer — the
-    * index writer, the pruned probe and the pair miners MUST agree on band
+  /** The band-key derivation shared by every signature consumer — the
+    * index writer, the probes and the pair miners MUST agree on band
     * layout or candidates silently miss their buckets: band b's key is bits
-    * [b·rows, (b+1)·rows) of the signature.
+    * [b·rows, (b+1)·rows) of the signature. Column form for corpus-side
+    * plans; [[rhpBandKeysLocal]] is the bit-identical driver-side twin for
+    * query signatures — change BOTH or neither.
     */
   private def rhpBandKeys(sig: Column, bits: Int, bands: Int): Column = {
     val rows = bits / bands
     array((0 until bands).map(b =>
       shiftright(sig, b * rows).bitwiseAND(lit((1L << rows) - 1))): _*)
+  }
+
+  /** See [[rhpBandKeys]]. */
+  private def rhpBandKeysLocal(sig: Long, bits: Int, bands: Int): Seq[Long] = {
+    val rows = bits / bands
+    (0 until bands).map(b => (sig >>> (b * rows)) & ((1L << rows) - 1))
   }
 
   /** LSH-bucketed approximate top-k over a PRE-SIGNED corpus
@@ -72,18 +80,17 @@ object Similarity {
                     id: String = "vec_id", vec: String = "embedding",
                     bits: Int = 16, bands: Int = 4): DataFrame = {
     val spark = signedEmb.sparkSession
-    val rows = bits / bands
 
     // query signature computed through the same expression, on one row
     import spark.implicits._
     val qDf = Seq(query.map(_.toDouble)).toDF("qv")
     val qSig = qDf.select(rhpSignature(col("qv"), bits)).collect()(0).getLong(0)
-    val qBands = (0 until bands).map(b => (qSig >>> (b * rows)) & ((1L << rows) - 1))
+    val qBands = rhpBandKeysLocal(qSig, bits, bands)
 
+    val corpusBands = rhpBandKeys(col("__sig"), bits, bands)
     val candidates = signedEmb.filter(
       (0 until bands).map(b =>
-        shiftright(col("__sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))
-          === qBands(b)).reduce(_ || _))
+        element_at(corpusBands, b + 1) === qBands(b)).reduce(_ || _))
 
     val q = typedLit(query.map(_.toDouble))
     candidates.select(col(id),
@@ -126,11 +133,10 @@ object Similarity {
   def annTopKIndexed(spark: SparkSession, indexPath: String, query: Seq[Float],
                      k: Int, id: String = "vec_id", vec: String = "embedding",
                      bits: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = bits / bands
     import spark.implicits._
     val qDf = Seq(query.map(_.toDouble)).toDF("qv")
     val qSig = qDf.select(rhpSignature(col("qv"), bits)).collect()(0).getLong(0)
-    val qBands = (0 until bands).map(b => (qSig >>> (b * rows)) & ((1L << rows) - 1))
+    val qBands = rhpBandKeysLocal(qSig, bits, bands)
 
     val idx = spark.read.parquet(indexPath)
     // disjunction of (band, bucket) literals → partition pruning at the scan

@@ -41,6 +41,13 @@ object StreamingValidator {
   def violationStream(spark: SparkSession, docs: DataFrame, schema: SchemaDef,
                       checks: Seq[ConstraintCheck] = StatelessChecks): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, lit}
+    // only row-local checks stream through the fused expression — a
+    // vocabulary/referential check passed here would otherwise compile to
+    // an EMPTY constraint set and silently never run
+    val nonRowLocal = checks.filterNot(_.isInstanceOf[RowLocalCheck])
+    require(nonRowLocal.isEmpty,
+      s"violationStream takes row-local checks only; got ${nonRowLocal.map(_.id).mkString(", ")} " +
+        "(use danglingRefStream for the referential check; vocabulary checks need batch distincts)")
     val ctx = CheckContext(spark, docs, schema) // schema introspection only
     val strictDt = checks.exists {
       case c: CheckDatatypeImpl => c.strict

@@ -30,6 +30,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Sessions.sessionize(burst, gapSec = 1L).count() == 1)
   }
 
+  test("WordNgrams native expression ≡ the HOF Column formulation") {
+    val session = spark
+    import session.implicits._
+    // the HOF reference semantics the native expression must match
+    def hof(t: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+      val toks = split(t, "\\s+")
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    }
+    val texts = Seq("a b c d e", " leading space", "trailing ", "", "one",
+      "a a a a a a", "x  y\tz", "exactly four words here", "repeat repeat repeat")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+    for (n <- Seq(2, 3, 5, 13)) {
+      val diff = df.select(
+          graft.functions.WordNgrams.wordNgrams(col("t"), n).as("a"),
+          hof(col("t"), n).as("b"))
+        .filter(!(col("a") <=> col("b"))).count()
+      assert(diff == 0, s"native vs HOF ngrams differ at n=$n")
+    }
+  }
+
   test("decontamination: n-gram overlap flags exactly the leaky docs") {
     val session = spark
     import session.implicits._
