@@ -85,6 +85,27 @@ object StreamingValidator {
         lit("referenced URI exists").as("expected"))
   }
 
+  /** Streaming benchmark decontamination (the ingestion twin of
+    * [[graft.ops.Decontamination.contaminated]]): contaminated-gram EVENTS
+    * `(id, g)` — one row per distinct word n-gram an arriving document
+    * shares with the static benchmark set. The benchmark side broadcasts
+    * and the join is stream-static inner, so the stream stays STATELESS and
+    * append-mode-legal at any scale (no watermark, no state store). The
+    * per-doc `n_shared` rollup is a `groupBy(id).count()` away — left to
+    * the consumer because a streaming aggregation forces an output-mode /
+    * watermark choice that belongs to them; batch parity of exactly that
+    * rollup is asserted in StreamingValidatorSpec.
+    */
+  def contaminationEventStream(docs: DataFrame, benchmark: DataFrame,
+                               n: Int = 13, id: String = "doc_id",
+                               text: String = "text"): DataFrame = {
+    val cg = docs.select(col(id),
+      explode(graft.ops.Decontamination.ngrams(col(text), n)).as("g"))
+    val bg = benchmark.select(
+      explode(graft.ops.Decontamination.ngrams(col(text), n)).as("g")).distinct()
+    cg.join(broadcast(bg), Seq("g")).select(col(id), col("g"))
+  }
+
   /** Windowed violation counts with a watermark — the streaming verdict
     * analogue: (window, checkId) → count, tolerating `lateness` of event
     *-time disorder.

@@ -187,4 +187,36 @@ class StreamingValidatorSpec extends SparkTestBase {
       assert(last == Map("C1" -> 3L, "C2" -> 1L), s"got $last")
     } finally q.stop()
   }
+
+  test("streaming decontamination: event rollup matches the batch operator") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus docs share 4-grams with the benchmark doc; doc 3 is clean
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a totally different text with quick brown fox jumps inside it"),
+      (3L, "nothing in common with the eval set here at all"))
+    val benchmark = Seq((100L, "quick brown fox jumps over fences")).toDF("doc_id", "text")
+
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingValidator.contaminationEventStream(
+      stream.toDF().toDF("doc_id", "text"), benchmark, n = 4)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sv_decon")
+      .outputMode("append").start()
+    try {
+      stream.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(corpus.drop(2): _*) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("sv_decon").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+      val batch = graft.ops.Decontamination.contaminated(
+          corpus.toDF("doc_id", "text"), benchmark, n = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.nonEmpty && !batch.contains(3L), s"fixture broken: $batch")
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
