@@ -286,11 +286,16 @@ object Bench {
     val nSlicesTotal = ((scaleDocsEnv + SliceDocs - 1) / SliceDocs).toInt
     def docsOf(k: Int): Long =
       if (k >= nSlicesTotal) scaleDocsEnv else k * SliceDocs
-    DocGen.documents(spark, scaleDocsEnv).toDF()
-      .withColumn("slice",
-        (substring(col("doc_id"), 5, 12).cast("long") / SliceDocs).cast("int"))
-      .repartition(128)
-      .write.mode("overwrite").partitionBy("slice").parquet(scalePath)
+    // one write per slice, 13 full-size files each (~12 MB — the 128-file/
+    // 1.5M-doc density the headline corpus uses): a single partitionBy
+    // write was measured to fan out into ~2600 sub-MB files whose per-file
+    // overhead depressed BOTH probe sides ~20-30%
+    (0 until nSlicesTotal).foreach { i =>
+      DocGen.documentsRange(spark, i * SliceDocs,
+          math.min((i + 1) * SliceDocs, scaleDocsEnv), scaleDocsEnv).toDF()
+        .repartition(13)
+        .write.mode("overwrite").parquet(s"$scalePath/slice=$i")
+    }
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

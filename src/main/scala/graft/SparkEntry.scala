@@ -206,6 +206,21 @@ object SparkEntry {
     "q_lang_group" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("lang")).agg(count(lit(1)).as("n"))),
 
+    // --- distinct-word ratio (Gopher-style repetition filter) ------------
+    "q_word_diversity" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.distinctWordRatioE6(col("text")).as("dwr_e6"))),
+
+    // --- PII redaction over a deterministically seeded slice (both engines
+    // append the same synthetic email/phone/IP, so the scrub is non-vacuous
+    // and byte-comparable) ------------------------------------------------
+    "q_redact_pii" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), TextAnalysis.redactPii(
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 (555) 010-00"), col("doc_id").cast("string"),
+            lit(" at 192.168.0.1"))).as("redacted"))),
+
     // --- flagship validation pipeline, oracle-backed per check family ---
     // (the oracle SQL reads the exploded-spans fixture Verify writes; the
     // Spark side regenerates the identical deterministic corpus)
@@ -476,6 +491,22 @@ object SparkEntry {
         "len(regexp_extract_all(text, '[A-Z]')) AS n_upper FROM documents"),
     "q_lang_group" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+
+    "q_word_diversity" ->
+      ("SELECT doc_id, CAST(round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 " +
+        "THEN CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) " +
+        "ELSE 1.0 END * 1000000) AS BIGINT) AS dwr_e6 FROM documents"),
+
+    // same regex dialect subset (no lookaround/backrefs) evaluates
+    // identically under Java regex and RE2; DuckDB needs the 'g' flag for
+    // the global replace Spark does by default
+    "q_redact_pii" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-00' || CAST(doc_id AS VARCHAR) || ' at 192.168.0.1', " +
+        s"'${TextAnalysis.EmailRx}', '<EMAIL>', 'g'), " +
+        s"'${TextAnalysis.Ipv4Rx}', '<IP>', 'g'), " +
+        s"'${TextAnalysis.PhoneRx}', '<PHONE>', 'g') AS redacted " +
+        "FROM documents WHERE doc_id % 7 = 0"),
     "q_point_lookup" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey = 1",
     "q_sort_limit" ->

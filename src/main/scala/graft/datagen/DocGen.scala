@@ -139,6 +139,17 @@ object DocGen {
     spark.range(n).as[Long].map(i => make(i, n))
   }
 
+  /** The id range [start, end) of an n-doc corpus — identical rows to
+    * `documents(spark, n)` restricted to that range (cross-doc link targets
+    * still derive from the GLOBAL n). Lets Bench write its sliced probe
+    * corpus one slice at a time with full-size parquet files.
+    */
+  def documentsRange(spark: SparkSession, start: Long, end: Long,
+                     n: Long): Dataset[Document] = {
+    import spark.implicits._
+    spark.range(start, end).as[Long].map(i => make(i, n))
+  }
+
   /** Asserted-datatype annotation of a span in the ANNOTATED corpus variant
     * (the span-datatype seam). Default: every datatype-kind span is
     * annotated with its declared range (a well-typed source). Plants:

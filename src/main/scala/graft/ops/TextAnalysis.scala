@@ -88,6 +88,48 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // repetition / diversity signals
+  // ------------------------------------------------------------------
+
+  /** Distinct-word ratio ×1e6 (BIGINT for exact cross-engine compare): low
+    * values flag boilerplate/repetition — the Gopher-style "fraction of
+    * unique words" filter. Empty/whitespace-only text → ratio 1.
+    */
+  def distinctWordRatioE6(text: Column): Column = {
+    val w = regexp_extract_all(text, lit("\\S+"), lit(0))
+    round(when(size(w) > 0,
+      size(array_distinct(w)).cast("double") / size(w)).otherwise(lit(1.0)) * 1e6)
+      .cast("bigint")
+  }
+
+  // ------------------------------------------------------------------
+  // PII redaction
+  // ------------------------------------------------------------------
+
+  /** Deliberately simple, dialect-portable patterns (no backreferences or
+    * lookaround — valid in both Java regex and RE2, so the operator is
+    * cross-engine checkable): emails; dotted-quad IPs; international-format
+    * phone numbers (leading `+` required — keeps false positives off plain
+    * digit runs).
+    */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Rx = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRx = "\\+[0-9][0-9()\\s.-]{6,}[0-9]"
+
+  /** Scrub direct identifiers from training text: emails → `<EMAIL>`,
+    * IPv4 → `<IP>`, +international phones → `<PHONE>`. Row-local,
+    * shuffle-free, codegen'd — the shape of a 100 TB pre-training scrub
+    * pass. Email runs first so its digits can't be half-eaten by the
+    * phone pattern; IP before phone (phones require the `+`).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRx, "<EMAIL>"),
+        Ipv4Rx, "<IP>"),
+      PhoneRx, "<PHONE>")
+
+  // ------------------------------------------------------------------
   // fingerprinting
   // ------------------------------------------------------------------
 

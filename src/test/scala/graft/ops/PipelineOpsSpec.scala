@@ -86,4 +86,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(h.size / 10000.0 - 0.1) < 0.02)
     assert(Sampling.hashSample(df, "doc_id", 1000).count() == h.size)
   }
+
+  test("PII redaction scrubs emails, IPs, and +phones; leaves prose intact") {
+    val session = spark
+    import session.implicits._
+    val rows = Seq(
+      "write to jane.doe+spam@mail.example.org today",
+      "server at 10.0.255.7 rebooted, call +44 (0)20 7946-0958 now",
+      "no identifiers here, just 1234 plain digits and v1.2 notation")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "write to <EMAIL> today", rows(0))
+    assert(rows(1) == "server at <IP> rebooted, call <PHONE> now", rows(1))
+    // plain digit runs and version-ish dots survive (phone needs `+`, IP
+    // needs a dotted QUAD)
+    assert(rows(2) == "no identifiers here, just 1234 plain digits and v1.2 notation", rows(2))
+  }
+
+  test("distinct-word ratio: repetition scores low, diverse text scores 1") {
+    val session = spark
+    import session.implicits._
+    val r = Seq("spam spam spam spam", "all words here are different", "", "   ")
+      .toDF("text")
+      .select(TextAnalysis.distinctWordRatioE6(col("text")).as("r"))
+      .collect().map(_.getLong(0))
+    assert(r(0) == 250000L) // 1 distinct / 4 words
+    assert(r(1) == 1000000L)
+    assert(r(2) == 1000000L && r(3) == 1000000L) // empty-text guard
+  }
 }
