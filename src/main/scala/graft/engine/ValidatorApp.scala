@@ -224,9 +224,17 @@ object ValidatorApp {
 
     // reports and console totals describe the WHOLE snapshot: on a resume
     // this run's frame covers only the remaining buckets (and no
-    // dataset-level rows), so read the union of all runs (last-run-wins)
+    // dataset-level rows), so read the union of all runs (last-run-wins).
+    // Prefer the manifest-committed file set — isolated from any writer
+    // interleaving with this one — and fall back to the directory union
+    // for manifests that predate file-listing records.
     val snapshotViolations =
-      if (isResume) readViolations(spark, outDir) else violations
+      if (isResume) {
+        manifest.map(m => readViolationsCommitted(spark, outDir, m,
+            cfg.snapshotId, cfg.schema.constraintHash, cfg.checksHash))
+          .filter(df => !df.isEmpty)
+          .getOrElse(readViolations(spark, outDir))
+      } else violations
 
     cfg.xmlOut.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
