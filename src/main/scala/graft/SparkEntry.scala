@@ -160,6 +160,12 @@ object SparkEntry {
       graft.ops.Sampling.md5Sample(t(s, d, "documents"), "doc_id", 26)
         .select("doc_id", "lang")),
 
+    // --- stratified mix curation: 25% of en, ~10% of fr, 5% elsewhere ---
+    "q_stratified_sample" -> ((s, d) =>
+      graft.ops.Sampling.md5SampleStratified(t(s, d, "documents"), "doc_id",
+          "lang", Map("en" -> 64, "fr" -> 26), defaultBuckets256 = 13)
+        .select("doc_id", "lang")),
+
     // --- benchmark decontamination: corpus docs sharing word n-grams with
     // an eval slice (GPT-3-style overlap filter; broadcast benchmark side).
     // n=4 on this template-heavy fixture → a non-trivial contaminated set
@@ -324,6 +330,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, threshold = 0.6)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 1e6).cast("bigint").as("j_e6"))),
+
+    // connected components over the ngram-Jaccard pair graph: (doc_id,
+    // component = smallest reachable id) — the pair→group closure every
+    // dedup pipeline needs before canonical-doc selection; oracle = a
+    // DuckDB recursive-CTE reachability closure over the SAME exact pair set
+    "q_dedup_groups" -> ((s, d) =>
+      Dedup.dupGroups(Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3,
+          threshold = 0.6))
+        .select(col("id").as("doc_id"), col("component"))),
 
     // winnowed rolling-hash fingerprints: the duplicated slice appends a
     // distinct tail, so pairs surface through SHARED PASSAGES, not
@@ -523,6 +538,10 @@ object SparkEntry {
     "q_hash_sample" ->
       "SELECT doc_id, lang FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'",
 
+    "q_stratified_sample" ->
+      ("SELECT doc_id, lang FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +
+        "CASE lang WHEN 'en' THEN '40' WHEN 'fr' THEN '1a' ELSE '0d' END"),
+
     "q_decontaminate" ->
       ("WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
         "g0 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM d, UNNEST(generate_series(1, greatest(len(w)-3, 1))) AS u(i)), " +
@@ -556,15 +575,16 @@ object SparkEntry {
 
     // all-pairs exact word-3-gram Jaccard — at fixture scale the LSH result
     // is provably the full set (all matched pairs are ≥0.9-similar)
-    "q_ngram_jaccard" ->
-      ("WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
-        "g0 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM d, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS u(i)), " +
-        "gs AS (SELECT DISTINCT doc_id, g FROM g0), " +
-        "sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY 1), " +
-        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM gs a JOIN gs b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT id_a, id_b, CAST(round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) * 1000000) AS BIGINT) AS j_e6 " +
-        "FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
-        "WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6"),
+    "q_ngram_jaccard" -> NgramJaccardSql,
+
+    // connected components over that SAME pair set: DuckDB computes the
+    // reachability closure with a recursive CTE; Spark's min-label
+    // propagation must agree component-for-component
+    "q_dedup_groups" ->
+      (s"WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($NgramJaccardSql)), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a) " +
+        "SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a"),
 
     // stopword-vote language id in pure SQL (distinct-hit counts, argmax
     // with the same en>fr>de>es tie order as TextAnalysis.langId)
@@ -650,6 +670,19 @@ object SparkEntry {
   val VerdictFamilies: Seq[String] = Seq(
     "q_validate_datatype", "q_validate_domain", "q_validate_cardinality",
     "q_validate_someonly")
+
+  /** Exact all-pairs word-3-gram Jaccard at ≥0.6 — shared by the
+    * q_ngram_jaccard oracle and (as the edge set) the q_dedup_groups one.
+    */
+  private val NgramJaccardSql: String =
+    ("WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
+      "g0 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM d, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS u(i)), " +
+      "gs AS (SELECT DISTINCT doc_id, g FROM g0), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY 1), " +
+      "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM gs a JOIN gs b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, CAST(round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) * 1000000) AS BIGINT) AS j_e6 " +
+      "FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6")
 
   private val LineitemCols = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",

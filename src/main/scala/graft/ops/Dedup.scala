@@ -282,4 +282,48 @@ object Dedup {
       extra.map(e => col(s"p.b.${e.stripPrefix("__")}").as(s"${e.stripPrefix("__")}_b"))
     pairs.select(outCols: _*).distinct()
   }
+
+  // ------------------------------------------------------------------
+  // duplicate GROUPS (connected components over near-dup pairs)
+  // ------------------------------------------------------------------
+
+  /** Connected components over a near-dup pair set: `(id, component)` where
+    * `component` is the smallest id reachable through the pair graph — the
+    * step every dedup pipeline needs between PAIR mining and canonical-doc
+    * selection (keep `id == component`, drop the rest; without the closure,
+    * chains like a~b, b~c keep b AND c when pairs are pruned pairwise).
+    *
+    * Min-label propagation: each round every node takes the min of its own
+    * label and its neighbors'; converges in O(graph diameter) rounds, and
+    * LSH-mined dup clusters are near-cliques, so the diameter — and the
+    * round count — is tiny in practice (`maxIter` is a safety bound, not a
+    * schedule). Scale shape: the pair graph holds DUP nodes only (≪ corpus
+    * at any scale), each round is one shuffle on node id, and
+    * `localCheckpoint()` cuts the plan lineage so round N doesn't replay
+    * rounds 1..N-1 (an unbounded iterative-join lineage is the classic
+    * driver OOM).
+    */
+  def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("nid")).agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          (coalesce(col("nmin"), col("component")) < col("component")).as("__chg"))
+        .localCheckpoint()
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
+      i += 1
+    }
+    labels
+  }
 }

@@ -36,6 +36,29 @@ object Sampling {
     else df.filter(md5Bucket(col(key)) < lit(f"$buckets256%02x"))
   }
 
+  /** Stratified deterministic sampling — the training-mix curation shape:
+    * keep `buckets256ByStratum(stratum)`/256 of each stratum's rows
+    * (md5-bucketed on the key: the same engine-portable, rerun-stable
+    * contract as [[md5Sample]]; strata absent from the map keep
+    * `defaultBuckets256`/256). Row-local and shuffle-free — no groupBy,
+    * no sampleBy RNG state — so upsampling English vs. downsampling
+    * boilerplate-heavy strata costs one scan at any corpus size and an
+    * audit query in another engine selects the SAME rows.
+    */
+  def md5SampleStratified(df: DataFrame, key: String, stratum: String,
+                          buckets256ByStratum: Map[String, Int],
+                          defaultBuckets256: Int = 0): DataFrame = {
+    val all = buckets256ByStratum.values.toSeq :+ defaultBuckets256
+    require(all.forall(b => b >= 0 && b <= 256),
+      s"buckets256 values out of [0,256]: $all")
+    val b = buckets256ByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultBuckets256)) {
+      case (acc, (s, n)) => when(col(stratum) === s, lit(n)).otherwise(acc)
+    }
+    // b = 256 must bypass the compare: its threshold would format as the
+    // 3-char "100" (see md5Sample's note on the hex-prefix boundary)
+    df.filter(b === 256 || md5Bucket(col(key)) < format_string("%02x", b))
+  }
+
   /** xxhash64 variant: keep rows with pmod(xxhash64(key, salt), den) < num.
     * `salt` is NOT an xxhash64 seed — Spark's `xxhash64(cols...)` hashes
     * with a fixed internal seed, and the literal is simply hashed as an

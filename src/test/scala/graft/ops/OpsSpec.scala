@@ -212,4 +212,18 @@ class OpsSpec extends SparkTestBase {
         s"no shared fingerprint for shared substring: a=$a b=$b")
     }
   }
+
+  test("dupGroups: connected components over the pair graph, min-id labels") {
+    val session = spark
+    import session.implicits._
+    // chain {1,2,3} (transitive — pairwise pruning would miss 1~3), a long
+    // path {20..24} (exercises multi-round propagation), pair {10,11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      .toDF("id_a", "id_b")
+    val comp = graft.ops.Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L), s"got $comp")
+  }
 }

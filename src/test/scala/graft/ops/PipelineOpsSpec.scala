@@ -87,6 +87,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Sampling.hashSample(df, "doc_id", 1000).count() == h.size)
   }
 
+  test("stratified md5 sampling: per-stratum fractions, nested, 256 = keep-all") {
+    val session = spark
+    import session.implicits._
+    val df = (0L until 9000L).map(i => (i, Seq("en", "fr", "de")((i % 3).toInt)))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.md5SampleStratified(df, "doc_id", "lang",
+      Map("en" -> 128, "fr" -> 26), defaultBuckets256 = 0)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("en") / 3000.0 - 0.5) < 0.04, kept.toString)
+    assert(math.abs(kept.getOrElse("fr", 0L) / 3000.0 - 26.0 / 256) < 0.03, kept.toString)
+    assert(!kept.contains("de")) // default 0 drops the stratum entirely
+    // per-stratum samples nest within the flat sample, and 256 keeps all
+    val flat = Sampling.md5Sample(df, "doc_id", 26).collect().map(_.getLong(0)).toSet
+    val frIds = Sampling.md5SampleStratified(df, "doc_id", "lang",
+      Map("fr" -> 26), 0).collect().map(_.getLong(0)).toSet
+    assert(frIds.subsetOf(flat))
+    assert(Sampling.md5SampleStratified(df, "doc_id", "lang",
+      Map("en" -> 256), 256).count() == 9000L)
+  }
+
   test("PII redaction scrubs emails, IPs, and +phones; leaves prose intact") {
     val session = spark
     import session.implicits._
