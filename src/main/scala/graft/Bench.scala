@@ -169,25 +169,35 @@ object Bench {
     }
     // CAPABILITY estimator: interference is additive, so max-over-rounds is
     // each size's best capability estimate; the ratio needs no round
-    // pairing and no best-round selection (symmetric by construction)
-    def capN: Double = { val xs = roundPairs.toSeq.map(_._1).filter(_ > 0)
+    // pairing and no best-round selection (symmetric by construction).
+    // Only rounds at the LARGEST corpus probed enter the maxima: fixed
+    // per-round overhead depresses a budget-shrunk round's throughput
+    // (disproportionately on the faster 4n side), and mixing corpus sizes
+    // inside one ratio would compare different workloads.
+    def largestRounds: Seq[(Double, Double)] = {
+      if (roundDocs.isEmpty) return Nil
+      val md = roundDocs.max
+      roundPairs.toSeq.zip(roundDocs.toSeq).collect { case (p, d) if d == md => p }
+    }
+    def capN: Double = { val xs = largestRounds.map(_._1).filter(_ > 0)
       if (xs.isEmpty) 0.0 else xs.max }
-    def cap4N: Double = { val xs = roundPairs.toSeq.map(_._2).filter(_ > 0)
+    def cap4N: Double = { val xs = largestRounds.map(_._2).filter(_ > 0)
       if (xs.isEmpty) 0.0 else xs.max }
     def capEff: Double = if (capN > 0) cap4N / (4.0 * capN) else 0.0
     def snapshotJson(done: Boolean): String = {
       val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val failed = results.values.count(_ < 0)
-      // informational `_first` entries are not part of the workload total
-      // (validate_full already contributes its steady-state time)
+      // informational `_first`/`_cached` entries are not part of the
+      // workload total (validate_full already contributes its best time)
       val total = results.collect {
-        case (k, v) if v >= 0 && !k.endsWith("_first") => v }.sum
+        case (k, v) if v >= 0 && !k.endsWith("_first") && !k.endsWith("_cached") => v }.sum
       def arr(xs: Seq[Double]) = xs.map(_.toLong).mkString("[", ",", "]")
-      // only fully-measured rounds: a failed 4n probe (0.0) would skew the
-      // median toward zero while the capability headline correctly skips it
-      val effMedian = median(roundPairs.toSeq.filter(p => p._1 > 0 && p._2 > 0)
+      // only fully-measured rounds at the largest corpus: a failed 4n probe
+      // (0.0) would skew the median toward zero while the capability
+      // headline correctly skips it
+      val effMedian = median(largestRounds.filter(p => p._1 > 0 && p._2 > 0)
         .map(p => p._2 / (4.0 * p._1)))
-      val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${capN.toLong},"docs_per_sec_4n":${cap4N.toLong},"efficiency":$capEff%.3f,"efficiency_median":$effMedian%.3f,"docs":$curScaleDocs,"docs_rounds":${roundDocs.map(_.toString).mkString("[", ",", "]")},"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"estimator":"per-size max over rounds"}"""
+      val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${capN.toLong},"docs_per_sec_4n":${cap4N.toLong},"efficiency":$capEff%.3f,"efficiency_median":$effMedian%.3f,"docs":$curScaleDocs,"docs_rounds":${roundDocs.map(_.toString).mkString("[", ",", "]")},"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"estimator":"per-size max over largest-corpus rounds"}"""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"scaling":$scaling,"diag":${diagJson(gcHeadline)},"complete":$done,"elapsed_sec":${elapsedSec.toLong}}"""
     }
     def flush(done: Boolean = false): Unit =
@@ -240,9 +250,15 @@ object Bench {
       flush()
       val cached = Pipeline.violations(spark,
         spark.read.parquet(docsPath), DocGen.schema).cache()
+      // vf2 includes the cache build (serializing violation rows into
+      // storage memory) — usually still the faster trial (JIT-warm), and
+      // min() keeps vf1 as the headline whenever the cache cost dominates;
+      // the raw cached-trial time ships as `_cached` for transparency.
+      // gcHeadline spans both trials incl. the cache build.
       val vf2 = time(cached.count())
       cachedViols = Some(cached)
       results("validate_full") = math.min(vf1, vf2)
+      results("validate_full_cached") = vf2
       gcHeadline = gcMillis - gc0
     } catch { case e: Throwable =>
       System.err.println(s"[bench] validate_full failed: ${e.getMessage}")
@@ -250,10 +266,22 @@ object Bench {
     }
     flush()
     // verdicts roll up the violations frame the steady trial materialized
-    // (the ValidatorApp flow: no second validation pass)
+    // (the ValidatorApp flow: no second validation pass). If the cached
+    // trial failed, rebuild the cache untimed — a vf2 failure must not
+    // take the (independently runnable) verdicts stage down with it.
+    if (cachedViols.isEmpty) {
+      try {
+        val c = Pipeline.violations(spark,
+          spark.read.parquet(docsPath), DocGen.schema).cache()
+        c.count()
+        cachedViols = Some(c)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] verdicts cache rebuild failed: ${e.getMessage}")
+      }
+    }
     bench("verdicts") {
       val viols = cachedViols.getOrElse(
-        sys.error("validate_full failed — no cached violations"))
+        sys.error("no violations frame (validation failed twice)"))
       // sum(nViolations) forces the violation aggregation — a bare count()
       // lets Catalyst eliminate the unique-key left join entirely
       Pipeline.verdictsFrom(spark, viols, spark.read.parquet(docsPath),
@@ -362,6 +390,7 @@ object Bench {
     while (r <= scaleRounds && !stop) {
       kSlices = math.min(kSlices, planSlices(1)) // shrink under pressure; never grow
       val docsThis = docsOf(kSlices)
+      curScaleDocs = docsThis // the scaling JSON's `docs` tracks the CURRENT round
       val estimate = docsThis / 1e6 * secPerMdoc * 1.15
       if (elapsedSec + estimate > budgetSec) {
         System.err.println(f"[bench] budget: ${elapsedSec.toLong}s elapsed + ~${estimate.toLong}s round (${docsThis} docs) > ${budgetSec.toLong}s — stopping probes")

@@ -26,7 +26,8 @@ object ValidatorApp {
     * outDir — the manifest keys completion by constraintHash for the same
     * reason.)
     */
-  def readViolations(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame = {
+  def readViolations(spark: SparkSession, outDir: String,
+                     nBuckets: Int = Pipeline.DefaultBuckets): org.apache.spark.sql.DataFrame = {
     // last-run-wins derived from the TINY verdicts table, not from a window
     // over every violation row (round-3 verdict item 4): the winning run
     // per bucket is max(run) over each bucket's RECORDED verdicts — a
@@ -35,11 +36,20 @@ object ValidatorApp {
     // ≡ the old per-docId window (runs validate whole buckets; one
     // snapshot × one constraint set is deterministic). Violations persist
     // their bucket, so the read is one broadcast join — no shuffle of the
-    // violations side, at any corpus scale.
+    // violations side, at any corpus scale. Rows written before the bucket
+    // column existed (or mixed old+new run dirs, where schema merge yields
+    // nulls) get their bucket re-derived row-locally from docId — `nBuckets`
+    // must then match the runs' configured bucket count.
     val winners = spark.read.parquet(s"$outDir/verdicts")
       .groupBy(col("partitionId").as("bucket")).agg(max(col("run")).as("run"))
-    spark.read.parquet(s"$outDir/violations")
-      .join(broadcast(winners), Seq("bucket", "run"))
+    val raw = spark.read.parquet(s"$outDir/violations")
+    val derived = when(col("docId").isNotNull,
+      pmod(xxhash64(col("docId")), lit(nBuckets)).cast("int")).otherwise(lit(-1))
+    val bucketed =
+      if (raw.columns.contains("bucket"))
+        raw.withColumn("bucket", coalesce(col("bucket"), derived))
+      else raw.withColumn("bucket", derived)
+    bucketed.join(broadcast(winners), Seq("bucket", "run"))
       .drop("bucket", "run")
   }
 
@@ -196,8 +206,9 @@ object ValidatorApp {
     // revalidates. THIS run's records only; earlier runs already have theirs.
     manifest.foreach { m =>
       val dir = java.nio.file.Paths.get(s"$outDir/violations/$runId")
-      val files = java.nio.file.Files.list(dir).iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      val files = scala.util.Using.resource(java.nio.file.Files.list(dir))(
+        _.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted)
       m.recordFiles(cfg.snapshotId, cfg.schema.constraintHash, runNum, files,
         cfg.checksHash)
       val stats = spark.read.parquet(s"$outDir/verdicts/$runId")
@@ -227,13 +238,21 @@ object ValidatorApp {
     // dataset-level rows), so read the union of all runs (last-run-wins).
     // Prefer the manifest-committed file set — isolated from any writer
     // interleaving with this one — and fall back to the directory union
-    // for manifests that predate file-listing records.
+    // ONLY for manifests that predate file-listing records. The guard is
+    // on the MANIFEST having commit records, never on the committed result
+    // being non-empty: a committed snapshot with zero violations must
+    // report zero, not fall through to a directory union where an
+    // interleaved uncommitted writer's rows could leak in.
     val snapshotViolations =
       if (isResume) {
-        manifest.map(m => readViolationsCommitted(spark, outDir, m,
+        manifest
+          .filter(m => m.committedFiles(cfg.snapshotId,
+              cfg.schema.constraintHash, cfg.checksHash).nonEmpty &&
+            m.committedBucketRuns(cfg.snapshotId,
+              cfg.schema.constraintHash, cfg.checksHash).nonEmpty)
+          .map(m => readViolationsCommitted(spark, outDir, m,
             cfg.snapshotId, cfg.schema.constraintHash, cfg.checksHash))
-          .filter(df => !df.isEmpty)
-          .getOrElse(readViolations(spark, outDir))
+          .getOrElse(readViolations(spark, outDir, cfg.nBuckets))
       } else violations
 
     cfg.xmlOut.foreach { p =>

@@ -324,6 +324,12 @@ object Dedup {
       labels = next.drop("__chg")
       i += 1
     }
+    // exhausting the bound with labels still moving would silently split
+    // true components (downstream keep-id==component then RETAINS dups) —
+    // never acceptable for a dedup primitive
+    require(changed == 0,
+      s"dupGroups did not converge in $maxIter rounds ($changed labels still " +
+        "changing) — the pair graph has diameter > maxIter; raise maxIter")
     labels
   }
 }

@@ -98,13 +98,8 @@ object StreamingValidator {
     */
   def contaminationEventStream(docs: DataFrame, benchmark: DataFrame,
                                n: Int = 13, id: String = "doc_id",
-                               text: String = "text"): DataFrame = {
-    val cg = docs.select(col(id),
-      explode(graft.ops.Decontamination.ngrams(col(text), n)).as("g"))
-    val bg = benchmark.select(
-      explode(graft.ops.Decontamination.ngrams(col(text), n)).as("g")).distinct()
-    cg.join(broadcast(bg), Seq("g")).select(col(id), col("g"))
-  }
+                               text: String = "text"): DataFrame =
+    graft.ops.Decontamination.sharedGramEvents(docs, benchmark, n, id, text)
 
   /** Windowed violation counts with a watermark — the streaming verdict
     * analogue: (window, checkId) → count, tolerating `lateness` of event

@@ -13,13 +13,14 @@ import java.util.Comparator
   */
 class ManifestSnapshotSpec extends SparkTestBase {
 
-  private def copyTree(src: Path, dst: Path): Unit = {
-    Files.walk(src).sorted(Comparator.naturalOrder[Path]).forEach { p =>
-      val t = dst.resolve(src.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
+  private def copyTree(src: Path, dst: Path): Unit =
+    scala.util.Using.resource(Files.walk(src)) {
+      _.sorted(Comparator.naturalOrder[Path]).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
     }
-  }
 
   test("interleaved uncommitted writer cannot make a committed reader double-count") {
     val tmp = Files.createTempDirectory("graft-snap").toString
@@ -47,7 +48,8 @@ class ManifestSnapshotSpec extends SparkTestBase {
     // written under a newer run id, but no manifest commit record (crashed
     // mid-commit, or still running)
     val vDir = java.nio.file.Paths.get(s"$tmp/out/violations")
-    val runA = Files.list(vDir).iterator().next().getFileName.toString
+    val runA = scala.util.Using.resource(Files.list(vDir))(
+      _.iterator().next().getFileName.toString)
     val runB = s"run=${runA.stripPrefix("run=").toLong + 1}"
     copyTree(vDir.resolve(runA), vDir.resolve(runB))
     val dDir = java.nio.file.Paths.get(s"$tmp/out/verdicts")
