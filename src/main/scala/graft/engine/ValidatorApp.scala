@@ -18,13 +18,12 @@ object ValidatorApp {
     * (the Iceberg-snapshot seam, SURVEY.md §4.5): a run can durably write
     * buckets that never get recorded, and the resume then re-writes them
     * into a new `run=` dir. A naive union would double those rows.
-    * Last-run-wins per docId (and per the dataset-level docId-null group)
-    * makes the union exact: each document's violations come from the most
-    * recent run that validated its bucket. (Re-validation of one snapshot
-    * against one constraint set is deterministic, so a doc-granular window
-    * equals bucket granularity; different constraints belong in a different
-    * outDir — the manifest keys completion by constraintHash for the same
-    * reason.)
+    * Last-run-wins per bucket (and the dataset-level bucket -1) makes the
+    * union exact: each bucket's violations come from the most recent run
+    * whose verdicts recorded it. (Re-validation of one snapshot against
+    * one constraint set is deterministic; different constraints belong in
+    * a different outDir — the manifest keys completion by constraintHash +
+    * checksHash for the same reason.)
     */
   def readViolations(spark: SparkSession, outDir: String,
                      nBuckets: Int = Pipeline.DefaultBuckets): org.apache.spark.sql.DataFrame = {
