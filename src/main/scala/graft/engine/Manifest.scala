@@ -105,6 +105,23 @@ final class Manifest(path: String) {
       .toSeq
   }
 
+  /** Replace this manifest's contents atomically: `build` appends records
+    * into a TEMP manifest, which then moves over the real path in one
+    * rename — readers never observe a half-rewritten file. Compaction uses
+    * this to retire superseded runs' records (the expire-snapshots
+    * analogue); the append-only contract holds for everything else.
+    */
+  def rewriteAtomically(build: Manifest => Unit): Unit = {
+    Files.createDirectories(file.getParent)
+    val tmp = Files.createTempFile(file.getParent, ".manifest-rewrite", ".jsonl")
+    try {
+      build(new Manifest(tmp.toString))
+      Files.move(tmp, file,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
   /** Winning (max) committed run per bucket for this snapshot key — the
     * manifest-resolved twin of deriving winners from the verdicts table.
     */

@@ -87,6 +87,21 @@ object ValidatorApp {
       .drop("bucket", "run")
   }
 
+  /** The preferred whole-snapshot read: the manifest-committed file set
+    * when the manifest carries commit records (isolated from interleaved
+    * writers), else the directory union with last-run-wins.
+    */
+  def readSnapshot(spark: SparkSession, cfg: ValidatorConfig, outDir: String,
+                   manifest: Option[Manifest]): org.apache.spark.sql.DataFrame =
+    manifest
+      .filter(m => m.committedFiles(cfg.snapshotId,
+          cfg.schema.constraintHash, cfg.checksHash).nonEmpty &&
+        m.committedBucketRuns(cfg.snapshotId,
+          cfg.schema.constraintHash, cfg.checksHash).nonEmpty)
+      .map(m => readViolationsCommitted(spark, outDir, m,
+        cfg.snapshotId, cfg.schema.constraintHash, cfg.checksHash))
+      .getOrElse(readViolations(spark, outDir, cfg.nBuckets))
+
   /** Strictly-increasing run timestamps: two runs into one outDir within
     * the same millisecond (a fast resume loop) would otherwise share a
     * `run=` dir and mode(overwrite) would destroy the earlier run's output.
@@ -97,7 +112,7 @@ object ValidatorApp {
     * (Spark's own overwrite-write into the pre-created empty dir is fine).
     */
   private val lastRunId = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def nextRunId(outDir: String): Long = {
+  private[engine] def nextRunId(outDir: String): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outDir/violations"))
     var id = 0L
     var reserved = false
@@ -130,12 +145,7 @@ object ValidatorApp {
   }
 
   def run(spark: SparkSession, cfg: ValidatorConfig, outDir: String): Unit = {
-    val checks = cfg.checkKeys.map { key =>
-      val (base, params) = ValidatorConfig.parseCheckKey(key)
-      ValidatorConfig.CheckRegistry.getOrElse(base,
-        sys.error(s"unknown check key '$base' (known: ${ValidatorConfig.CheckRegistry.keys.toSeq.sorted.mkString(", ")})"))
-        .configure(params)
-    }
+    val checks = cfg.configuredChecks
 
     // bucketed catalog table preferred: the doc_id universe side of the
     // referential joins then scans pre-hashed buckets shuffle-free
@@ -243,16 +253,7 @@ object ValidatorApp {
     // report zero, not fall through to a directory union where an
     // interleaved uncommitted writer's rows could leak in.
     val snapshotViolations =
-      if (isResume) {
-        manifest
-          .filter(m => m.committedFiles(cfg.snapshotId,
-              cfg.schema.constraintHash, cfg.checksHash).nonEmpty &&
-            m.committedBucketRuns(cfg.snapshotId,
-              cfg.schema.constraintHash, cfg.checksHash).nonEmpty)
-          .map(m => readViolationsCommitted(spark, outDir, m,
-            cfg.snapshotId, cfg.schema.constraintHash, cfg.checksHash))
-          .getOrElse(readViolations(spark, outDir, cfg.nBuckets))
-      } else violations
+      if (isResume) readSnapshot(spark, cfg, outDir, manifest) else violations
 
     cfg.xmlOut.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),

@@ -53,6 +53,14 @@ final case class ValidatorConfig(
     * resume as "complete" (round-3 advice, medium).
     */
   lazy val checksHash: String = ValidatorConfig.checksHash(checkKeys)
+
+  /** The configured check instances (registry lookup + per-check params). */
+  lazy val configuredChecks: Seq[graft.checks.ConstraintCheck] = checkKeys.map { key =>
+    val (base, params) = ValidatorConfig.parseCheckKey(key)
+    ValidatorConfig.CheckRegistry.getOrElse(base,
+      sys.error(s"unknown check key '$base' (known: ${ValidatorConfig.CheckRegistry.keys.toSeq.sorted.mkString(", ")})"))
+      .configure(params)
+  }
 }
 
 object ValidatorConfig {
