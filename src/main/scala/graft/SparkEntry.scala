@@ -212,6 +212,27 @@ object SparkEntry {
     "q_lang_group" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("lang")).agg(count(lit(1)).as("n"))),
 
+    // --- multimodal metadata: REAL container parsing (magic + fixed-offset
+    // dims) over deterministically constructed PNG/GIF/JPEG payloads —
+    // both engines build the SAME bytes from doc_id, then parse them
+    "q_image_meta" -> ((s, d) => {
+      val id = col("doc_id")
+      val payload = when(id % 3 === 0,
+          unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+            lpad(hex(lit(320) + id % 64), 8, "0"),
+            lpad(hex(lit(240) + id % 32), 8, "0"))))
+        .when(id % 3 === 1,
+          unhex(concat(lit("474946383961"),
+            lpad(hex(lit(100) + id % 100), 2, "0"), lit("00"),
+            lpad(hex(lit(50) + id % 50), 2, "0"), lit("00"))))
+        .otherwise(unhex(lit("FFD8FFE000104A46494600")))
+      val dims = graft.ops.Multimodal.imageDims(col("b"))
+      t(s, d, "documents").select(id, payload.as("b"))
+        .select(id, graft.ops.Multimodal.sniffFormat(col("b")).as("format"),
+          dims.getField("width").as("width"),
+          dims.getField("height").as("height"))
+    }),
+
     // --- distinct-word ratio (Gopher-style repetition filter) ------------
     "q_word_diversity" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -506,6 +527,25 @@ object SparkEntry {
         "len(regexp_extract_all(text, '[A-Z]')) AS n_upper FROM documents"),
     "q_lang_group" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+
+    // identical construction + parse over the hex string (DuckDB has no
+    // blob substring; both engines' hex() is uppercase). PNG width chars
+    // 33-40 / height 41-48 (bytes 17/21 BE); GIF width = byte-8 high ||
+    // byte-7 low (chars 15-16 || 13-14), height bytes 9/10 (19-20 || 17-18)
+    "q_image_meta" ->
+      ("WITH b AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 3 = 0 THEN '89504E470D0A1A0A0000000D49484452' || lpad(hex(320 + doc_id % 64), 8, '0') || lpad(hex(240 + doc_id % 32), 8, '0') " +
+        "WHEN doc_id % 3 = 1 THEN '474946383961' || lpad(hex(100 + doc_id % 100), 2, '0') || '00' || lpad(hex(50 + doc_id % 50), 2, '0') || '00' " +
+        "ELSE 'FFD8FFE000104A46494600' END AS hx FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png' " +
+        "WHEN substr(hx, 1, 12) IN ('474946383961', '474946383761') THEN 'gif' " +
+        "WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg' ELSE 'unknown' END AS format, " +
+        "CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT) " +
+        "WHEN substr(hx, 1, 12) = '474946383961' THEN CAST(('0x' || substr(hx, 15, 2) || substr(hx, 13, 2)) AS BIGINT) END AS width, " +
+        "CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT) " +
+        "WHEN substr(hx, 1, 12) = '474946383961' THEN CAST(('0x' || substr(hx, 19, 2) || substr(hx, 17, 2)) AS BIGINT) END AS height " +
+        "FROM b"),
 
     "q_word_diversity" ->
       ("SELECT doc_id, CAST(round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 " +

@@ -213,6 +213,33 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("container sniffing + image dims parse real header bytes, no codec lib") {
+    val session = spark
+    import session.implicits._
+    import graft.ops.Multimodal
+    val rows = Seq(
+      // real 1x1 PNG file prefix (sig + IHDR), a 320x240 PNG header,
+      // GIF89a 3x2 logical screen, JPEG JFIF SOI, RIFF/WAVE, junk
+      "89504E470D0A1A0A0000000D4948445200000001000000010802000000907753DE",
+      "89504E470D0A1A0A0000000D4948445200000140000000F0",
+      "4749463839610300020000",
+      "FFD8FFE000104A46494600",
+      "524946462408000057415645666D7420",
+      "DEADBEEF")
+      .toDF("hx").select(unhex(col("hx")).as("b"))
+      .select(Multimodal.sniffFormat(col("b")).as("f"),
+        Multimodal.imageDims(col("b")).as("d"))
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("png", "png", "gif", "jpeg", "wav", "unknown"))
+    def dims(i: Int) = Option(rows(i).getStruct(1))
+      .map(s => (s.getLong(0), s.getLong(1)))
+    assert(dims(0).contains((1L, 1L)))
+    assert(dims(1).contains((320L, 240L)))
+    assert(dims(2).contains((3L, 2L))) // GIF little-endian u16
+    assert(dims(3).isEmpty && dims(4).isEmpty && dims(5).isEmpty)
+  }
+
   test("dupGroups: connected components over the pair graph, min-id labels") {
     val session = spark
     import session.implicits._
