@@ -294,6 +294,12 @@ object SparkEntry {
         .select("checkId", "docId", "kind", "value")
     }),
 
+    // --- link-graph degrees over the corpus med:link graph (corpus-
+    // curation signal family; oracle = group-counts + full join in SQL) ---
+    "q_link_degrees" -> ((s, _) =>
+      graft.ops.Graph.degrees(graft.ops.Graph.refEdges(
+        DocGen.documents(s, VerifyDocs).toDF()))),
+
     // --- whole-pipeline rollup: per-family violation counts, oracle = the
     // seven family SQLs UNION ALL'd and counted (group-count over a union)
     "q_validate_docs" -> ((s, d) =>
@@ -324,6 +330,15 @@ object SparkEntry {
     }),
 
     // --- engine-native (rows-only; no SQL equivalent) --------------------
+
+    // PageRank over the same link graph: floating-point power iteration —
+    // cross-engine FP summation order makes a hash oracle unreliable, so
+    // rows-only here; GraphSpec asserts exact agreement with a driver-side
+    // reference implementation on a known graph
+    "q_pagerank" -> ((s, _) =>
+      graft.ops.Graph.pageRank(graft.ops.Graph.refEdges(
+          DocGen.documents(s, VerifyDocs).toDF()), iters = 10)
+        .orderBy(col("rank").desc, col("node")).limit(50)),
 
     "q_verdicts" -> ((s, _) =>
       Pipeline.verdicts(s, DocGen.documents(s, VerifyDocs).toDF(), DocGen.schema,
@@ -819,6 +834,14 @@ object SparkEntry {
         "UNION ALL SELECT 'OWL-RESTRICTION-EXACT-100', doc_id, 'txt:date', CAST(n_date AS VARCHAR) FROM base WHERE n_date > 0 AND n_date <> 1 " +
         "UNION ALL SELECT 'OWL-RESTRICTION-MAX-101', doc_id, 'med:image', CAST(n_img AS VARCHAR) FROM base WHERE n_img > 2 " +
         s"UNION ALL SELECT DISTINCT 'OWL-RESTRICTION-EXACT-104', s.doc_id, 'txt:date', s.text FROM s JOIN art a ON a.doc_id = s.doc_id WHERE s.kind = 'txt:date' AND NOT regexp_matches(s.text, '$DateRx')"),
+
+    "q_link_degrees" ->
+      (SpansCte +
+        ", e AS (SELECT doc_id AS src, media_ref AS dst FROM s WHERE kind = 'med:link' AND media_ref IS NOT NULL)" +
+        ", o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1)" +
+        ", i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1) " +
+        "SELECT coalesce(o.node, i.node) AS node, coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg " +
+        "FROM o FULL JOIN i ON o.node = i.node"),
 
     "q_validate_someonly" ->
       (SpansCte + ", " + ClsCte + ", " + ArtCte + ", " +
