@@ -20,9 +20,12 @@ import scala.jdk.CollectionConverters._
   * (snapshotId, constraintHash, checksHash) key); after
   * `deleteOldRuns = true` exactly one run dir remains on disk.
   *
-  * Run compaction EXCLUSIVELY (no concurrent writer into the same outDir):
-  * like Iceberg's maintenance actions, it rewrites metadata that an
-  * in-flight writer would race.
+  * Run compaction EXCLUSIVELY — no concurrent writer AND no concurrent
+  * reader of the same outDir: `deleteOldRuns` removes files an in-flight
+  * reader resolved from the pre-compaction manifest (Iceberg's
+  * expire_snapshots solves this with a retention window; here exclusivity
+  * is the contract — or leave `deleteOldRuns = false` and garbage-collect
+  * old run dirs later, after in-flight readers drain).
   */
 object Compact {
 
@@ -32,6 +35,30 @@ object Compact {
     val manifestPath = cfg.manifestPath.getOrElse(
       sys.error("compaction requires a manifest (cfg.manifestPath)"))
     val m = new Manifest(manifestPath)
+
+    // refuse to fabricate completeness: with NO committed run records for
+    // this key (crashed-only outDir, or a manifest predating run ids), the
+    // snapshot read yields nothing and compaction would write an empty
+    // baseline, mark EVERY bucket complete, and (with deleteOldRuns)
+    // destroy the unrecorded violations — silent data loss
+    val have = m.committedBucketRuns(cfg.snapshotId,
+      cfg.schema.constraintHash, cfg.checksHash).keySet
+    require(have.nonEmpty,
+      "compaction refused: no committed run records for this (snapshot, " +
+        "schema, checks) key — run (or resume) the validator with the " +
+        "current engine first so the manifest carries run ids")
+
+    // ...and refuse when some bucket with documents was NEVER committed by
+    // any run (an unfinished resume chain): the compacted verdicts would
+    // mark it complete with zero violations without it ever being validated
+    val docs = cfg.bucketedTable
+      .map(t => Layout.readBucketed(spark, t))
+      .getOrElse(spark.read.parquet(cfg.documentsPath))
+    val expected = Pipeline.withBucket(docs, cfg.nBuckets)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    require(expected.subsetOf(have),
+      s"compaction refused: buckets ${(expected -- have).toSeq.sorted.mkString(",")} " +
+        "have no committed run — finish the resume chain first")
 
     // current snapshot = winner rows (committed set when available)
     val snapshot = ValidatorApp.readSnapshot(spark, cfg, outDir, Some(m))
@@ -46,32 +73,16 @@ object Compact {
 
     // verdicts recomputed over the full corpus (nDocs per bucket comes from
     // the documents table, exactly as a first full run would record them)
-    val docs = cfg.bucketedTable
-      .map(t => Layout.readBucketed(spark, t))
-      .getOrElse(spark.read.parquet(cfg.documentsPath))
     Pipeline.verdictsFrom(spark, snapshot, docs, cfg.schema,
         cfg.snapshotId, cfg.nBuckets, cfg.configuredChecks)
       .write.mode("overwrite").parquet(s"$outDir/verdicts/$runId")
 
     // the commit: a FRESH manifest referencing only the compacted run —
     // other snapshot keys' records do not survive (one outDir = one
-    // snapshot × one constraint set, the contract the readers rely on)
-    val files = scala.util.Using.resource(
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$outDir/violations/$runId")))(
-      _.iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".parquet")).toSeq.sorted)
-    val stats = spark.read.parquet(s"$outDir/verdicts/$runId")
-      .filter(col("partitionId") >= 0)
-      .groupBy("partitionId")
-      .agg(max("nDocs").as("d"), sum("nViolations").as("v"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    m.rewriteAtomically { fresh =>
-      fresh.recordFiles(cfg.snapshotId, cfg.schema.constraintHash, runNum,
-        files, cfg.checksHash)
-      fresh.recordRun(cfg.snapshotId, cfg.schema.constraintHash, stats.toSeq,
-        cfg.checksHash, runNum)
-    }
+    // snapshot × one constraint set, the contract the readers rely on).
+    // Same commit protocol as a validation run (ValidatorApp.commitRun).
+    m.rewriteAtomically(fresh =>
+      ValidatorApp.commitRun(spark, fresh, cfg, outDir, runNum))
     snapshot.unpersist()
 
     if (deleteOldRuns) {

@@ -102,6 +102,31 @@ object ValidatorApp {
         cfg.snapshotId, cfg.schema.constraintHash, cfg.checksHash))
       .getOrElse(readViolations(spark, outDir, cfg.nBuckets))
 
+  /** The ONE run-commit protocol (used by [[run]] and [[Compact.compact]]):
+    * append the run's parquet file listing (commit point for snapshot
+    * readers), then its per-bucket completion stats (resume key), to the
+    * given manifest. `recordFiles` BEFORE `recordRun` is the documented
+    * crash-safety contract — do not reorder.
+    */
+  private[engine] def commitRun(spark: SparkSession, m: Manifest,
+                                cfg: ValidatorConfig, outDir: String,
+                                runNum: Long): Unit = {
+    val dir = java.nio.file.Paths.get(s"$outDir/violations/run=$runNum")
+    val files = scala.util.Using.resource(java.nio.file.Files.list(dir))(
+      _.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted)
+    m.recordFiles(cfg.snapshotId, cfg.schema.constraintHash, runNum, files,
+      cfg.checksHash)
+    val stats = spark.read.parquet(s"$outDir/verdicts/run=$runNum")
+      .filter(col("partitionId") >= 0)
+      .groupBy("partitionId")
+      .agg(max("nDocs").as("d"), sum("nViolations").as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    m.recordRun(cfg.snapshotId, cfg.schema.constraintHash, stats.toSeq,
+      cfg.checksHash, runNum)
+  }
+
   /** Strictly-increasing run timestamps: two runs into one outDir within
     * the same millisecond (a fast resume loop) would otherwise share a
     * `run=` dir and mode(overwrite) would destroy the earlier run's output.
@@ -207,28 +232,15 @@ object ValidatorApp {
       if (isResume) verdictsAll.filter(col("partitionId") >= 0) else verdictsAll
     verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/$runId")
 
-    // commit the run to the manifest: first the FILE listing (the snapshot
-    // commit point for concurrent readers — parquet is durable by now),
-    // then the completed buckets (per-partition lineage + metrics; resume
-    // key). A crash between the two appends is safe in that order: the
-    // reader sees a consistent committed run while the resume conservatively
-    // revalidates. THIS run's records only; earlier runs already have theirs.
-    manifest.foreach { m =>
-      val dir = java.nio.file.Paths.get(s"$outDir/violations/$runId")
-      val files = scala.util.Using.resource(java.nio.file.Files.list(dir))(
-        _.iterator().asScala.map(_.toString)
-          .filter(_.endsWith(".parquet")).toSeq.sorted)
-      m.recordFiles(cfg.snapshotId, cfg.schema.constraintHash, runNum, files,
-        cfg.checksHash)
-      val stats = spark.read.parquet(s"$outDir/verdicts/$runId")
-        .filter(col("partitionId") >= 0)
-        .groupBy("partitionId")
-        .agg(max("nDocs").as("d"), sum("nViolations").as("v"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      m.recordRun(cfg.snapshotId, cfg.schema.constraintHash, stats.toSeq,
-        cfg.checksHash, runNum)
-    }
+    // commit the run to the manifest (shared with Compact — ONE commit
+    // protocol): first the FILE listing (the snapshot commit point for
+    // concurrent readers — parquet is durable by now), then the completed
+    // buckets (per-partition lineage + metrics; resume key). A crash
+    // between the two appends is safe in that order: the reader sees a
+    // consistent committed run while the resume conservatively
+    // revalidates. THIS run's records only; earlier runs already have
+    // theirs.
+    manifest.foreach(m => commitRun(spark, m, cfg, outDir, runNum))
 
     // --fix analogue: repair dangling refs into a new snapshot and embed
     // the deleted-triples log in the reports (CheckURIExistence.php:190-211).

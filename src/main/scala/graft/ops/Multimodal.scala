@@ -59,44 +59,49 @@ object Multimodal {
   // decode stays behind the codec seam above.
   // ------------------------------------------------------------------
 
-  /** Big-endian unsigned 32-bit int at 1-based byte offset `off`. Parsed
-    * from the HEX STRING of the binary so the identical formulation runs
-    * in engines without binary substring (the DuckDB oracle).
+  /** Big-endian unsigned 32-bit int at 1-based byte offset `off`. Slices
+    * the 4 BYTES first, then hexes — only header bytes are ever converted,
+    * never the whole (possibly multi-MB) payload.
     */
   def beUint32(bin: Column, off: Int): Column =
-    conv(substring(hex(bin), (off - 1) * 2 + 1, 8), 16, 10).cast("long")
+    conv(hex(substring(bin, off, 4)), 16, 10).cast("long")
 
   /** Little-endian unsigned 16-bit int at 1-based byte offset `off`. */
   def leUint16(bin: Column, off: Int): Column =
-    conv(concat(substring(hex(bin), off * 2 + 1, 2),
-      substring(hex(bin), (off - 1) * 2 + 1, 2)), 16, 10).cast("long")
+    conv(concat(hex(substring(bin, off + 1, 1)), hex(substring(bin, off, 1))),
+      16, 10).cast("long")
 
-  private def hexPrefix(bin: Column, nChars: Int): Column =
-    substring(hex(bin), 1, nChars)
+  // magic compares touch only the first bytes (substring BEFORE hex:
+  // hexing the full payload would allocate 2x the image per predicate)
+  private def hexAt(bin: Column, off: Int, nBytes: Int): Column =
+    hex(substring(bin, off, nBytes))
 
   /** Container sniffing by magic number: png / gif / jpeg / wav / unknown.
     * Row-local, codegen'd, shuffle-free — the first pass any multimodal
     * lake runs over an untrusted payload column.
     */
   def sniffFormat(bin: Column): Column =
-    when(hexPrefix(bin, 16) === "89504E470D0A1A0A", "png")
-      .when(hexPrefix(bin, 12).isin("474946383961", "474946383761"), "gif")
-      .when(hexPrefix(bin, 6) === "FFD8FF", "jpeg")
-      .when(hexPrefix(bin, 8) === "52494646" &&
-        substring(hex(bin), 17, 8) === "57415645", "wav")
+    when(hexAt(bin, 1, 8) === "89504E470D0A1A0A", "png")
+      .when(hexAt(bin, 1, 6).isin("474946383961", "474946383761"), "gif")
+      .when(hexAt(bin, 1, 3) === "FFD8FF", "jpeg")
+      .when(hexAt(bin, 1, 4) === "52494646" &&
+        hexAt(bin, 9, 4) === "57415645", "wav")
       .otherwise("unknown")
 
   /** REAL image dimensions for formats whose dims sit at fixed header
     * offsets: PNG (IHDR big-endian u32 at bytes 17/21) and GIF (logical
     * screen little-endian u16 at bytes 7/9). JPEG dims live in a
     * variable-offset SOF marker — that walk belongs to the codec seam.
-    * Null struct for everything else.
+    * Null struct for everything else — INCLUDING payloads whose magic
+    * sniffs but whose header is truncated before the dimension fields
+    * (parsing a partial field would report garbage dims for exactly the
+    * malformed inputs this pass exists to catch).
     */
   def imageDims(bin: Column): Column = {
     val f = sniffFormat(bin)
-    when(f === "png",
+    when(f === "png" && length(bin) >= 24,
       struct(beUint32(bin, 17).as("width"), beUint32(bin, 21).as("height")))
-      .when(f === "gif",
+      .when(f === "gif" && length(bin) >= 10,
         struct(leUint16(bin, 7).as("width"), leUint16(bin, 9).as("height")))
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }

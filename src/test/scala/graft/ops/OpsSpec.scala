@@ -225,19 +225,23 @@ class OpsSpec extends SparkTestBase {
       "4749463839610300020000",
       "FFD8FFE000104A46494600",
       "524946462408000057415645666D7420",
-      "DEADBEEF")
+      "DEADBEEF",
+      // truncated PNG (19 bytes): valid magic, header cut mid-width — must
+      // yield NULL dims, not a garbage parse of the partial field
+      "89504E470D0A1A0A0000000D49484452000001")
       .toDF("hx").select(unhex(col("hx")).as("b"))
       .select(Multimodal.sniffFormat(col("b")).as("f"),
         Multimodal.imageDims(col("b")).as("d"))
       .collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("png", "png", "gif", "jpeg", "wav", "unknown"))
+      Seq("png", "png", "gif", "jpeg", "wav", "unknown", "png"))
     def dims(i: Int) = Option(rows(i).getStruct(1))
       .map(s => (s.getLong(0), s.getLong(1)))
     assert(dims(0).contains((1L, 1L)))
     assert(dims(1).contains((320L, 240L)))
     assert(dims(2).contains((3L, 2L))) // GIF little-endian u16
     assert(dims(3).isEmpty && dims(4).isEmpty && dims(5).isEmpty)
+    assert(dims(6).isEmpty) // truncated header → null, not garbage
   }
 
   test("dupGroups: connected components over the pair graph, min-id labels") {
