@@ -29,6 +29,29 @@ import scala.jdk.CollectionConverters._
   */
 object Compact {
 
+  /** CLI: `runMain graft.engine.Compact <config.properties> <outDir>
+    * [--delete-old]` — the maintenance-job entry point (run it exclusively,
+    * like Iceberg maintenance actions).
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(configPath, outDir) = args.take(2)
+    val deleteOld = args.contains("--delete-old")
+    val cfg = ValidatorConfig.load(configPath)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val run = compact(spark, cfg, outDir, deleteOldRuns = deleteOld)
+      println(s"[graft] compacted $outDir -> run=$run (deleteOldRuns=$deleteOld)")
+    } finally spark.stop()
+  }
+
   /** Compact `outDir` into one baseline run; returns the new run id. */
   def compact(spark: SparkSession, cfg: ValidatorConfig, outDir: String,
               deleteOldRuns: Boolean = false): Long = {
