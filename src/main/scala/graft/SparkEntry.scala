@@ -233,6 +233,14 @@ object SparkEntry {
           dims.getField("height").as("height"))
     }),
 
+    // --- context-window chunking: 64-token windows, 8-token overlap ------
+    "q_chunk" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          posexplode(TextAnalysis.chunkTokens(col("text"), 64, 8))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+          col("chunk"))),
+
     // --- distinct-word ratio (Gopher-style repetition filter) ------------
     "q_word_diversity" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -330,6 +338,21 @@ object SparkEntry {
     }),
 
     // --- engine-native (rows-only; no SQL equivalent) --------------------
+
+    // CCNet-shaped LM quality: char-bigram model trained on a deterministic
+    // 10% reference sample of the corpus itself, every doc scored by mean
+    // conditional log-prob. Rows-only: log()/avg cross-engine FP rounding
+    // makes a hash oracle unreliable; exact probs + ranking behavior are
+    // asserted in PipelineOpsSpec.
+    "q_lm_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.ops.LmQuality.train(
+        graft.ops.Sampling.md5Sample(docs, "doc_id", 26))
+      graft.ops.LmQuality.score(docs, model)
+        .select(col("doc_id"),
+          round(col("lm_score") * 1e6).cast("bigint").as("lm_e6"),
+          col("n_grams"))
+    }),
 
     // PageRank over the same link graph: floating-point power iteration —
     // cross-engine FP summation order makes a hash oracle unreliable, so
@@ -561,6 +584,14 @@ object SparkEntry {
         "CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT) " +
         "WHEN substr(hx, 1, 12) = '474946383961' THEN CAST(('0x' || substr(hx, 19, 2) || substr(hx, 17, 2)) AS BIGINT) END AS height " +
         "FROM b"),
+
+    // chunk starts 1, 1+56, … ≤ max(len-8, 1); chunk = tokens [i, i+63];
+    // chunk_idx = 0-based start ordinal (integer floor-div in DuckDB)
+    "q_chunk" ->
+      ("WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+        "c AS (SELECT doc_id, (i - 1) // 56 AS chunk_idx, array_to_string(w[i:i+63], ' ') AS chunk " +
+        "FROM d, UNNEST(generate_series(1, greatest(len(w) - 8, 1), 56)) AS u(i)) " +
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk FROM c"),
 
     "q_word_diversity" ->
       ("SELECT doc_id, CAST(round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 " +

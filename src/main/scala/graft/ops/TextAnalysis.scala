@@ -103,6 +103,29 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // chunking (context-window preparation)
+  // ------------------------------------------------------------------
+
+  /** Fixed-size token chunks with overlap — the context-window preparation
+    * pass (split long documents into n-token windows, stride = n −
+    * overlap, so consecutive chunks share `overlap` tokens). Row-local and
+    * shuffle-free: one codegen'd projection explodes a 10^12-doc corpus
+    * into training windows. Chunk starts are 1, 1+stride, …, capped at
+    * max(len − overlap, 1) so the final (possibly short) tail is emitted
+    * once and no pure-overlap tail appears. Whitespace tokens (`\S+`),
+    * rejoined with single spaces.
+    */
+  def chunkTokens(text: Column, n: Int, overlap: Int = 0): Column = {
+    require(n > 0 && overlap >= 0 && overlap < n,
+      s"need 0 <= overlap < n, got n=$n overlap=$overlap")
+    val w = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val stride = n - overlap
+    transform(
+      sequence(lit(1), greatest(size(w) - overlap, lit(1)), lit(stride)),
+      s => concat_ws(" ", slice(w, s, lit(n))))
+  }
+
+  // ------------------------------------------------------------------
   // PII redaction
   // ------------------------------------------------------------------
 

@@ -107,6 +107,56 @@ class PipelineOpsSpec extends SparkTestBase {
       Map("en" -> 256), 256).count() == 9000L)
   }
 
+  test("LM quality: exact smoothed bigram probs; reference-like text outranks gibberish") {
+    val session = spark
+    import session.implicits._
+    // exact check: corpus "aab" → bigrams aa, ab; ctx 'a' total 2,
+    // branches 2 → logp(aa) = logp(ab) = log(2/4)
+    val tiny = LmQuality.train(Seq("aab").toDF("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tiny.keySet == Set("aa", "ab"))
+    assert(math.abs(tiny("aa") - math.log(0.5)) < 1e-12)
+    // gram multiplicity matters: "aaab" has aa twice → p(aa|a) > p(ab|a)
+    val m2 = LmQuality.train(Seq("aaab").toDF("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m2("aa") > m2("ab"))
+
+    // behavioral: train on English-like prose, score prose vs gibberish
+    val ref = Seq.tabulate(50)(i =>
+      s"the quick brown fox jumps over the lazy dog number $i and then " +
+        "returns home to rest with the other animals in the barn").toDF("text")
+    val model = LmQuality.train(ref)
+    val scored = LmQuality.score(Seq(
+        (1L, "the brown dog rests in the barn with the fox"),
+        (2L, "zq xj qzkxj wvq zzkq jqx vkzj qqq xjz")).toDF("doc_id", "text"),
+      model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) > scored(2L) + 1.0,
+      s"prose ${scored(1L)} should clearly outrank gibberish ${scored(2L)}")
+  }
+
+  test("token chunking: stride windows with overlap, short tail, tiny docs") {
+    val session = spark
+    import session.implicits._
+    def chunksOf(text: String, n: Int, ov: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(explode(TextAnalysis.chunkTokens(col("t"), n, ov)).as("c"))
+        .collect().map(_.getString(0)).toSeq
+    // 10 tokens, n=4, overlap=1 → starts 1,4,7: full coverage, shared edges
+    val t10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    assert(chunksOf(t10, 4, 1) == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // 11 tokens → short tail chunk, no pure-overlap tail
+    val t11 = (1 to 11).map(i => s"w$i").mkString(" ")
+    assert(chunksOf(t11, 4, 1) == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10 w11"))
+    // shorter than one window → the whole text as one chunk
+    assert(chunksOf("a b c", 4, 1) == Seq("a b c"))
+    // every token appears in some chunk (coverage property)
+    assert(chunksOf(t11, 4, 1).flatMap(_.split(" ")).toSet ==
+      (1 to 11).map(i => s"w$i").toSet)
+  }
+
   test("PII redaction scrubs emails, IPs, and +phones; leaves prose intact") {
     val session = spark
     import session.implicits._
