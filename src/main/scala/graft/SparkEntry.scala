@@ -233,6 +233,15 @@ object SparkEntry {
           dims.getField("height").as("height"))
     }),
 
+    // --- BPE-training core: adjacent char-pair counts (top 20) — gives the
+    // native CharNgrams expression a cross-engine oracle (multiplicity +
+    // canonicalization checked exactly)
+    "q_char_bigrams" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(graft.ops.LmQuality.charNgrams(col("text"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g")).limit(20)),
+
     // --- context-window chunking: 64-token windows, 8-token overlap ------
     "q_chunk" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -584,6 +593,11 @@ object SparkEntry {
         "CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT) " +
         "WHEN substr(hx, 1, 12) = '474946383961' THEN CAST(('0x' || substr(hx, 19, 2) || substr(hx, 17, 2)) AS BIGINT) END AS height " +
         "FROM b"),
+
+    "q_char_bigrams" ->
+      ("WITH t AS (SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS c FROM documents), " +
+        "g0 AS (SELECT substr(c, i, 2) AS g FROM t, UNNEST(generate_series(1, len(c) - 1)) AS u(i) WHERE len(c) >= 2) " +
+        "SELECT g, count(*) AS n FROM g0 GROUP BY g ORDER BY n DESC, g LIMIT 20"),
 
     // chunk starts 1, 1+56, … ≤ max(len-8, 1); chunk = tokens [i, i+63];
     // chunk_idx = 0-based start ordinal (integer floor-div in DuckDB)

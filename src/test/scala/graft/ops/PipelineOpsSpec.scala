@@ -107,6 +107,23 @@ class PipelineOpsSpec extends SparkTestBase {
       Map("en" -> 256), 256).count() == 9000L)
   }
 
+  test("native CharNgrams ≡ the HOF formulation (repo convention for codegen exprs)") {
+    val session = spark
+    import session.implicits._
+    val df = Seq("hello world", "a", "", "  spaced   out  ", "ab").toDF("t")
+      .select(LmQuality.canonical(col("t")).as("c"))
+    val hof = df.select(
+      when(length(col("c")) >= 2,
+        transform(sequence(lit(1), length(col("c")) - 1),
+          i => col("c").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>")).as("g"))
+      .collect().map(_.getSeq[String](0))
+    val native = df.select(
+      graft.functions.CharNgrams.charNgrams(col("c"), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(native.toSeq == hof.toSeq, s"native=$native hof=$hof")
+  }
+
   test("LM quality: exact smoothed bigram probs; reference-like text outranks gibberish") {
     val session = spark
     import session.implicits._
