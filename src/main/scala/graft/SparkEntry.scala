@@ -604,7 +604,7 @@ object SparkEntry {
     "q_chunk" ->
       ("WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
         "c AS (SELECT doc_id, (i - 1) // 56 AS chunk_idx, array_to_string(w[i:i+63], ' ') AS chunk " +
-        "FROM d, UNNEST(generate_series(1, greatest(len(w) - 8, 1), 56)) AS u(i)) " +
+        "FROM d, UNNEST(generate_series(1, greatest(len(w) - 8, 1), 56)) AS u(i) WHERE len(w) > 0) " +
         "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk FROM c"),
 
     "q_word_diversity" ->

@@ -37,15 +37,7 @@ object Compact {
     val Array(configPath, outDir) = args.take(2)
     val deleteOld = args.contains("--delete-old")
     val cfg = ValidatorConfig.load(configPath)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkBoot.local()
     try {
       val run = compact(spark, cfg, outDir, deleteOldRuns = deleteOld)
       println(s"[graft] compacted $outDir -> run=$run (deleteOldRuns=$deleteOld)")

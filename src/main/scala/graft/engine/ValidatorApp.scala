@@ -157,15 +157,7 @@ object ValidatorApp {
   def main(args: Array[String]): Unit = {
     val Array(configPath, outDir) = args.take(2)
     val cfg = ValidatorConfig.load(configPath)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkBoot.local()
     try run(spark, cfg, outDir) finally spark.stop()
   }
 

@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * where an interpreted `transform(sequence(...))` HOF is the documented
   * repo anti-pattern. Unlike [[graft.ops.Dedup.shingles]] (distinct, for
   * Jaccard), counts matter here, so every occurrence is emitted. Texts
-  * shorter than n yield an empty array. Operates on Java chars (UTF-16
-  * units) of the canonicalized text the caller passes in.
+  * shorter than n yield an empty array. Windows advance by CODE POINT —
+  * matching Spark's own substring/length semantics and DuckDB's substr in
+  * the q_char_bigrams oracle — so astral-plane characters (emoji etc.)
+  * are never split into half-surrogate "grams".
   */
 case class CharNgrams(child: Expression, n: Int)
   extends UnaryExpression with UnaryLike[Expression] {
@@ -39,12 +41,23 @@ object CharNgrams {
   /** Referenced from generated code — must stay public. */
   def compute(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    val m = s.length
-    if (m < n) return new GenericArrayData(Array.empty[AnyRef])
-    val out = new Array[AnyRef](m - n + 1)
+    // char offset of each code point (offs(cps) = end), so windows slice
+    // whole code points — never the middle of a surrogate pair
+    val cps = s.codePointCount(0, s.length)
+    if (cps < n) return new GenericArrayData(Array.empty[AnyRef])
+    val offs = new Array[Int](cps + 1)
+    var ci = 0
+    var cp = 0
+    while (ci < s.length) {
+      offs(cp) = ci
+      ci += Character.charCount(s.codePointAt(ci))
+      cp += 1
+    }
+    offs(cps) = s.length
+    val out = new Array[AnyRef](cps - n + 1)
     var i = 0
-    while (i + n <= m) {
-      out(i) = UTF8String.fromString(s.substring(i, i + n))
+    while (i + n <= cps) {
+      out(i) = UTF8String.fromString(s.substring(offs(i), offs(i + n)))
       i += 1
     }
     new GenericArrayData(out)

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object LmQuality {
 
-  /** Canonical modeling text: lowercase, whitespace collapsed, trimmed. */
-  def canonical(text: Column): Column =
-    lower(trim(regexp_replace(text, "\\s+", " ")))
+  /** Canonical modeling text — the ONE canonical form shared with the
+    * dedup fingerprints ([[TextAnalysis.canonicalText]]), so the LM
+    * features and the dedup keys cannot silently diverge.
+    */
+  def canonical(text: Column): Column = TextAnalysis.canonicalText(text)
 
   def charNgrams(text: Column, n: Int = 2): Column =
     graft.functions.CharNgrams.charNgrams(canonical(text), n)
@@ -47,14 +49,21 @@ object LmQuality {
 
   /** Mean per-gram conditional log-prob per document (higher = more like
     * the reference); docs with no grams (shorter than n chars) are absent.
-    * Unseen grams score `floorLogp`.
+    * Unseen grams score strictly BELOW every seen gram: the effective
+    * floor is min(`floorLogp`, model minimum − ln 2). A fixed floor alone
+    * inverts the ranking once a reference context grows past ~1/e^floor
+    * occurrences — the rarest SEEN grams would then score below never-seen
+    * encoding garbage, the exact inputs the filter exists to catch.
     */
   def score(docs: DataFrame, model: DataFrame,
             id: String = "doc_id", text: String = "text", n: Int = 2,
-            floorLogp: Double = math.log(1e-6)): DataFrame =
+            floorLogp: Double = math.log(1e-6)): DataFrame = {
+    val modelMin = model.agg(min(col("logp"))).collect()(0).getDouble(0)
+    val effFloor = math.min(floorLogp, modelMin - math.log(2))
     docs.select(col(id), explode(charNgrams(col(text), n)).as("g"))
       .join(broadcast(model), Seq("g"), "left")
       .groupBy(col(id))
-      .agg(avg(coalesce(col("logp"), lit(floorLogp))).as("lm_score"),
+      .agg(avg(coalesce(col("logp"), lit(effFloor))).as("lm_score"),
         count(lit(1)).as("n_grams"))
+  }
 }

@@ -109,20 +109,25 @@ object TextAnalysis {
   /** Fixed-size token chunks with overlap — the context-window preparation
     * pass (split long documents into n-token windows, stride = n −
     * overlap, so consecutive chunks share `overlap` tokens). Row-local and
-    * shuffle-free: one codegen'd projection explodes a 10^12-doc corpus
-    * into training windows. Chunk starts are 1, 1+stride, …, capped at
-    * max(len − overlap, 1) so the final (possibly short) tail is emitted
-    * once and no pure-overlap tail appears. Whitespace tokens (`\S+`),
-    * rejoined with single spaces.
+    * shuffle-free; NOTE the array ops are interpreted HOFs (CodegenFallback)
+    * — fine for chunk-prep jobs whose cost is dominated by the downstream
+    * write, but port to a native expression (CharNgrams-style) before
+    * making this the hot loop of a full 10^12-doc pass. Chunk starts are
+    * 1, 1+stride, …, capped at max(len − overlap, 1) so the final
+    * (possibly short) tail is emitted once and no pure-overlap tail
+    * appears; zero-token documents yield NO chunks. Whitespace tokens
+    * (`\S+`), rejoined with single spaces.
     */
   def chunkTokens(text: Column, n: Int, overlap: Int = 0): Column = {
     require(n > 0 && overlap >= 0 && overlap < n,
       s"need 0 <= overlap < n, got n=$n overlap=$overlap")
     val w = regexp_extract_all(text, lit("\\S+"), lit(0))
     val stride = n - overlap
-    transform(
-      sequence(lit(1), greatest(size(w) - overlap, lit(1)), lit(stride)),
-      s => concat_ws(" ", slice(w, s, lit(n))))
+    when(size(w) > 0,
+      transform(
+        sequence(lit(1), greatest(size(w) - overlap, lit(1)), lit(stride)),
+        s => concat_ws(" ", slice(w, s, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   // ------------------------------------------------------------------
@@ -156,16 +161,21 @@ object TextAnalysis {
   // fingerprinting
   // ------------------------------------------------------------------
 
-  /** Canonical-form document fingerprint: lowercase, collapse whitespace,
-    * trim, md5. Identical in Spark and DuckDB — used as the dedup oracle key.
+  /** THE canonical text form (lowercase, whitespace collapsed, trimmed) —
+    * shared by the dedup fingerprints and the LM features so the two can
+    * never drift apart.
     */
-  def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Canonical-form document fingerprint: [[canonicalText]] then md5.
+    * Identical in Spark and DuckDB — used as the dedup oracle key.
+    */
+  def fingerprint(text: Column): Column = md5(canonicalText(text))
 
   /** 64-bit rolling-hash fingerprint (content-defined): xxhash64 of the
     * canonical form — cheaper than md5 when cross-engine parity isn't
     * needed.
     */
-  def fingerprint64(text: Column): Column =
-    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+  def fingerprint64(text: Column): Column = xxhash64(canonicalText(text))
 }

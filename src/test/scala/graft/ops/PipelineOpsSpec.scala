@@ -110,7 +110,10 @@ class PipelineOpsSpec extends SparkTestBase {
   test("native CharNgrams ≡ the HOF formulation (repo convention for codegen exprs)") {
     val session = spark
     import session.implicits._
-    val df = Seq("hello world", "a", "", "  spaced   out  ", "ab").toDF("t")
+    // incl. an astral-plane char: windows advance by CODE POINT on both
+    // sides (a UTF-16 implementation would emit half-surrogate grams)
+    val df = Seq("hello world", "a", "", "  spaced   out  ", "ab", "a😀b")
+      .toDF("t")
       .select(LmQuality.canonical(col("t")).as("c"))
     val hof = df.select(
       when(length(col("c")) >= 2,
@@ -169,6 +172,9 @@ class PipelineOpsSpec extends SparkTestBase {
       "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10 w11"))
     // shorter than one window → the whole text as one chunk
     assert(chunksOf("a b c", 4, 1) == Seq("a b c"))
+    // zero tokens → NO chunks (not one empty-string chunk)
+    assert(chunksOf("", 4, 1).isEmpty)
+    assert(chunksOf("   ", 4, 1).isEmpty)
     // every token appears in some chunk (coverage property)
     assert(chunksOf(t11, 4, 1).flatMap(_.split(" ")).toSet ==
       (1 to 11).map(i => s"w$i").toSet)
