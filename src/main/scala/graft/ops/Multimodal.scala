@@ -88,6 +88,23 @@ object Multimodal {
         hexAt(bin, 9, 4) === "57415645", "wav")
       .otherwise("unknown")
 
+  /** Little-endian unsigned 32-bit int at 1-based byte offset `off`. */
+  def leUint32(bin: Column, off: Int): Column =
+    conv(concat(hex(substring(bin, off + 3, 1)), hex(substring(bin, off + 2, 1)),
+      hex(substring(bin, off + 1, 1)), hex(substring(bin, off, 1))), 16, 10)
+      .cast("long")
+
+  /** REAL audio sample rate for canonical PCM WAV (RIFF/WAVE with the
+    * `fmt ` chunk first, its standard layout: sample rate = little-endian
+    * u32 at byte 25). Null for anything else, including WAVs whose header
+    * is truncated before the field or whose first chunk isn't `fmt `
+    * (chunk-walking belongs to the codec seam, like JPEG SOF).
+    */
+  def wavSampleRate(bin: Column): Column =
+    when(sniffFormat(bin) === "wav" && length(bin) >= 28 &&
+      hexAt(bin, 13, 4) === "666D7420", leUint32(bin, 25))
+      .otherwise(lit(null).cast("long"))
+
   /** REAL image dimensions for formats whose dims sit at fixed header
     * offsets: PNG (IHDR big-endian u32 at bytes 17/21) and GIF (logical
     * screen little-endian u16 at bytes 7/9). JPEG dims live in a

@@ -242,6 +242,15 @@ class OpsSpec extends SparkTestBase {
     assert(dims(2).contains((3L, 2L))) // GIF little-endian u16
     assert(dims(3).isEmpty && dims(4).isEmpty && dims(5).isEmpty)
     assert(dims(6).isEmpty) // truncated header → null, not garbage
+
+    // WAV sample rate: RIFF/WAVE + "fmt " chunk, rate 44100 = 0x AC44 LE
+    // at bytes 25-28; non-wav and truncated wav → null
+    val wavHex = "52494646" + "24080000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "44AC0000"
+    val rates = Seq(wavHex, wavHex.take(40), "FFD8FFE0")
+      .toDF("hx").select(Multimodal.wavSampleRate(unhex(col("hx"))).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(rates.toSeq == Seq(Some(44100L), None, None), rates.toSeq.toString)
   }
 
   test("dupGroups: connected components over the pair graph, min-id labels") {
