@@ -180,6 +180,33 @@ class PipelineOpsSpec extends SparkTestBase {
       (1 to 11).map(i => s"w$i").toSet)
   }
 
+  test("token chunking: parametric parity with a reference implementation") {
+    val session = spark
+    import session.implicits._
+    // plain-Scala reference of the documented semantics
+    def ref(tokens: Seq[String], n: Int, ov: Int): Seq[String] =
+      if (tokens.isEmpty) Nil
+      else (1 to math.max(tokens.size - ov, 1) by (n - ov))
+        .map(s => tokens.slice(s - 1, s - 1 + n).mkString(" "))
+    val cases = for {
+      len <- Seq(0, 1, 2, 3, 7, 16, 31, 64)
+      n <- Seq(1, 2, 4, 16)
+      ov <- Seq(0, 1, n - 1) if ov >= 0 && ov < n
+    } yield (len, n, ov)
+    val inputs = cases.map { case (len, n, ov) =>
+      ((1 to len).map(i => s"t$i").mkString(" "), n, ov)
+    }
+    inputs.groupBy(c => (c._2, c._3)).foreach { case ((n, ov), group) =>
+      val got = group.map(_._1).toDF("t")
+        .select(col("t"), TextAnalysis.chunkTokens(col("t"), n, ov).as("c"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      group.foreach { case (text, _, _) =>
+        val want = ref(text.split(" ").filter(_.nonEmpty).toSeq, n, ov)
+        assert(got(text) == want, s"len=${text.split(" ").count(_.nonEmpty)} n=$n ov=$ov: ${got(text)} != $want")
+      }
+    }
+  }
+
   test("PII redaction scrubs emails, IPs, and +phones; leaves prose intact") {
     val session = spark
     import session.implicits._
