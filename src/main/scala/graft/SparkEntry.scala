@@ -217,6 +217,20 @@ object SparkEntry {
     // both engines build the SAME bytes from doc_id, then parse them
     "q_image_meta" -> ((s, d) => {
       val id = col("doc_id")
+      // JPEG: SOI, APP0 of VARIABLE declared length (16 + id%7 — so the SOF
+      // offset is data-dependent), an extra COM segment on even ids (two
+      // hops, not one), then SOF0 with height 100+id%57 / width 200+id%41.
+      // Spark parses it with the native bounded marker walk (JpegDims);
+      // DuckDB re-derives the offsets from the segment length FIELDS.
+      val jpeg = concat(
+        lit("FFD8"),
+        lit("FFE0"), lpad(hex(lit(16) + id % 7), 4, "0"),
+        repeat(lit("0"), ((lit(14) + id % 7) * 2).cast("int")),
+        when(id % 2 === 0, lit("FFFE00044142")).otherwise(lit("")),
+        lit("FFC0"), lit("001108"),
+        lpad(hex(lit(100) + id % 57), 4, "0"),
+        lpad(hex(lit(200) + id % 41), 4, "0"),
+        repeat(lit("0"), 20))
       val payload = when(id % 3 === 0,
           unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
             lpad(hex(lit(320) + id % 64), 8, "0"),
@@ -225,12 +239,34 @@ object SparkEntry {
           unhex(concat(lit("474946383961"),
             lpad(hex(lit(100) + id % 100), 2, "0"), lit("00"),
             lpad(hex(lit(50) + id % 50), 2, "0"), lit("00"))))
-        .otherwise(unhex(lit("FFD8FFE000104A46494600")))
+        .otherwise(unhex(jpeg))
       val dims = graft.ops.Multimodal.imageDims(col("b"))
       t(s, d, "documents").select(id, payload.as("b"))
         .select(id, graft.ops.Multimodal.sniffFormat(col("b")).as("format"),
           dims.getField("width").as("width"),
           dims.getField("height").as("height"))
+    }),
+
+    // --- WAV chunk walk: canonical fmt-first on even ids; a JUNK chunk of
+    // variable ODD size (word-alignment padding exercised) before fmt on
+    // odd ids. Both engines build the same bytes; DuckDB re-derives the
+    // second-chunk offset from the declared JUNK size field.
+    "q_wav_meta" -> ((s, d) => {
+      val id = col("doc_id")
+      val rate = lit(8000) + (id % 5) * 1000
+      val be = lpad(hex(rate), 8, "0")
+      val rateLe = concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+      val fmtChunk = concat(lit("666D7420"), lit("10000000"), lit("01000100"),
+        rateLe, repeat(lit("0"), 16))
+      val junkSize = lit(11) + (id % 7) * 2 // always odd → pad byte required
+      val junk = concat(lit("4A554E4B"), lpad(hex(junkSize), 2, "0"),
+        lit("000000"), repeat(lit("0"), ((junkSize + 1) * 2).cast("int")))
+      val payload = unhex(concat(lit("524946462408000057415645"),
+        when(id % 2 === 1, junk).otherwise(lit("")), fmtChunk))
+      t(s, d, "documents").select(id, payload.as("b"))
+        .select(id, graft.ops.Multimodal.sniffFormat(col("b")).as("format"),
+          graft.ops.Multimodal.wavSampleRate(col("b")).as("sample_rate"))
     }),
 
     // --- BPE-training core: adjacent char-pair counts (top 20) — gives the
@@ -361,6 +397,23 @@ object SparkEntry {
         .select(col("doc_id"),
           round(col("lm_score") * 1e6).cast("bigint").as("lm_e6"),
           col("n_grams"))
+    }),
+
+    // the EXACT-INTEGER projection of the same gram-explode + broadcast
+    // model-join shape (round-4 verdict item 6): per-doc total grams and
+    // model-SEEN grams are integers DuckDB reproduces bit-for-bit (the
+    // md5Sample reference slice and the code-point bigrams are both
+    // engine-portable), so the join shape is oracle-pinned and only the FP
+    // score above stays rows-only
+    "q_lm_gramjoin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.ops.LmQuality.train(
+        graft.ops.Sampling.md5Sample(docs, "doc_id", 26))
+      docs.select(col("doc_id"),
+          explode(graft.ops.LmQuality.charNgrams(col("text"))).as("g"))
+        .join(broadcast(model), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("logp")).as("n_seen"))
     }),
 
     // PageRank over the same link graph: floating-point power iteration —
@@ -579,25 +632,64 @@ object SparkEntry {
     // blob substring; both engines' hex() is uppercase). PNG width chars
     // 33-40 / height 41-48 (bytes 17/21 BE); GIF width = byte-8 high ||
     // byte-7 low (chars 15-16 || 13-14), height bytes 9/10 (19-20 || 17-18)
+    // JPEG parse is an INDEPENDENT two-hop marker walk over the hex: l1 =
+    // APP0's declared BE-u16 length (chars 9-12), next marker at byte
+    // m2 = 5+l1; if its code isn't C0, hop its own length field to the SOF
+    // (byte b is hex chars 2b-1..2b; height at sof+5, width at sof+7)
     "q_image_meta" ->
       ("WITH b AS (SELECT doc_id, CASE " +
         "WHEN doc_id % 3 = 0 THEN '89504E470D0A1A0A0000000D49484452' || lpad(hex(320 + doc_id % 64), 8, '0') || lpad(hex(240 + doc_id % 32), 8, '0') " +
         "WHEN doc_id % 3 = 1 THEN '474946383961' || lpad(hex(100 + doc_id % 100), 2, '0') || '00' || lpad(hex(50 + doc_id % 50), 2, '0') || '00' " +
-        "ELSE 'FFD8FFE000104A46494600' END AS hx FROM documents) " +
+        "ELSE 'FFD8' || 'FFE0' || lpad(hex(16 + doc_id % 7), 4, '0') || repeat('0', (14 + doc_id % 7) * 2) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'FFFE00044142' ELSE '' END || " +
+        "'FFC0' || '001108' || lpad(hex(100 + doc_id % 57), 4, '0') || lpad(hex(200 + doc_id % 41), 4, '0') || repeat('0', 20) END AS hx FROM documents), " +
+        "p AS (SELECT doc_id, hx, 5 + TRY_CAST(('0x' || substr(hx, 9, 4)) AS BIGINT) AS m2 FROM b), " +
+        "p2 AS (SELECT doc_id, hx, CASE WHEN substr(hx, 2 * m2 + 1, 2) = 'C0' THEN m2 " +
+        "ELSE m2 + 2 + TRY_CAST(('0x' || substr(hx, 2 * m2 + 3, 4)) AS BIGINT) END AS sof FROM p) " +
         "SELECT doc_id, " +
         "CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png' " +
         "WHEN substr(hx, 1, 12) IN ('474946383961', '474946383761') THEN 'gif' " +
         "WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg' ELSE 'unknown' END AS format, " +
         "CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT) " +
-        "WHEN substr(hx, 1, 12) = '474946383961' THEN CAST(('0x' || substr(hx, 15, 2) || substr(hx, 13, 2)) AS BIGINT) END AS width, " +
+        "WHEN substr(hx, 1, 12) = '474946383961' THEN CAST(('0x' || substr(hx, 15, 2) || substr(hx, 13, 2)) AS BIGINT) " +
+        "WHEN substr(hx, 1, 6) = 'FFD8FF' AND substr(hx, 2 * sof + 1, 2) = 'C0' THEN TRY_CAST(('0x' || substr(hx, 2 * sof + 13, 4)) AS BIGINT) END AS width, " +
         "CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT) " +
-        "WHEN substr(hx, 1, 12) = '474946383961' THEN CAST(('0x' || substr(hx, 19, 2) || substr(hx, 17, 2)) AS BIGINT) END AS height " +
-        "FROM b"),
+        "WHEN substr(hx, 1, 12) = '474946383961' THEN CAST(('0x' || substr(hx, 19, 2) || substr(hx, 17, 2)) AS BIGINT) " +
+        "WHEN substr(hx, 1, 6) = 'FFD8FF' AND substr(hx, 2 * sof + 1, 2) = 'C0' THEN TRY_CAST(('0x' || substr(hx, 2 * sof + 9, 4)) AS BIGINT) END AS height " +
+        "FROM p2"),
+
+    // WAV walk: chunk-1 id at bytes 13-16 (chars 25-32); if not `fmt `,
+    // hop its declared LE-u32 size (chars 33-40, byte-reversed) + word
+    // padding to chunk 2; rate = LE-u32 12 bytes into the fmt chunk
+    "q_wav_meta" ->
+      ("WITH b AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN " +
+        "'524946462408000057415645' || '4A554E4B' || lpad(hex(11 + (doc_id % 7) * 2), 2, '0') || '000000' || repeat('0', (12 + (doc_id % 7) * 2) * 2) " +
+        "ELSE '524946462408000057415645' END || " +
+        "'666D7420' || '10000000' || '01000100' || " +
+        "substr(lpad(hex(8000 + (doc_id % 5) * 1000), 8, '0'), 7, 2) || substr(lpad(hex(8000 + (doc_id % 5) * 1000), 8, '0'), 5, 2) || " +
+        "substr(lpad(hex(8000 + (doc_id % 5) * 1000), 8, '0'), 3, 2) || substr(lpad(hex(8000 + (doc_id % 5) * 1000), 8, '0'), 1, 2) || " +
+        "repeat('0', 16) AS hx FROM documents), " +
+        "p AS (SELECT doc_id, hx, TRY_CAST(('0x' || substr(hx, 39, 2) || substr(hx, 37, 2) || substr(hx, 35, 2) || substr(hx, 33, 2)) AS BIGINT) AS size1 FROM b), " +
+        "p2 AS (SELECT doc_id, hx, 21 + size1 + size1 % 2 AS c2 FROM p) " +
+        "SELECT doc_id, " +
+        "CASE WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav' ELSE 'unknown' END AS format, " +
+        "CASE WHEN substr(hx, 25, 8) = '666D7420' THEN TRY_CAST(('0x' || substr(hx, 55, 2) || substr(hx, 53, 2) || substr(hx, 51, 2) || substr(hx, 49, 2)) AS BIGINT) " +
+        "WHEN substr(hx, 2 * c2 - 1, 8) = '666D7420' THEN TRY_CAST(('0x' || substr(hx, 2 * (c2 + 15) - 1, 2) || substr(hx, 2 * (c2 + 14) - 1, 2) || substr(hx, 2 * (c2 + 13) - 1, 2) || substr(hx, 2 * (c2 + 12) - 1, 2)) AS BIGINT) END AS sample_rate " +
+        "FROM p2"),
 
     "q_char_bigrams" ->
       ("WITH t AS (SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS c FROM documents), " +
         "g0 AS (SELECT substr(c, i, 2) AS g FROM t, UNNEST(generate_series(1, len(c) - 1)) AS u(i) WHERE len(c) >= 2) " +
         "SELECT g, count(*) AS n FROM g0 GROUP BY g ORDER BY n DESC, g LIMIT 20"),
+
+    // model gram set = distinct bigrams of the md5Sample(26/256) slice;
+    // n_seen counts grams present in it (LEFT JOIN + count of match col)
+    "q_lm_gramjoin" ->
+      ("WITH t AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS c FROM documents), " +
+        "g0 AS (SELECT doc_id, substr(c, i, 2) AS g FROM t, UNNEST(generate_series(1, len(c) - 1)) AS u(i) WHERE len(c) >= 2), " +
+        "m AS (SELECT DISTINCT g FROM g0 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a') " +
+        "SELECT g0.doc_id, count(*) AS n_grams, count(m.g) AS n_seen " +
+        "FROM g0 LEFT JOIN m ON g0.g = m.g GROUP BY g0.doc_id"),
 
     // chunk starts 1, 1+56, … ≤ max(len-8, 1); chunk = tokens [i, i+63];
     // chunk_idx = 0-based start ordinal (integer floor-div in DuckDB)

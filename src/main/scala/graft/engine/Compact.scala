@@ -26,6 +26,19 @@ import scala.jdk.CollectionConverters._
   * expire_snapshots solves this with a retention window; here exclusivity
   * is the contract — or leave `deleteOldRuns = false` and garbage-collect
   * old run dirs later, after in-flight readers drain).
+  *
+  * FILESYSTEM CONTRACT: `outDir` and the manifest path must be on a LOCAL
+  * (java.nio-reachable) filesystem — run-id reservation
+  * ([[ValidatorApp.nextRunId]]'s atomic createDirectory), the manifest's
+  * atomic rewrite, and old-run deletion all go through java.nio, while
+  * `documentsPath` may be any Spark-resolvable URI (HDFS/S3/...). The same
+  * holds for [[ValidatorApp.run]]'s outDir/manifest. On a cluster, point
+  * outDir at shared POSIX storage (NFS/Lustre — where createDirectory and
+  * ATOMIC_MOVE hold), or port these three call sites to Hadoop
+  * `FileSystem` (mkdirs-returns-false for reservation, rename for the
+  * manifest swap) — the protocol maps 1:1; object stores without atomic
+  * rename (raw S3) additionally need a coordination layer, which is
+  * exactly the niche the real Iceberg catalog fills behind this seam.
   */
 object Compact {
 

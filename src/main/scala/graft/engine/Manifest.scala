@@ -53,6 +53,20 @@ final class Manifest(path: String) {
       }.toSet
   }
 
+  /** Append-path field validation: records are written by concatenation and
+    * read by line scrape, so a quote/backslash/newline inside any string
+    * field would silently corrupt the record and break keyed lookups —
+    * refuse at write time instead (same contract recordFiles enforces for
+    * file paths). Hashes are hex and snapshot ids are caller-chosen labels;
+    * a rejected value is a caller bug, not data.
+    */
+  private def requireSafe(name: String, v: String): String = {
+    require(!v.exists(c => c == '"' || c == '\\' || c < ' '),
+      s"manifest field $name contains a quote/backslash/control char " +
+        s"(would corrupt the line-scrape format): $v")
+    v
+  }
+
   private def append(line: String): Unit = {
     Files.createDirectories(file.getParent)
     Files.write(file, (line + "\n").getBytes("UTF-8"),
@@ -62,6 +76,8 @@ final class Manifest(path: String) {
   def recordCompleted(snapshotId: String, constraintHash: String,
                       bucket: Int, nDocs: Long, nViolations: Long,
                       checksHash: String = "", run: Long = -1L): Unit = {
+    Seq("snapshotId" -> snapshotId, "constraintHash" -> constraintHash,
+      "checksHash" -> checksHash).foreach { case (n, v) => requireSafe(n, v) }
     val ts = java.time.Instant.now().toString
     append(s"""{"snapshotId":"$snapshotId","constraintHash":"$constraintHash","checksHash":"$checksHash","bucket":$bucket,"run":$run,"nDocs":$nDocs,"nViolations":$nViolations,"completedAt":"$ts"}""")
   }
@@ -87,6 +103,8 @@ final class Manifest(path: String) {
                   files: Seq[String], checksHash: String = ""): Unit = {
     require(files.forall(f => !f.contains("\"") && !f.contains(",")),
       "file paths with quotes/commas would break the line-scrape reader")
+    Seq("snapshotId" -> snapshotId, "constraintHash" -> constraintHash,
+      "checksHash" -> checksHash).foreach { case (n, v) => requireSafe(n, v) }
     append(s"""{"type":"files","snapshotId":"$snapshotId","constraintHash":"$constraintHash","checksHash":"$checksHash","run":$run,"files":${files.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
   }
 

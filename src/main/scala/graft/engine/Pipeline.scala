@@ -19,9 +19,15 @@ object Pipeline {
 
   val DefaultBuckets = 64
 
-  /** docs + a `bucket` column. */
+  /** docs + a `bucket` column. Hashes the CANONICAL (string-cast) form of
+    * doc_id: violation rows and verdicts carry `docId` as a string, so every
+    * bucket derivation in the system must hash the same bytes — a non-string
+    * doc_id hashed in its native type would land in a different bucket than
+    * its own violations (xxhash64 of long ≠ xxhash64 of its decimal string).
+    */
   def withBucket(docs: DataFrame, nBuckets: Int = DefaultBuckets): DataFrame =
-    docs.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+    docs.withColumn("bucket",
+      pmod(xxhash64(col("doc_id").cast("string")), lit(nBuckets)).cast("int"))
 
   /** Run the given checks; returns the union of violation rows.
     * Dataset-level violations (no docId) come out with docId null.

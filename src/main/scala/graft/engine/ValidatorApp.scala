@@ -13,6 +13,17 @@ import graft.report.Reports
   */
 object ValidatorApp {
 
+  /** The violations frame's reader-facing schema (after bucket/run are
+    * dropped) — the shape [[Pipeline.violations]] produces and every runs
+    * writer persists. Kept as a constant so the committed reader can return
+    * an empty TYPED frame when nothing is committed yet.
+    */
+  val violationsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq("checkId", "severity", "docId", "kind", "value",
+      "expected", "check").map(StructField(_, StringType)))
+  }
+
   /** Union-of-runs violations reader — the REQUIRED read path for a
     * multi-run output dir. Run writes and manifest records are not atomic
     * (the Iceberg-snapshot seam, SURVEY.md §4.5): a run can durably write
@@ -76,7 +87,11 @@ object ValidatorApp {
     val files = m.committedFiles(snapshotId, constraintHash, checksHash)
     val bucketRuns = m.committedBucketRuns(snapshotId, constraintHash, checksHash)
     if (files.isEmpty || bucketRuns.isEmpty)
-      return spark.emptyDataFrame
+      // empty but TYPED: direct callers select violation columns, and a
+      // zero-column emptyDataFrame would turn "nothing committed yet" into
+      // an analysis error instead of an empty result
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), violationsSchema)
     // dataset-level rows (bucket -1) are written only by the first full
     // run, which is the earliest committed run of this key
     val winners = (bucketRuns.toSeq :+ (-1 -> bucketRuns.values.min))

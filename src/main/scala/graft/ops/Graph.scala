@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * PageRank over crawl graphs).
   *
   * Scale shape: degrees are two group-counts + one outer join on node id;
-  * PageRank is the standard power iteration — per round ONE shuffle on dst
-  * (the contribution sum) plus broadcast-size scalars (total dangling
-  * mass), with the plan lineage cut per round exactly like
-  * [[Dedup.dupGroups]].
+  * PageRank is the standard power iteration — per round THREE keyed
+  * exchanges, all on node id (ranks⋈outDeg, edges⋈withDeg + the
+  * contribution groupBy, nodes⟕contribs) plus one broadcast-size scalar
+  * (total dangling mass), with the plan lineage cut per round exactly like
+  * [[Dedup.dupGroups]]. Pre-partitioning edges and nodes by node id would
+  * collapse the first and last of those into map-side joins on a real
+  * cluster; the per-round scalar collect is unavoidable in any
+  * distributed PageRank.
   */
 object Graph {
 
@@ -35,9 +39,15 @@ object Graph {
     * Σ rank = 1 every round. The per-round dangling-mass scalar is a tiny
     * driver-side aggregate — the standard trade every distributed PageRank
     * makes.
+    *
+    * `tolL1 > 0` adds a convergence early-exit: stop once the L1 delta
+    * Σ|rank' − rank| drops below it (one extra scalar aggregate per round —
+    * worth it when `iters` is sized pessimistically for a graph that mixes
+    * fast). 0 (default) keeps the fixed-round deterministic shape.
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-               src: String = "src", dst: String = "dst"): DataFrame = {
+               src: String = "src", dst: String = "dst",
+               tolL1: Double = 0.0): DataFrame = {
     val e = edges.select(col(src).as("esrc"), col(dst).as("edst"))
       .localCheckpoint()
     val nodes = e.select(col("esrc").as("node"))
@@ -48,7 +58,8 @@ object Graph {
       .agg(count(lit(1)).as("out_deg")).localCheckpoint()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 1 to iters) {
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
       // nodes with no out-edges leak their mass — redistribute uniformly
       val danglingMass = withDeg.filter(col("out_deg").isNull)
@@ -59,12 +70,18 @@ object Graph {
         .select(col("edst").as("node"),
           (col("rank") / col("out_deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inflow"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
               lit(danglingMass / n))).as("rank"))
         .localCheckpoint()
+      if (tolL1 > 0.0) {
+        val delta = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
+          .agg(sum(abs(col("rank") - col("prev")))).collect()(0).getDouble(0)
+        converged = delta < tolL1
+      }
+      ranks = next
     }
     ranks
   }

@@ -58,8 +58,14 @@ object LmQuality {
   def score(docs: DataFrame, model: DataFrame,
             id: String = "doc_id", text: String = "text", n: Int = 2,
             floorLogp: Double = math.log(1e-6)): DataFrame = {
-    val modelMin = model.agg(min(col("logp"))).collect()(0).getDouble(0)
-    val effFloor = math.min(floorLogp, modelMin - math.log(2))
+    // Empty model (reference slice had no text of length >= n): every gram
+    // is unseen, so the fixed floor alone is the whole model. Guarding here
+    // turns what would be an opaque NPE (getDouble on a null MIN) into the
+    // documented degenerate behavior.
+    val minRow = model.agg(min(col("logp"))).collect()(0)
+    val effFloor =
+      if (minRow.isNullAt(0)) floorLogp
+      else math.min(floorLogp, minRow.getDouble(0) - math.log(2))
     docs.select(col(id), explode(charNgrams(col(text), n)).as("g"))
       .join(broadcast(model), Seq("g"), "left")
       .groupBy(col(id))

@@ -94,25 +94,47 @@ object Multimodal {
       hex(substring(bin, off + 1, 1)), hex(substring(bin, off, 1))), 16, 10)
       .cast("long")
 
-  /** REAL audio sample rate for canonical PCM WAV (RIFF/WAVE with the
-    * `fmt ` chunk first, its standard layout: sample rate = little-endian
-    * u32 at byte 25). Null for anything else, including WAVs whose header
-    * is truncated before the field or whose first chunk isn't `fmt `
-    * (chunk-walking belongs to the codec seam, like JPEG SOF).
+  /** Little-endian unsigned 32-bit int at a DYNAMIC 1-based offset —
+    * byte-wise substrings so only the four addressed bytes are touched.
     */
-  def wavSampleRate(bin: Column): Column =
+  def leUint32At(bin: Column, off: Column): Column = {
+    def b(i: Column): Column = hex(bin.substr(i.cast("int"), lit(1)))
+    conv(concat(b(off + 3), b(off + 2), b(off + 1), b(off)), 16, 10).cast("long")
+  }
+
+  /** REAL audio sample rate for PCM WAV — a bounded TWO-chunk walk: RIFF
+    * chunks after the 12-byte header are `id(4) | LE-u32 size | data`
+    * (word-aligned: odd sizes pad one byte), and real files often lead
+    * with LIST/JUNK before `fmt `. Chunk 1 at byte 13; if it isn't
+    * `fmt `, hop its declared size to chunk 2 (a dynamic offset — one hop
+    * keeps the expression flat and codegen'd; deeper walks belong in a
+    * native expression like [[graft.functions.JpegDims]]). Sample rate =
+    * LE-u32 at fmt-chunk offset + 12. Null for anything else, including
+    * truncation before the field (parsing a partial field would report
+    * garbage for exactly the malformed inputs this pass catches).
+    */
+  def wavSampleRate(bin: Column): Column = {
+    val size1 = leUint32(bin, 17)
+    // word alignment: chunks start on even boundaries, odd sizes pad 1
+    val c2 = lit(21L) + size1 + pmod(size1, lit(2L))
+    val c2Id = hex(bin.substr(c2.cast("int"), lit(4)))
     when(sniffFormat(bin) === "wav" && length(bin) >= 28 &&
       hexAt(bin, 13, 4) === "666D7420", leUint32(bin, 25))
+      .when(sniffFormat(bin) === "wav" && length(bin) >= 20 &&
+        length(bin) >= c2 + lit(15L) && c2Id === "666D7420",
+        leUint32At(bin, c2 + lit(12L)))
       .otherwise(lit(null).cast("long"))
+  }
 
-  /** REAL image dimensions for formats whose dims sit at fixed header
-    * offsets: PNG (IHDR big-endian u32 at bytes 17/21) and GIF (logical
-    * screen little-endian u16 at bytes 7/9). JPEG dims live in a
-    * variable-offset SOF marker — that walk belongs to the codec seam.
-    * Null struct for everything else — INCLUDING payloads whose magic
-    * sniffs but whose header is truncated before the dimension fields
-    * (parsing a partial field would report garbage dims for exactly the
-    * malformed inputs this pass exists to catch).
+  /** REAL image dimensions: PNG (IHDR big-endian u32 at bytes 17/21) and
+    * GIF (logical screen little-endian u16 at bytes 7/9) at fixed header
+    * offsets; JPEG via the native bounded SOF-marker walk
+    * ([[graft.functions.JpegDims]] — dims sit at a variable offset after
+    * any APPn/COM/DQT segments). Null struct for everything else —
+    * INCLUDING payloads whose magic sniffs but whose header is truncated
+    * before the dimension fields (parsing a partial field would report
+    * garbage dims for exactly the malformed inputs this pass exists to
+    * catch).
     */
   def imageDims(bin: Column): Column = {
     val f = sniffFormat(bin)
@@ -120,6 +142,7 @@ object Multimodal {
       struct(beUint32(bin, 17).as("width"), beUint32(bin, 21).as("height")))
       .when(f === "gif" && length(bin) >= 10,
         struct(leUint16(bin, 7).as("width"), leUint16(bin, 9).as("height")))
+      .when(f === "jpeg", graft.functions.JpegDims.jpegDims(bin))
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }
 
