@@ -1,59 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.datagen.DocGen
-import graft.engine.Pipeline
-import graft.ops.{Dedup, Similarity, TextAnalysis}
-import graft.stats.ColumnStats
+import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints ONE JSON line:
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"failed":N,
-  *   "sf":...,"scaling":{...}}` — and flushes the SAME JSON (with whatever
-  * stages have completed so far) to `$SPARK_GRAFT_BENCH_OUT` (default
-  * `BENCH_LOCAL.json`) after EVERY stage, so a harness kill at any point
-  * still leaves parseable numbers on disk.
-  *
-  * Stage order is chosen so the most valuable evidence lands first:
-  *  1. headline queries at the configured parallelism (minutes);
-  *  2. scaling probes, time-boxed by `SPARK_GRAFT_BENCH_BUDGET_SEC`
-  *     (default 1500 s wall clock for the WHOLE run) with early-stop once
-  *     the capability estimate credibly meets the ≥ 0.8 criterion.
-  * Round 2 inverted this order and raised the probe schedule to ~29 min;
-  * the driver killed the run at timeout and recorded nothing (BENCH_r02
-  * rc=124) — hence headline-first + budget + per-stage flush.
-  *
-  * Scaling methodology (north rule: throughput(4N)/(4·throughput(N)) ≥ 0.8
-  * between two cluster sizes, evidenced at two parallelism levels):
-  *  - one fresh JVM per measurement ("one spark-submit per size"), spawned
-  *    with `-XX:ActiveProcessorCount=cores` so an N-core probe is an honest
-  *    N-core node — GC/JIT/netty pools don't borrow the other host cores;
-  *  - probe JVMs run INTERLEAVED (n, 4n, n, 4n, …), so several rounds
-  *    sample several ambient windows;
-  *  - headline efficiency = max(t4n over rounds) / (4 · max(tn over
-  *    rounds)) — the per-size CAPABILITY estimator. Ambient interference on
-  *    this shared host is strictly additive (it only slows a probe down),
-  *    so the max over rounds is each size's best capability estimate, and
-  *    the ratio of the two needs no round pairing at all. This is symmetric
-  *    by construction (round-2 advice): a round whose tn was depressed
-  *    cannot inflate the headline, because the denominator takes the best
-  *    tn from ANY round (measured failure mode: a loaded 1-core window next
-  *    to a quiet 4-core window produced a nonsense paired ratio of 1.106).
-  *    `efficiency_median` (of per-round paired ratios) and all per-round
-  *    throughputs ship in the JSON for transparency;
-  *  - early-stop only when the estimate is CREDIBLE: 0.8 ≤ eff ≤ 1.02.
-  *    A superlinear estimate means the tn side is still noise-depressed —
-  *    spend remaining budget on another round instead of recording it.
-  *
-  * Scaling pair default N=1 vs 4N=4: per-core throughput is flat through
-  * ~8 local cores, beyond which one JVM saturates the socket's memory
-  * bandwidth on this string-heavy workload (a real 4N-executor cluster
-  * brings 4N memory buses; local mode does not) — full 1..32-core curve
-  * and methodology in BENCH.md.
+/** Shared bench-infrastructure helpers: the session builder and the
+  * environment-facts diag block, used by the launcher ([[Bench]]) and the
+  * pinned headline JVM ([[HeadlineMain]]).
   */
-object Bench {
+private[graft] object BenchUtil {
 
-  private def session(cpus: Int): SparkSession = {
+  def session(cpus: Int): SparkSession = {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -73,27 +28,14 @@ object Bench {
     s
   }
 
-  private def time[A](f: => A): Double = {
-    val t0 = System.nanoTime()
-    f
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  /** Total GC milliseconds across all collectors (delta around a timed
-    * stage = how much of it was garbage collection).
-    */
-  private def gcMillis: Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
-      .map(b => math.max(b.getCollectionTime, 0L)).sum
-  }
-
   /** Environment facts that explain an anomalous recording (round-3: the
     * driver's headline read 103 s on both trials, undiagnosed — this block
     * makes the next such recording self-explaining): JVM-visible cores,
     * cgroup CPU quota, heap, collector, and the headline stage's GC share.
+    * Emitted by the JVM that RAN the headline stage, so the facts describe
+    * the measurement environment, not the launcher's.
     */
-  private def diagJson(gcHeadlineMs: Long): String = {
+  def diagJson(gcHeadlineMs: Long): String = {
     val rt = Runtime.getRuntime
     val quota = try {
       val p = java.nio.file.Paths.get("/sys/fs/cgroup/cpu.max")
@@ -109,6 +51,80 @@ object Bench {
     s"""{"available_processors":${rt.availableProcessors},"cgroup_cpu_max":"$quota","heap_max_mb":${rt.maxMemory / (1 << 20)},"gc":"$gcNames","gc_headline_ms":$gcHeadlineMs}"""
   }
 
+  /** Pinned child-JVM flags: inherit the parent's add-opens etc. but strip
+    * -D, heap, collector, and processor-count flags, then force a known
+    * collector/heap and an honest core count — the launcher may run under
+    * sbt with an ~80 GiB heap and a different GC (round 3's probes
+    * inherited exactly that), and a G1-vs-Parallel or 5x-heap difference
+    * between JVMs would be an uncontrolled variable in every ratio.
+    */
+  def pinnedJvmArgs(cores: Int, mem: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filterNot(a => a.startsWith("-D") || a.startsWith("-Xmx") ||
+        a.startsWith("-Xms") || a.startsWith("-XX:ActiveProcessorCount") ||
+        (a.startsWith("-XX:+Use") && a.endsWith("GC"))).toSeq ++
+      Seq(s"-XX:ActiveProcessorCount=$cores", "-XX:+UseParallelGC",
+        s"-Xmx$mem")
+  }
+}
+
+/** Benchmark launcher. Prints ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"failed":N,
+  *   "sf":...,"scaling":{...}}` — and flushes the SAME JSON (with whatever
+  * stages have completed so far) to `$SPARK_GRAFT_BENCH_OUT` (default
+  * `BENCH_LOCAL.json`) after EVERY stage, so a harness kill at any point
+  * still leaves parseable numbers on disk.
+  *
+  * EVERY measurement runs in its own spawned, PINNED JVM
+  * (ParallelGC / fixed heap / `-XX:ActiveProcessorCount`):
+  *  1. headline queries via [[HeadlineMain]] at the configured parallelism
+  *     (round 4 ran them in the launcher JVM, which under sbt inherits an
+  *     ~80 GiB heap — GC ate 42% of the stage and the recorded
+  *     validate_full was 3.5x the same workload in a pinned JVM);
+  *  2. scaling probes via [[ScaleProbe]], time-boxed by
+  *     `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500 s wall clock for the
+  *     WHOLE run) with early-stop once the capability estimate credibly
+  *     meets the ≥ 0.8 criterion.
+  * Round 2 inverted this order and raised the probe schedule to ~29 min;
+  * the driver killed the run at timeout and recorded nothing (BENCH_r02
+  * rc=124) — hence headline-first + budget + per-stage flush (the launcher
+  * re-flushes after every RESULT line the headline child streams).
+  *
+  * Scaling methodology (north rule: throughput(4N)/(4·throughput(N)) ≥ 0.8
+  * between two cluster sizes, evidenced at two parallelism levels):
+  *  - one fresh JVM per measurement ("one spark-submit per size"), spawned
+  *    with `-XX:ActiveProcessorCount=cores` so an N-core probe is an honest
+  *    N-core node — GC/JIT/netty pools don't borrow the other host cores;
+  *  - probe JVMs run INTERLEAVED (n, 4n, n, 4n, …), so several rounds
+  *    sample several ambient windows;
+  *  - headline efficiency = max(t4n over rounds) / (4 · max(tn over
+  *    rounds)) — the per-size CAPABILITY estimator. Ambient interference on
+  *    this shared host is strictly additive (it only slows a probe down),
+  *    so the max over rounds is each size's best capability estimate, and
+  *    the ratio of the two needs no round pairing at all. This is symmetric
+  *    by construction (round-2 advice): a round whose tn was depressed
+  *    cannot inflate the headline, because the denominator takes the best
+  *    tn from ANY round (measured failure mode: a loaded 1-core window next
+  *    to a quiet 4-core window produced a nonsense paired ratio of 1.106).
+  *    `efficiency_median` (of per-round paired ratios) and all per-round
+  *    throughputs ship in the JSON for transparency;
+  *  - early-stop only when the estimate is CREDIBLE: 0.8 ≤ eff ≤ 1.02, and
+  *    (round-4 verdict item 2) an estimate ABOVE the confirm band (> 0.98,
+  *    default — i.e. within 2% of the credibility ceiling or superlinear)
+  *    must be corroborated by a SECOND fully-measured round at the same
+  *    corpus before stopping: a near-ceiling single-round estimate usually
+  *    means the n side was noise-depressed, and the estimate is inflated.
+  *
+  * Scaling pair default N=1 vs 4N=4: per-core throughput is flat through
+  * ~8 local cores, beyond which one JVM saturates the socket's memory
+  * bandwidth on this string-heavy workload (a real 4N-executor cluster
+  * brings 4N memory buses; local mode does not) — full 1..32-core curve
+  * and methodology in BENCH.md.
+  */
+object Bench {
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - wall0) / 1e9
@@ -116,8 +132,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // clamp to the cores the JVM can actually see: under a cgroup CPU quota
     // local[32] with 32 hot task threads thrashes the scheduler instead of
-    // computing (a candidate explanation for round-3's 103 s driver
-    // headline); the clamp is disclosed in the diag block
+    // computing; the clamp is disclosed in the diag block
     val cpusReq = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpus = math.min(cpusReq, Runtime.getRuntime.availableProcessors)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "800000").toLong
@@ -150,6 +165,8 @@ object Bench {
     // early-stop credibility window for the capability estimator
     val effMin = sys.env.getOrElse("SPARK_GRAFT_EFF_STOP_MIN", "0.8").toDouble
     val effMax = sys.env.getOrElse("SPARK_GRAFT_EFF_STOP_MAX", "1.02").toDouble
+    // estimates above this need a second fully-measured round to stop early
+    val effConfirm = sys.env.getOrElse("SPARK_GRAFT_EFF_CONFIRM", "0.98").toDouble
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val docsPath = java.nio.file.Files.createTempDirectory("graft-bench").toString + "/docs"
     val scalePath = docsPath + "-scale"
@@ -160,7 +177,9 @@ object Bench {
     // per-round probe-corpus sizes (docs may shrink under budget pressure)
     val roundDocs = scala.collection.mutable.ArrayBuffer[Long]()
     var curScaleDocs = scaleDocsEnv
-    var gcHeadline = 0L
+    // replaced by the headline child's DIAG line (ITS facts are the ones
+    // that describe the measurement); launcher facts are the fallback
+    var diag = BenchUtil.diagJson(0L)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0
@@ -198,7 +217,7 @@ object Bench {
       val effMedian = median(largestRounds.filter(p => p._1 > 0 && p._2 > 0)
         .map(p => p._2 / (4.0 * p._1)))
       val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${capN.toLong},"docs_per_sec_4n":${cap4N.toLong},"efficiency":$capEff%.3f,"efficiency_median":$effMedian%.3f,"docs":$curScaleDocs,"docs_rounds":${roundDocs.map(_.toString).mkString("[", ",", "]")},"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"estimator":"per-size max over largest-corpus rounds"}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"scaling":$scaling,"diag":${diagJson(gcHeadline)},"complete":$done,"elapsed_sec":${elapsedSec.toLong}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"scaling":$scaling,"diag":$diag,"complete":$done,"elapsed_sec":${elapsedSec.toLong}}"""
     }
     def flush(done: Boolean = false): Unit =
       try {
@@ -212,152 +231,91 @@ object Bench {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
 
-    // ---- materialize the headline corpus (128-way layout) ---------------
-    var spark = session(cpus)
-    DocGen.documents(spark, nDocs).toDF()
-      .repartition(128).write.mode("overwrite").parquet(docsPath)
-
-    // ---- headline queries FIRST at the configured parallelism -----------
-    def tbl(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
-    def bench(name: String)(f: => Any): Unit = {
-      results(name) = try time(f) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
-      flush()
-    }
-
-    // JIT warm-up: one validation pass over a slice compiles the validator
-    // regex + codegen paths so headline timings measure steady state
-    Pipeline.violations(spark,
-      spark.read.parquet(docsPath).limit(50000), DocGen.schema).count()
-
-    // two timed passes: first ≈ what a cold driver run sees, min ≈ steady
-    // state (closes the round-1 driver-38.8s-vs-builder-13s gap honestly —
-    // both numbers ship; `_first` is informational and excluded from the
-    // headline total). The STEADY trial doubles as the verdicts-stage input:
-    // cache().count() materializes the violations while being timed — same
-    // measurement semantics (one full validation pass over cold input), and
-    // the third untimed pass that cost round-3's driver ~100 s under load is
-    // gone (round-3 verdict item 1). try/catch like bench(): one failing
-    // query must not abort the whole benchmark before the first flush.
-    var cachedViols: Option[DataFrame] = None
+    // ---- headline stage in a spawned PINNED JVM --------------------------
+    // (round-4 verdict item 1: the launcher may be an sbt JVM with an
+    // ~80 GiB heap — its GC ate 42% of round 4's headline stage)
+    val SliceDocs = 150000L
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val headlineMem = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_MEM", "16g")
+    var scaleCorpusReady = false
+    import scala.jdk.CollectionConverters._
     try {
-      val gc0 = gcMillis
-      val vf1 = time(Pipeline.violations(spark, spark.read.parquet(docsPath), DocGen.schema).count())
-      // record the first pass immediately: a failure of the SECOND pass
-      // must not discard a valid measurement
-      results("validate_full") = vf1
-      results("validate_full_first") = vf1
-      flush()
-      val cached = Pipeline.violations(spark,
-        spark.read.parquet(docsPath), DocGen.schema).cache()
-      // vf2 includes the cache build (serializing violation rows into
-      // storage memory) — usually still the faster trial (JIT-warm), and
-      // min() keeps vf1 as the headline whenever the cache cost dominates;
-      // the raw cached-trial time ships as `_cached` for transparency.
-      // gcHeadline spans both trials incl. the cache build.
-      val vf2 = time(cached.count())
-      cachedViols = Some(cached)
-      results("validate_full") = math.min(vf1, vf2)
-      results("validate_full_cached") = vf2
-      gcHeadline = gcMillis - gc0
+      val cmd = (Seq(javaBin) ++ BenchUtil.pinnedJvmArgs(cpus, headlineMem) ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.HeadlineMain", cpus.toString, sfDir, nDocs.toString,
+          docsPath, scalePath, scaleDocsEnv.toString, SliceDocs.toString)).asJava
+      // inherit stderr: an undrained pipe fills and BLOCKS the child's
+      // logging thread, stalling the measurement
+      val p = new ProcessBuilder(cmd)
+        .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+      // stream line-by-line and re-flush after each: the per-stage
+      // kill-resilience contract survives the JVM boundary
+      var line = br.readLine()
+      while (line != null) {
+        line match {
+          case l if l.startsWith("RESULT ") =>
+            val parts = l.split(" ")
+            results(parts(1)) = parts(2).toDouble
+            flush()
+          case l if l.startsWith("DIAG ") =>
+            diag = l.stripPrefix("DIAG "); flush()
+          case l if l == "SCALE_CORPUS_READY" =>
+            scaleCorpusReady = true
+          case l => System.err.println(s"[bench] headline: $l")
+        }
+        line = br.readLine()
+      }
+      val rc = p.waitFor()
+      if (rc != 0)
+        System.err.println(s"[bench] headline JVM exited rc=$rc")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] validate_full failed: ${e.getMessage}")
-      if (!results.contains("validate_full")) results("validate_full") = -1.0
+      System.err.println(s"[bench] headline spawn failed: ${e.getMessage}")
     }
+    if (!results.contains("validate_full")) results("validate_full") = -1.0
     flush()
-    // verdicts roll up the violations frame the steady trial materialized
-    // (the ValidatorApp flow: no second validation pass). If the cached
-    // trial failed, rebuild the cache untimed — a vf2 failure must not
-    // take the (independently runnable) verdicts stage down with it.
-    if (cachedViols.isEmpty) {
+
+    // the scaling evidence is the north rule — if the headline child died
+    // before finishing the probe-corpus write, write it here rather than
+    // forfeit the probes (the launcher JVM is fine for a parquet write;
+    // only MEASUREMENTS need pinning)
+    if (!scaleCorpusReady) {
+      System.err.println("[bench] headline child did not finish the scale corpus — writing it in-launcher")
       try {
-        val c = Pipeline.violations(spark,
-          spark.read.parquet(docsPath), DocGen.schema).cache()
-        c.count()
-        cachedViols = Some(c)
+        val spark = BenchUtil.session(cpus)
+        val nSlicesTotal = ((scaleDocsEnv + SliceDocs - 1) / SliceDocs).toInt
+        (0 until nSlicesTotal).foreach { i =>
+          graft.datagen.DocGen.documentsRange(spark, i * SliceDocs,
+              math.min((i + 1) * SliceDocs, scaleDocsEnv), scaleDocsEnv).toDF()
+            .repartition(13)
+            .write.mode("overwrite").parquet(s"$scalePath/slice=$i")
+        }
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        scaleCorpusReady = true
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] verdicts cache rebuild failed: ${e.getMessage}")
+        System.err.println(s"[bench] fallback scale-corpus write failed: ${e.getMessage}")
       }
     }
-    bench("verdicts") {
-      val viols = cachedViols.getOrElse(
-        sys.error("no violations frame (validation failed twice)"))
-      // sum(nViolations) forces the violation aggregation — a bare count()
-      // lets Catalyst eliminate the unique-key left join entirely
-      Pipeline.verdictsFrom(spark, viols, spark.read.parquet(docsPath),
-        DocGen.schema, "bench", 64).agg(sum("nViolations")).collect()
-    }
-    cachedViols.foreach(_.unpersist())
-    bench("stats_profile") { ColumnStats.profile(tbl("lineitem")).count() }
-    bench("dedup_exact") { Dedup.exactGroups(tbl("documents")).count() }
-    bench("dedup_minhash") { Dedup.nearDupPairs(tbl("documents")).count() }
-    bench("dedup_simhash") { Dedup.simhashPairs(tbl("documents")).count() }
-    bench("langid_quality") {
-      tbl("documents").select(
-        TextAnalysis.langId(col("text")).as("lid"),
-        TextAnalysis.qualityScore(col("text")).as("q"))
-        .agg(count(lit(1)), avg(col("q"))).collect()
-    }
-    bench("ann_topk") {
-      val emb = tbl("embeddings")
-      val q = emb.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
-      Similarity.bruteTopK(emb, q, 10).collect()
-    }
 
-    // ---- scale corpus, then stop the headline session --------------------
-    // written ONCE at the ceiling size, sliced into `slice=<i>` subdirs of
-    // SliceDocs each (doc ids are dense, so slice = id / SliceDocs): a
-    // budget-pressured round probes a PREFIX of slices — per-round corpus
-    // sizing with no regeneration and no limit() (which would collapse the
-    // scan to one partition)
-    val SliceDocs = 150000L
+    // ---- scaling probes, time-boxed --------------------------------------
     val nSlicesTotal = ((scaleDocsEnv + SliceDocs - 1) / SliceDocs).toInt
     def docsOf(k: Int): Long =
       if (k >= nSlicesTotal) scaleDocsEnv else k * SliceDocs
-    // one write per slice, 13 full-size files each (~12 MB — the 128-file/
-    // 1.5M-doc density the headline corpus uses): a single partitionBy
-    // write was measured to fan out into ~2600 sub-MB files whose per-file
-    // overhead depressed BOTH probe sides ~20-30%
-    (0 until nSlicesTotal).foreach { i =>
-      DocGen.documentsRange(spark, i * SliceDocs,
-          math.min((i + 1) * SliceDocs, scaleDocsEnv), scaleDocsEnv).toDF()
-        .repartition(13)
-        .write.mode("overwrite").parquet(s"$scalePath/slice=$i")
-    }
-    spark.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    flush()
-
-    // ---- scaling probes, time-boxed --------------------------------------
     def probeOnce(n: Int, kSlices: Int): Double = {
-      import scala.jdk.CollectionConverters._
       Thread.sleep(cooldown * 1000L)
-      val javaBin = System.getProperty("java.home") + "/bin/java"
       val nDocsProbe = docsOf(kSlices)
-      // probe JVM flags are PINNED, not inherited: the parent may run under
-      // sbt with a different heap/collector (round 3's probes inherited an
-      // ~80 GiB heap from the driver's sbt JVM), and a G1-vs-Parallel or
-      // 5x-heap difference between rounds would be an uncontrolled variable
-      // in the scaling ratio. -D and GC/heap flags are stripped; add-opens
-      // and the like pass through.
-      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-        .getInputArguments.asScala
-        .filterNot(a => a.startsWith("-D") || a.startsWith("-Xmx") ||
-          a.startsWith("-Xms") || a.startsWith("-XX:ActiveProcessorCount") ||
-          (a.startsWith("-XX:+Use") && a.endsWith("GC"))).toSeq ++
-        Seq(s"-XX:ActiveProcessorCount=$n", "-XX:+UseParallelGC",
-          s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_PROBE_MEM", "16g")}")
       // min-of-`probeTrials` INSIDE the probe JVM: ambient interference on
       // this sandbox is additive noise with ±15-30% per-run swings, and the
       // best-of-k time rejects it symmetrically for both sizes
       val warmup = math.min(nDocsProbe / 8, 250000L)
-      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      val mem = sys.env.getOrElse("SPARK_GRAFT_PROBE_MEM", "16g")
+      val cmd = (Seq(javaBin) ++ BenchUtil.pinnedJvmArgs(n, mem) ++ Seq(
         "-cp", System.getProperty("java.class.path"),
         "graft.ScaleProbe", n.toString, scalePath, nDocsProbe.toString,
         warmup.toString, probeTrials.toString, kSlices.toString)).asJava
-      // inherit stderr: an undrained pipe fills and BLOCKS the probe's
-      // logging thread, stalling the measurement
       val p = new ProcessBuilder(cmd)
         .redirectError(ProcessBuilder.Redirect.INHERIT).start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
@@ -387,7 +345,7 @@ object Bench {
     var kSlices = planSlices(2)
     var r = 1
     var stop = false
-    while (r <= scaleRounds && !stop) {
+    while (r <= scaleRounds && !stop && scaleCorpusReady) {
       kSlices = math.min(kSlices, planSlices(1)) // shrink under pressure; never grow
       val docsThis = docsOf(kSlices)
       curScaleDocs = docsThis // the scaling JSON's `docs` tracks the CURRENT round
@@ -411,10 +369,19 @@ object Bench {
         System.err.println(f"[bench] scale round $r: n=$tn%.0f 4n=$t4n%.0f docs/s docs=$docsThis capEff=$capEff%.3f (${lastRoundSec.toLong}s)")
         flush()
         // early-stop only on a CREDIBLE pass: a superlinear estimate means
-        // the n-core side is still noise-depressed — keep probing
+        // the n-core side is still noise-depressed — keep probing. And an
+        // estimate within 2% of the ceiling (> effConfirm) from a SINGLE
+        // round is suspect for the same reason: require a second
+        // fully-measured round at the same corpus before stopping (round-4
+        // verdict item 2).
         if (capEff >= effMin && capEff <= effMax) {
-          System.err.println("[bench] scaling criterion met — stopping probes early")
-          stop = true
+          val fullRounds = largestRounds.count(p => p._1 > 0 && p._2 > 0)
+          if (capEff <= effConfirm || fullRounds >= 2) {
+            System.err.println(s"[bench] scaling criterion met ($fullRounds full rounds) — stopping probes early")
+            stop = true
+          } else {
+            System.err.println(f"[bench] eff $capEff%.3f above confirm band $effConfirm — buying a confirming round")
+          }
         }
         r += 1
       }

@@ -108,17 +108,24 @@ object TextAnalysis {
 
   /** Fixed-size token chunks with overlap — the context-window preparation
     * pass (split long documents into n-token windows, stride = n −
-    * overlap, so consecutive chunks share `overlap` tokens). Row-local and
-    * shuffle-free; NOTE the array ops are interpreted HOFs (CodegenFallback)
-    * — fine for chunk-prep jobs whose cost is dominated by the downstream
-    * write, but port to a native expression (CharNgrams-style) before
-    * making this the hot loop of a full 10^12-doc pass. Chunk starts are
+    * overlap, so consecutive chunks share `overlap` tokens). Row-local,
+    * shuffle-free, and codegen'd via the native
+    * [[graft.functions.ChunkTokens]] expression (one pass over the text —
+    * hot-loop-safe for a full-corpus chunk-prep job). Chunk starts are
     * 1, 1+stride, …, capped at max(len − overlap, 1) so the final
     * (possibly short) tail is emitted once and no pure-overlap tail
     * appears; zero-token documents yield NO chunks. Whitespace tokens
     * (`\S+`), rejoined with single spaces.
     */
-  def chunkTokens(text: Column, n: Int, overlap: Int = 0): Column = {
+  def chunkTokens(text: Column, n: Int, overlap: Int = 0): Column =
+    graft.functions.ChunkTokens.chunkTokens(text, n, overlap)
+
+  /** The declarative HOF formulation of [[chunkTokens]] — interpreted
+    * (CodegenFallback), kept as the independent parity twin the native
+    * expression is asserted against (repo convention for codegen exprs;
+    * see PipelineOpsSpec).
+    */
+  def chunkTokensHof(text: Column, n: Int, overlap: Int = 0): Column = {
     require(n > 0 && overlap >= 0 && overlap < n,
       s"need 0 <= overlap < n, got n=$n overlap=$overlap")
     val w = regexp_extract_all(text, lit("\\S+"), lit(0))

@@ -207,6 +207,29 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("token chunking: native expression ≡ the HOF formulation (repo convention)") {
+    val session = spark
+    import session.implicits._
+    // mixed whitespace kinds, runs, leading/trailing, surrogate pairs, and
+    // a non-break space (U+00A0 — NOT Java \s, must stay inside a token)
+    val texts = Seq(
+      "a\tb\nc\r\nd  ef\fg",
+      "  leading and trailing   ",
+      "emoji 😀😁 pair 😀mid😁token x",
+      "nbsp a b stays one token",
+      "single", "", " \t\n ", (1 to 40).map("w" + _).mkString(" "))
+    for ((n, ov) <- Seq((4, 1), (3, 0), (5, 4), (1, 0))) {
+      val both = texts.toDF("t").select(
+          TextAnalysis.chunkTokens(col("t"), n, ov).as("native"),
+          TextAnalysis.chunkTokensHof(col("t"), n, ov).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n ov=$ov: native ${r.getSeq[String](0)} != hof ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("PII redaction scrubs emails, IPs, and +phones; leaves prose intact") {
     val session = spark
     import session.implicits._
