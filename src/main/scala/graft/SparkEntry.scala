@@ -203,6 +203,15 @@ object SparkEntry {
         .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n")).filter(col("n") > 1)),
 
+    // the kept-row twin of q_fingerprint_dedup: Dedup.fingerprintDedup's
+    // min-id winner per canonical fingerprint (the batch side of the
+    // streaming ingestion-dedup twin) — planted case/whitespace variants
+    // must lose to their originals
+    "q_fingerprint_keep" -> ((s, d) =>
+      graft.ops.Dedup.fingerprintDedup(
+          withDups(t(s, d, "documents"), tx => concat(upper(tx), lit("  "))))
+        .select(col("doc_id"))),
+
     "q_quality_signals" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.nChars(col("text")).as("n_chars_m"),
@@ -622,6 +631,14 @@ object SparkEntry {
         "(SELECT text FROM documents UNION ALL " +
         " SELECT upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0) " +
         "GROUP BY 1 HAVING count(*) > 1"),
+
+    "q_fingerprint_keep" ->
+      ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (" +
+        "PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) " +
+        "ORDER BY doc_id) AS rn FROM " +
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+        " SELECT doc_id + 1000000, upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0)) " +
+        "WHERE rn = 1"),
     "q_quality_signals" ->
       ("SELECT doc_id, length(text) AS n_chars_m, len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, " +
         "len(regexp_extract_all(text, '[A-Z]')) AS n_upper FROM documents"),

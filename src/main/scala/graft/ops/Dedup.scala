@@ -42,9 +42,22 @@ object Dedup {
       .filter(col("dup_count") > 1)
 
   /** Corpus with exact duplicates removed (keeps the minimum id per text). */
-  def exactDedup(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+  def exactDedup(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    dedupBy(df, md5(col(text)), id)
+
+  /** Corpus with canonical-fingerprint duplicates removed — keeps the
+    * minimum id per [[TextAnalysis.fingerprint]], so case/whitespace
+    * variants collapse into one kept row. The batch twin of
+    * [[graft.streaming.StreamingValidator.fingerprintDedupStream]] (parity
+    * asserted in StreamingValidatorSpec on an id-ordered fixture).
+    */
+  def fingerprintDedup(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    dedupBy(df, TextAnalysis.fingerprint(col(text)), id)
+
+  private def dedupBy(df: DataFrame, digest: org.apache.spark.sql.Column,
+                      id: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(text))).orderBy(col(id))
+    val w = Window.partitionBy(digest).orderBy(col(id))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.checks._
 import graft.model.SchemaDef
@@ -140,10 +140,34 @@ object StreamingValidator {
   def dedupStream(docs: DataFrame, textCol: String = "text",
                   eventTime: String = "ts",
                   delay: String = "10 minutes"): DataFrame =
-    docs.withColumn("__digest", md5(col(textCol)))
+    dedupStreamBy(docs, md5(col(textCol)), eventTime, delay)
+
+  /** [[dedupStream]] with a caller-chosen digest column — the seam the
+    * canonical-fingerprint twin plugs into.
+    */
+  def dedupStreamBy(docs: DataFrame, digest: Column,
+                    eventTime: String = "ts",
+                    delay: String = "10 minutes"): DataFrame =
+    docs.withColumn("__digest", digest)
       .withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+
+  /** Streaming twin of the batch canonical-fingerprint dedup
+    * ([[graft.ops.TextAnalysis.fingerprint]]: lowercase, whitespace
+    * collapsed, trimmed, then md5 — the SAME column definition, so the two
+    * sides can never drift): an ingestion pipeline dedupes documents on
+    * arrival, keeping the first arrival per canonical form with
+    * watermark-bounded state. On a fixture whose arrival order is id
+    * order, the kept row set is exactly the batch
+    * [[graft.ops.Dedup.exactDedup]]-shaped winner set (parity asserted in
+    * StreamingValidatorSpec).
+    */
+  def fingerprintDedupStream(docs: DataFrame, textCol: String = "text",
+                             eventTime: String = "ts",
+                             delay: String = "10 minutes"): DataFrame =
+    dedupStreamBy(docs, graft.ops.TextAnalysis.fingerprint(col(textCol)),
+      eventTime, delay)
 
   /** Stateful per-kind violation monitor: running violation totals per
     * check kind across micro-batches via flatMapGroupsWithState — emits a

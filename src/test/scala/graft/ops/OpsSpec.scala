@@ -253,6 +253,48 @@ class OpsSpec extends SparkTestBase {
     assert(rates.toSeq == Seq(Some(44100L), None, None), rates.toSeq.toString)
   }
 
+  test("JPEG SOF walk + WAV chunk walk: variable offsets, malformed → null") {
+    val session = spark
+    import session.implicits._
+    import graft.ops.Multimodal
+    val sof0 = "FFC0" + "0011" + "08" + "0078" + "0050" + "0"*20 // 120h x 80w
+    val jpegs = Seq(
+      // APP0 (declared len 16 = 2 + 14 payload bytes) then SOF0
+      "FFD8" + "FFE00010" + "0"*28 + sof0,
+      // two segments before SOF (APP1 + COM), SOF at a deeper offset
+      "FFD8" + "FFE1000A" + "0"*16 + "FFFE0004" + "0"*4 + sof0,
+      // fill bytes: extra 0xFF padding before the SOF marker is legal
+      "FFD8" + "FFE00004" + "0"*4 + "FFFF" + sof0,
+      // progressive SOF2 carries dims at the same layout
+      "FFD8" + "FFE00004" + "0"*4 + "FFC2" + "0011" + "08" + "0078" + "0050" + "0"*20,
+      // DHT (C4) is NOT a SOF — must be hopped, not parsed as dims
+      "FFD8" + "FFC40006" + "0"*8 + sof0,
+      // SOS before any SOF → null (dims always precede entropy data)
+      "FFD8" + "FFDA000C" + "0"*20,
+      // truncated mid-SOF (dims fields cut) → null, not garbage
+      ("FFD8" + "FFE00004" + "0"*4 + "FFC0" + "0011" + "08" + "00").toString,
+      // declared segment length < 2 is malformed → null
+      "FFD8" + "FFE00001" + sof0)
+      .toDF("hx").select(Multimodal.imageDims(unhex(col("hx"))).as("d"))
+      .collect().map(r => Option(r.getStruct(0)).map(s => (s.getLong(0), s.getLong(1))))
+    assert(jpegs(0).contains((80L, 120L)), s"got ${jpegs(0)}")
+    assert(jpegs(1).contains((80L, 120L)), s"two-segment walk: ${jpegs(1)}")
+    assert(jpegs(2).contains((80L, 120L)), s"fill bytes: ${jpegs(2)}")
+    assert(jpegs(3).contains((80L, 120L)), s"SOF2: ${jpegs(3)}")
+    assert(jpegs(4).contains((80L, 120L)), s"DHT hop: ${jpegs(4)}")
+    assert(jpegs(5).isEmpty && jpegs(6).isEmpty && jpegs(7).isEmpty,
+      s"malformed must be null: ${jpegs.drop(5).toSeq}")
+
+    // WAV: JUNK chunk of ODD size 11 (word-pad to 12) before fmt; a
+    // truncated walk (header cut before the fmt rate field) → null
+    val junkWav = "524946462408000057415645" + "4A554E4B" + "0B000000" +
+      "0"*24 + "666D7420" + "10000000" + "01000100" + "401F0000" + "0"*16
+    val rates = Seq(junkWav, junkWav.take(80))
+      .toDF("hx").select(Multimodal.wavSampleRate(unhex(col("hx"))).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(rates.toSeq == Seq(Some(8000L), None), rates.toSeq.toString)
+  }
+
   test("dupGroups: connected components over the pair graph, min-id labels") {
     val session = spark
     import session.implicits._

@@ -136,6 +136,45 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup ≡ batch fingerprintDedup on an id-ordered fixture") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // canonical-form collisions (case/whitespace variants), split across
+    // TWO micro-batches; arrival order = id order, so the stream's
+    // first-arrival winner is the batch side's min-id winner
+    val fixture = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 1L, "The Quick Fox"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:01"), 2L, "the   quick fox "),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:02"), 3L, "something else"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:03"), 4L, "THE QUICK FOX"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:04"), 5L, "Something\tELSE"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:05"), 6L, "unique"))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingValidator.fingerprintDedupStream(docs, "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sv_fp_dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture.take(3))
+      q.processAllAvailable()
+      stream.addData(fixture.drop(3))
+      q.processAllAvailable()
+      val streamIds = spark.table("sv_fp_dedup")
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      val batchIds = graft.ops.Dedup.fingerprintDedup(
+          fixture.toDF("ts", "doc_id", "text"))
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(streamIds == batchIds, s"stream $streamIds != batch $batchIds")
+      assert(streamIds == Seq(1L, 3L, 6L), s"got $streamIds")
+      // and the raw-md5 stream twin agrees with batch exactDedup (no
+      // canonicalization: every case variant survives)
+      val exactBatch = graft.ops.Dedup.exactDedup(fixture.toDF("ts", "doc_id", "text"))
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(exactBatch == Seq(1L, 2L, 3L, 4L, 5L, 6L), s"got $exactBatch")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: session_window merges within-gap events, emits on close") {
     val session = spark
     import session.implicits._
