@@ -295,6 +295,34 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
           col("chunk"))),
 
+    // --- TF-IDF / BM25 term weighting (Ranking) ---------------------------
+    // exact-integer projection (tf, df) of the explode + two-level
+    // aggregation + broadcast vocab-join shape; df is computed over the
+    // FULL corpus, the output sampled to keep the dump bounded
+    "q_tfidf_ints" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Ranking.tfidf(docs, docs.count())
+        .filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+    }),
+
+    // BM25 top-3 terms per doc, rank and tie-break on the QUANTIZED score
+    // (round(bm25·1e6) as bigint, then term): a last-ULP ln() difference
+    // between engines cannot flip an integer-quantized ordering, so the FP
+    // formula itself is pinned cross-engine to 6 decimal places
+    "q_bm25_rank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val tc = graft.ops.Ranking.termCounts(docs)
+      val avgLen = tc.agg(sum("tf")).collect()(0).getLong(0).toDouble / n
+      val scored = graft.ops.Ranking.bm25(docs, n, avgLen)
+        .withColumn("bm25_e6", round(col("bm25") * 1e6).cast("bigint"))
+      graft.ops.Ranking.topTerms(scored, 3, score = "bm25_e6")
+        .filter(col("doc_id") % 19 === 0)
+        .select(col("doc_id"), col("term"), col("tf"), col("bm25_e6"),
+          col("rank").cast("bigint").as("rank"))
+    }),
+
     // --- distinct-word ratio (Gopher-style repetition filter) ------------
     "q_word_diversity" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -715,6 +743,37 @@ object SparkEntry {
         "c AS (SELECT doc_id, (i - 1) // 56 AS chunk_idx, array_to_string(w[i:i+63], ' ') AS chunk " +
         "FROM d, UNNEST(generate_series(1, greatest(len(w) - 8, 1), 56)) AS u(i) WHERE len(w) > 0) " +
         "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk FROM c"),
+
+    // canonical tokenization = the shared canonicalText form split on
+    // single spaces; df joins back over the full corpus before sampling
+    "q_tfidf_ints" ->
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS term FROM t), " +
+        "tc AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1) " +
+        "SELECT tc.doc_id, tc.term, tc.tf, dfq.df FROM tc JOIN dfq USING (term) " +
+        "WHERE tc.doc_id % 53 = 0"),
+
+    // literal arithmetic mirrors the Scala expression tree exactly (same
+    // left-assoc order, same double literals) so the only cross-engine
+    // difference is the last ULP of ln(), absorbed by the 1e6 quantization
+    "q_bm25_rank" ->
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS term FROM t), " +
+        "tc AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1), " +
+        "lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tc GROUP BY 1), " +
+        "nq AS (SELECT count(*) AS n FROM documents), " +
+        "aq AS (SELECT CAST((SELECT sum(tf) FROM tc) AS DOUBLE) / (SELECT n FROM nq) AS al), " +
+        "sc AS (SELECT tc.doc_id, tc.term, tc.tf, " +
+        "ln(1.0 + ((SELECT CAST(n AS DOUBLE) FROM nq) - dfq.df + 0.5) / (dfq.df + 0.5)) * " +
+        "(tc.tf * (1.2 + 1.0)) / (tc.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.doc_len / (SELECT al FROM aq))) AS bm25 " +
+        "FROM tc JOIN dfq USING (term) JOIN lens USING (doc_id)), " +
+        "r AS (SELECT doc_id, term, tf, CAST(round(bm25 * 1e6) AS BIGINT) AS bm25_e6 FROM sc), " +
+        "rk AS (SELECT doc_id, term, tf, bm25_e6, row_number() OVER (" +
+        "PARTITION BY doc_id ORDER BY bm25_e6 DESC, term) AS rnk FROM r) " +
+        "SELECT doc_id, term, tf, bm25_e6, CAST(rnk AS BIGINT) AS rank FROM rk " +
+        "WHERE rnk <= 3 AND doc_id % 19 = 0"),
 
     "q_word_diversity" ->
       ("SELECT doc_id, CAST(round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 " +

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Term-weighting / lexical ranking for training-data pipelines: TF-IDF
+  * and BM25 over the document corpus — the workhorse for quality scoring,
+  * near-dup candidate ranking, and corpus search (reference scope is
+  * validation-only; these are engine-native LLM-pipeline additions, like
+  * [[LmQuality]]).
+  *
+  * Scale shape (the 100 TB plan):
+  *  - [[termCounts]] is explode + ONE groupBy((doc, term)) — partial
+  *    aggregation (map-side combine) collapses each doc's repeats before
+  *    the shuffle, so shuffle volume is bounded by distinct (doc, term);
+  *  - [[docFrequencies]] re-aggregates term counts by term only (second
+  *    exchange is on term — far smaller: distinct terms, not doc×term);
+  *  - [[tfidf]]/[[bm25]] broadcast-join the per-term table (vocabulary ≪
+  *    corpus; for a vocabulary too large to broadcast, the join keys are
+  *    both term-partitioned, so the planner falls back to a co-located
+  *    sort-merge with no extra exchange on the big side).
+  *  - Scores are per-(doc, term)-row-local FP ARITHMETIC (no FP summation
+  *    across rows), so results are deterministic under any partitioning;
+  *    cross-engine hash oracles still pin only the integer inputs (tf, df,
+  *    doc length) because two engines' `ln` may differ in the last ULP.
+  *
+  * Tokenization = [[TextAnalysis.canonicalText]] split on single spaces —
+  * THE shared canonical form, so rankings can never drift from the dedup /
+  * LM-quality views of the same corpus.
+  */
+object Ranking {
+
+  /** (doc_id, term, tf) — term frequencies per document over the canonical
+    * token stream. One explode + one partial-agg groupBy.
+    */
+  def termCounts(docs: DataFrame, id: String = "doc_id",
+                 text: String = "text"): DataFrame =
+    docs.select(col(id),
+        explode(split(TextAnalysis.canonicalText(col(text)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (term, df) — document frequencies: in how many documents each term
+    * appears. Aggregates the (doc, term) table by term.
+    */
+  def docFrequencies(tc: DataFrame, id: String = "doc_id"): DataFrame =
+    tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** (doc_id, term, tf, df, tfidf) with the standard smoothed formulation
+    * `tf · (ln((N+1)/(df+1)) + 1)` — N passed by the caller (a count()
+    * scalar; keeping it an argument makes the op deterministic and lets a
+    * pipeline reuse an already-known corpus size instead of recounting).
+    */
+  def tfidf(docs: DataFrame, nDocs: Long, id: String = "doc_id",
+            text: String = "text"): DataFrame = {
+    val tc = termCounts(docs, id, text)
+    val df = docFrequencies(tc, id)
+    tc.join(broadcast(df), Seq("term"))
+      .select(col(id), col("term"), col("tf"), col("df"),
+        (col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0))
+          .as("tfidf"))
+  }
+
+  /** BM25 term weights: `idf · tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen))`
+    * with the Robertson-Sparck-Jones idf `ln(1 + (N−df+0.5)/(df+0.5))`.
+    * Row-local FP once the three exact integers (tf, df, doc token length)
+    * and the two corpus scalars (N, avgLen) are in place.
+    */
+  def bm25(docs: DataFrame, nDocs: Long, avgLen: Double,
+           k1: Double = 1.2, b: Double = 0.75,
+           id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tc = termCounts(docs, id, text)
+    val lens = tc.groupBy(col(id)).agg(sum(col("tf")).as("doc_len"))
+    val df = docFrequencies(tc, id)
+    // arithmetic shape mirrors the q_bm25_rank oracle SQL term-for-term
+    // (same association order, same folded double constants) so the only
+    // cross-engine FP difference is the last ULP of ln()
+    val lenNorm = lit(1.0 - b) + lit(b) * col("doc_len") / avgLen
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    tc.join(broadcast(df), Seq("term"))
+      .join(lens, Seq(id))
+      .select(col(id), col("term"), col("tf"), col("df"), col("doc_len"),
+        (idf * (col("tf") * (k1 + 1.0)) / (col("tf") + lit(k1) * lenNorm))
+          .as("bm25"))
+  }
+
+  /** Top-k terms per document by TF-IDF, deterministically tie-broken by
+    * term — the "characteristic keywords" projection (one window on the
+    * already-term-partitioned frame; re-keyed on doc).
+    */
+  def topTerms(scored: DataFrame, k: Int, id: String = "doc_id",
+               score: String = "tfidf"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id))
+      .orderBy(col(score).desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
