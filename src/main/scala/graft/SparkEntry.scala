@@ -177,6 +177,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0), n = 4)
     }),
 
+    // bloom-prefilter + exact-verify path: bloom filters have no false
+    // negatives, so the result set is IDENTICAL to q_decontaminate — the
+    // oracle is the same SQL, which pins exactly that equivalence
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Decontamination.contaminatedBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 4)
+    }),
+
     // --- top-k per group (keep-best-doc-per-key shape; window function) --
     "q_rank_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -811,6 +821,15 @@ object SparkEntry {
         "CASE lang WHEN 'en' THEN '40' WHEN 'fr' THEN '1a' ELSE '0d' END"),
 
     "q_decontaminate" ->
+      ("WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
+        "g0 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM d, UNNEST(generate_series(1, greatest(len(w)-3, 1))) AS u(i)), " +
+        "gs AS (SELECT DISTINCT doc_id, g FROM g0), " +
+        "bench AS (SELECT DISTINCT g FROM gs WHERE doc_id % 50 = 0) " +
+        "SELECT doc_id, count(*) AS n_shared FROM gs WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench) GROUP BY doc_id"),
+
+    // the bloom path must be EXACTLY the non-bloom result (no false
+    // negatives; verify join kills false positives) — same oracle SQL
+    "q_decontaminate_bloom" ->
       ("WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
         "g0 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM d, UNNEST(generate_series(1, greatest(len(w)-3, 1))) AS u(i)), " +
         "gs AS (SELECT DISTINCT doc_id, g FROM g0), " +

@@ -65,4 +65,61 @@ object Decontamination {
     corpus.join(
       contaminated(corpus, benchmark, n, id, text, broadcastBenchmark).select(id),
       Seq(id), "left_anti")
+
+  // ------------------------------------------------------------------
+  // Bloom-prefiltered path (oversized benchmark side)
+  // ------------------------------------------------------------------
+
+  /** Serialized bloom filter over the benchmark's distinct n-grams
+    * (Spark's own `BloomFilterAggregate` — the sketch behind its runtime
+    * join filters — over `xxhash64(g)`). A 13-gram STRING set can run to
+    * gigabytes where the bloom sketch is megabytes: this is what makes the
+    * prefilter broadcastable when the exact set isn't. Driver-collects ONE
+    * binary value (the aggregated sketch), like the C×D centroid collects.
+    */
+  def gramBloom(benchmark: DataFrame, n: Int = 13, text: String = "text",
+                expectedItems: Long = 4000000L): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.shims
+    val bg = benchmark.select(explode(ngrams(col(text), n)).as("g")).distinct()
+    val agg = shims.column(new BloomFilterAggregate(
+      shims.expression(xxhash64(col("g"))), expectedItems).toAggregateExpression())
+    bg.agg(agg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain` predicate against a serialized [[gramBloom]] sketch —
+    * Spark's codegen'd `BloomFilterMightContain` with the sketch inlined as
+    * a literal (exactly how Spark's InjectRuntimeFilter ships blooms to the
+    * probe side).
+    */
+  def mightContainGram(bloom: Array[Byte], gram: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.shims
+    shims.column(BloomFilterMightContain(Literal(bloom),
+      shims.expression(xxhash64(gram))))
+  }
+
+  /** [[contaminated]] for a benchmark whose exact gram set is too large to
+    * broadcast: bloom-PREFILTER the corpus gram stream map-side (no corpus
+    * shuffle — the sketch is a literal), then exact-verify only the
+    * survivors against the true gram set. Bloom filters have NO false
+    * negatives, so the result is IDENTICAL to [[contaminated]] (the oracle
+    * asserts it); false positives (rate set by `expectedItems` vs the real
+    * cardinality) only cost extra rows entering the verify join. At fpp
+    * 3%, the verify join's corpus side shrinks from every gram of 10^12
+    * documents to ~3% of them plus the true hits.
+    */
+  def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+                        id: String = "doc_id", text: String = "text",
+                        expectedItems: Long = 4000000L): DataFrame = {
+    val bloom = gramBloom(benchmark, n, text, expectedItems)
+    val bg = benchmark.select(explode(ngrams(col(text), n)).as("g")).distinct()
+    val survivors = corpus
+      .select(col(id), explode(ngrams(col(text), n)).as("g"))
+      .filter(mightContainGram(bloom, col("g")))
+    // exact verification: survivors are a small fraction of the corpus
+    // grams, so this shuffle is benchmark-scale, not corpus-scale
+    survivors.join(bg, Seq("g"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -295,6 +295,29 @@ class OpsSpec extends SparkTestBase {
     assert(rates.toSeq == Seq(Some(8000L), None), rates.toSeq.toString)
   }
 
+  test("bloom-prefiltered decontamination ≡ exact path, even with a saturated sketch") {
+    val session = spark
+    import session.implicits._
+    import graft.ops.Decontamination
+    val corpus = (1L to 60L).map(i =>
+      (i, if (i % 7 == 0) s"the secret eval answer $i is here"
+          else s"clean training text number $i with words")).toDF("doc_id", "text")
+    val bench = (1L to 60L).filter(_ % 7 == 0).map(i =>
+      (i + 1000L, s"the secret eval answer $i is here")).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Decontamination.contaminated(corpus, bench, n = 4))
+    assert(exact.nonEmpty, "fixture must actually contaminate")
+    // well-sized sketch
+    assert(asMap(Decontamination.contaminatedBloom(corpus, bench, n = 4)) == exact)
+    // SATURATED sketch (expectedItems 1 → fpp near 1): the prefilter passes
+    // nearly everything, and the exact verify join must still return the
+    // identical result — no false negatives by construction, false
+    // positives killed downstream
+    assert(asMap(Decontamination.contaminatedBloom(corpus, bench, n = 4,
+      expectedItems = 1L)) == exact)
+  }
+
   test("dupGroups: connected components over the pair graph, min-id labels") {
     val session = spark
     import session.implicits._
