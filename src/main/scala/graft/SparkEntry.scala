@@ -333,6 +333,14 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
+    // sharded inverted index: per-(term, shard) posting-list digest — the
+    // md5-derived shard key and the lexicographic posting order are both
+    // reproducible in DuckDB, so content AND order of every posting shard
+    // is pinned cross-engine
+    "q_inverted_index" -> ((s, d) =>
+      graft.ops.Ranking.invertedIndex(
+        graft.ops.Ranking.termCounts(t(s, d, "documents")), nShards = 4)),
+
     // --- distinct-word ratio (Gopher-style repetition filter) ------------
     "q_word_diversity" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -784,6 +792,14 @@ object SparkEntry {
         "PARTITION BY doc_id ORDER BY bm25_e6 DESC, term) AS rnk FROM r) " +
         "SELECT doc_id, term, tf, bm25_e6, CAST(rnk AS BIGINT) AS rank FROM rk " +
         "WHERE rnk <= 3 AND doc_id % 19 = 0"),
+
+    "q_inverted_index" ->
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS term FROM t), " +
+        "tc AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2) " +
+        "SELECT term, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 4 AS shard, " +
+        "count(*) AS df, md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS posting_md5 " +
+        "FROM tc GROUP BY 1, 2"),
 
     "q_word_diversity" ->
       ("SELECT doc_id, CAST(round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 " +

@@ -86,6 +86,30 @@ object Ranking {
           .as("bm25"))
   }
 
+  /** Sharded inverted index over the (doc, term) table: posting lists per
+    * (term, shard), shipped as a deterministic digest — `md5` of the
+    * lexicographically-sorted comma-joined doc ids — plus the shard's df.
+    *
+    * Sharding is the 100 TB guard: a stopword's posting list is
+    * corpus-sized, and an unsharded `collect_list` would buffer it in ONE
+    * aggregation state. The shard key is md5-derived from the doc id
+    * (cross-engine reproducible, unlike xxhash64 which DuckDB lacks), so
+    * every (term, shard) group is ~1/nShards of the worst posting list and
+    * the aggregation stays bounded regardless of term skew. Consumers
+    * reassemble a term's postings by reading its shards; `nShards = 1`
+    * gives the classic one-list-per-term index.
+    */
+  def invertedIndex(tc: DataFrame, nShards: Int = 64,
+                    id: String = "doc_id"): DataFrame = {
+    val shard = pmod(
+      conv(substring(md5(col(id).cast("string")), 1, 6), 16, 10).cast("long"),
+      lit(nShards)).as("shard")
+    tc.groupBy(col("term"), shard)
+      .agg(count(lit(1)).as("df"),
+        md5(concat_ws(",",
+          sort_array(collect_list(col(id).cast("string"))))).as("posting_md5"))
+  }
+
   /** Top-k terms per document by TF-IDF, deterministically tie-broken by
     * term — the "characteristic keywords" projection (one window on the
     * already-term-partitioned frame; re-keyed on doc).

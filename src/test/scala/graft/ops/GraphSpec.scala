@@ -48,4 +48,27 @@ class GraphSpec extends SparkTestBase {
     // sanity: C receives from A and B and should outrank the dangling D
     assert(got("C") > got("D"))
   }
+
+  test("pageRank tolL1 early-exit lands within tolerance of the converged ranks") {
+    val session = spark
+    import session.implicits._
+    val e = edgeList.toDF("src", "dst")
+    val full = Graph.pageRank(e, iters = 60).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val early = Graph.pageRank(e, iters = 60, tolL1 = 1e-8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the early-exit round's L1 delta was < 1e-8, so the remaining drift
+    // to the 60-round fixpoint is bounded by the geometric tail of the
+    // damping factor: 1e-8 / (1 - 0.85)
+    full.foreach { case (v, r) =>
+      assert(math.abs(early(v) - r) < 1e-7, s"$v: early ${early(v)} vs $r")
+    }
+    assert(math.abs(early.values.sum - 1.0) < 1e-9, "mass conserved")
+    // and with tolL1 = 0 the fixed-round deterministic shape is unchanged
+    val fixed = Graph.pageRank(e, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fixed0 = Graph.pageRank(e, iters = 10, tolL1 = 0.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fixed == fixed0)
+  }
 }
