@@ -341,6 +341,28 @@ object SparkEntry {
       graft.ops.Ranking.invertedIndex(
         graft.ops.Ranking.termCounts(t(s, d, "documents")), nShards = 4)),
 
+    // JSON-in-string extraction over the events lake (get_json_object
+    // single-path probe + the typed from_json bulk path agree)
+    "q_json_extract" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = t(s, d, "events")
+      val typed = graft.ops.Semistructured.flatten(
+        graft.ops.Semistructured.parseTyped(ev, "props",
+          StructType(Seq(StructField("k", LongType)))), "props_t")
+      typed.withColumn("k_probe",
+          graft.ops.Semistructured.jsonField(col("props"), "$.k").cast("long"))
+        .filter(col("k") === col("k_probe")) // both parse paths must agree
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+    }),
+
+    // per-source corpus accounting (volume, language spread, exact-dup
+    // count inside each source) — planted dup slice makes n_dup_docs
+    // non-vacuous
+    "q_source_report" -> ((s, d) =>
+      graft.ops.CorpusReport.bySource(withDups(t(s, d, "documents")))),
+
     // --- distinct-word ratio (Gopher-style repetition filter) ------------
     "q_word_diversity" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -792,6 +814,23 @@ object SparkEntry {
         "PARTITION BY doc_id ORDER BY bm25_e6 DESC, term) AS rnk FROM r) " +
         "SELECT doc_id, term, tf, bm25_e6, CAST(rnk AS BIGINT) AS rank FROM rk " +
         "WHERE rnk <= 3 AND doc_id % 19 = 0"),
+
+    "q_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY 1"),
+
+    "q_source_report" ->
+      ("WITH u AS (SELECT text, source, lang FROM documents UNION ALL " +
+        "SELECT text, source, lang FROM documents WHERE doc_id % 10 = 0) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(len(text)) AS BIGINT) AS n_chars, " +
+        "CAST(sum(len(text)) AS DOUBLE) / count(*) AS avg_chars, " +
+        "count(DISTINCT lang) AS n_langs, " +
+        "count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_dup_docs " +
+        "FROM u GROUP BY 1"),
 
     "q_inverted_index" ->
       ("WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c FROM documents), " +

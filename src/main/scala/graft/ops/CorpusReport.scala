@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-source corpus accounting — the CCNet-style "what did each source
+  * contribute" rollup a curation pipeline runs after every ingest: volume
+  * (docs/tokens/chars), language spread, and the exact-duplicate count
+  * inside each source. (Engine-native addition; at 100 TB this is the
+  * report that decides which crawls/domains to keep.)
+  *
+  * Shape: ONE groupBy(source). The two DISTINCT aggregates (languages,
+  * fingerprints) make Catalyst plan an Expand (row multiplication by the
+  * number of distinct aggs) — acceptable because the expanded rows carry
+  * only (source, lang) / (source, md5), not the text; the heavy columns
+  * are projected away before the exchange.
+  */
+object CorpusReport {
+
+  def bySource(docs: DataFrame, group: String = "source",
+               text: String = "text", lang: String = "lang"): DataFrame =
+    docs.groupBy(col(group))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(text))).as("n_tokens"),
+        sum(length(col(text))).as("n_chars"),
+        // exact integer sum / exact integer count: the division is a
+        // single IEEE op on identical inputs in any engine — safe to
+        // hash-compare, unlike accumulated-FP averages
+        (sum(length(col(text))) / count(lit(1))).as("avg_chars"),
+        countDistinct(col(lang)).as("n_langs"),
+        (count(lit(1)) -
+          countDistinct(TextAnalysis.fingerprint(col(text)))).as("n_dup_docs"))
+}
