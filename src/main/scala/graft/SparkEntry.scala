@@ -51,6 +51,20 @@ object SparkEntry {
       .withColumn("embedding", transform(col("embedding"), (x, i) =>
         when(i === 0, x + lit(0.001f)).otherwise(x))))
 
+  /** The two drift-check "snapshots": side a = even docs' n_chars, side b =
+    * odd docs' n_chars with a deterministic +150 shift planted on half of
+    * them (doc_id % 4 == 1) — a real distribution drift for KS/PSI to catch.
+    */
+  private def driftSides(docs: DataFrame): (DataFrame, DataFrame) = {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("n_chars").cast("double").as("v"))
+    val b = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("n_chars") +
+        when(col("doc_id") % 4 === 1, lit(150L)).otherwise(lit(0L)))
+        .cast("double").as("v"))
+    (a, b)
+  }
+
   /** Flagship: the full validation pipeline over the synthesized interleaved
     * docs table; driver smoke-checks rows>0.
     */
@@ -502,6 +516,26 @@ object SparkEntry {
           DocGen.documents(s, VerifyDocs).toDF()), iters = 10)
         .orderBy(col("rank").desc, col("node")).limit(50)),
 
+    // bounded-depth min-label propagation over the link graph (super-hub
+    // guarded at degree 100): label(v) = min node id within 3 hops —
+    // EXACTLY reproducible as a depth-bounded recursive CTE, so unlike full
+    // CC / PageRank this graph iteration carries a hash oracle
+    "q_label_prop" -> ((s, _) =>
+      graft.ops.Graph.minLabelPropagation(graft.ops.Graph.refEdges(
+          DocGen.documents(s, VerifyDocs).toDF()),
+        iters = 3, maxDegree = 100L)),
+
+    // HITS: FP power iteration is rows-only (GraphSpec pins it to a
+    // driver-side reference); the exact-integer two-step opening is the
+    // oracle that pins the hub/auth join-agg shape cross-engine
+    "q_hits_ints" -> ((s, _) =>
+      graft.ops.Graph.hitsTwoStepInts(graft.ops.Graph.refEdges(
+        DocGen.documents(s, VerifyDocs).toDF()))),
+    "q_hits" -> ((s, _) =>
+      graft.ops.Graph.hits(graft.ops.Graph.refEdges(
+          DocGen.documents(s, VerifyDocs).toDF()), iters = 5)
+        .orderBy(col("auth").desc, col("node")).limit(50)),
+
     "q_verdicts" -> ((s, _) =>
       Pipeline.verdicts(s, DocGen.documents(s, VerifyDocs).toDF(), DocGen.schema,
         snapshotId = "verify", nBuckets = 16)),
@@ -655,7 +689,25 @@ object SparkEntry {
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
-      ColumnStats.profile(t(s, d, "lineitem")).drop("kll", "approxDistinct"))
+      ColumnStats.profile(t(s, d, "lineitem")).drop("kll", "approxDistinct")),
+
+    // distribution-drift checks (north star: "histogram sketches for KS/PSI
+    // distribution-drift checks") — the EXACT distributed twins of the KLL
+    // sketch path, oracle-checked end to end: two-sample KS sup-statistic
+    // and per-bin PSI terms over n_chars, side b carrying a planted +150
+    // shift on half its docs so the drift is non-vacuous
+    "q_ks_drift" -> ((s, d) => {
+      val (a, b) = driftSides(t(s, d, "documents"))
+      graft.stats.DriftStats.ksExact(a, b, "v")
+        .select(round(col("ks") * 1e6).cast("bigint").as("ks_e6"),
+          col("n_a"), col("n_b"))
+    }),
+    "q_psi_drift" -> ((s, d) => {
+      val (a, b) = driftSides(t(s, d, "documents"))
+      graft.stats.DriftStats.psiExact(a, b, "v")
+        .select(col("bin"), col("cnt_a"), col("cnt_b"),
+          round(col("term") * 1e6).cast("bigint").as("term_e6"))
+    })
   )
 
   /** DuckDB-dialect oracles; aliases match the Spark column names exactly
@@ -980,6 +1032,25 @@ object SparkEntry {
         s"""SELECT '$c' AS "column", count($c) AS "count", count(CASE WHEN $c IS NULL THEN 1 END) AS nulls, CAST(min($c) AS VARCHAR) AS "min", CAST(max($c) AS VARCHAR) AS "max" FROM lineitem""")
         .mkString(" UNION ALL "),
 
+    // drift checks: same side construction, same grouping, same IEEE
+    // arithmetic tree as the Spark builders (cast-to-double before every
+    // division; ln on the p/q ratio), quantized at 1e6
+    "q_ks_drift" ->
+      (DriftSidesCte +
+        ", c AS (SELECT v, count(CASE WHEN side='a' THEN 1 END) AS ca, count(CASE WHEN side='b' THEN 1 END) AS cb FROM u GROUP BY v)" +
+        ", t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb FROM c)" +
+        ", cc AS (SELECT CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) AS cum_a, CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) AS cum_b FROM c) " +
+        "SELECT CAST(round(max(abs(cum_a / na - cum_b / nb)) * 1000000) AS BIGINT) AS ks_e6, " +
+        "CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b FROM cc CROSS JOIN t GROUP BY na, nb"),
+    "q_psi_drift" ->
+      (DriftSidesCte +
+        ", r AS (SELECT min(v) AS lo, max(v) AS hi FROM u)" +
+        ", bn AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(floor((v - lo) / ((hi - lo) / 10)), 9) AS BIGINT) END AS bin, side FROM u CROSS JOIN r)" +
+        ", c AS (SELECT bin, count(CASE WHEN side='a' THEN 1 END) AS cnt_a, count(CASE WHEN side='b' THEN 1 END) AS cnt_b FROM bn GROUP BY bin)" +
+        ", t AS (SELECT CAST(sum(cnt_a) AS DOUBLE) AS na, CAST(sum(cnt_b) AS DOUBLE) AS nb FROM c) " +
+        "SELECT bin, cnt_a, cnt_b, CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS term_e6 FROM " +
+        "(SELECT bin, cnt_a, cnt_b, greatest(CAST(cnt_a AS DOUBLE) / na, 0.0001) AS p, greatest(CAST(cnt_b AS DOUBLE) / nb, 0.0001) AS q FROM c CROSS JOIN t)"),
+
     // whole-pipeline rollup: count each family's oracle result (DuckDB
     // allows WITH inside a parenthesized subquery, so the family SQLs nest)
     "q_validate_docs" ->
@@ -1025,6 +1096,16 @@ object SparkEntry {
       "SELECT id_a, id_b, CAST(round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) * 1000000) AS BIGINT) AS j_e6 " +
       "FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
       "WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6")
+
+  /** Shared side construction for the drift oracles — mirrors
+    * [[driftSides]] exactly (even docs vs odd docs with the planted +150
+    * shift on doc_id % 4 == 1).
+    */
+  private val DriftSidesCte =
+    "WITH u AS (" +
+      "SELECT CAST(n_chars AS DOUBLE) AS v, 'a' AS side FROM documents WHERE doc_id % 2 = 0 " +
+      "UNION ALL " +
+      "SELECT CAST(n_chars + CASE WHEN doc_id % 4 = 1 THEN 150 ELSE 0 END AS DOUBLE) AS v, 'b' AS side FROM documents WHERE doc_id % 2 = 1)"
 
   private val LineitemCols = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
@@ -1129,6 +1210,35 @@ object SparkEntry {
         ", i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1) " +
         "SELECT coalesce(o.node, i.node) AS node, coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg " +
         "FROM o FULL JOIN i ON o.node = i.node"),
+
+    // bounded-depth min-label propagation: label = min node id within 3
+    // undirected hops, hub nodes (total degree > 100) dropped first on both
+    // sides — the depth-bounded recursive CTE is the exact SQL twin
+    "q_label_prop" ->
+      (SpansCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", e0 AS (SELECT doc_id AS src, media_ref AS dst FROM s WHERE kind = 'med:link' AND media_ref IS NOT NULL)" +
+        ", deg AS (SELECT node, count(*) AS d FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) GROUP BY node)" +
+        ", hot AS (SELECT node FROM deg WHERE d > 100)" +
+        ", e AS (SELECT src, dst FROM e0 WHERE src NOT IN (SELECT node FROM hot) AND dst NOT IN (SELECT node FROM hot))" +
+        ", sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e)" +
+        ", nodes AS (SELECT DISTINCT a AS node FROM sym)" +
+        ", walk(start, cur, d) AS (" +
+        "SELECT node, node, 0 FROM nodes " +
+        "UNION " +
+        "SELECT w.start, sym.b, w.d + 1 FROM walk w JOIN sym ON sym.a = w.cur WHERE w.d < 3) " +
+        "SELECT start AS node, min(cur) AS label FROM walk GROUP BY start"),
+
+    // exact-integer HITS opening: auth1 = in-degree, hub1 = Σ_out auth1,
+    // auth2 = Σ_in hub1 — BIGINT sums of counts, same join/agg tree
+    "q_hits_ints" ->
+      (SpansCte +
+        ", e AS (SELECT doc_id AS src, media_ref AS dst FROM s WHERE kind = 'med:link' AND media_ref IS NOT NULL)" +
+        ", a1 AS (SELECT dst AS node, count(*) AS auth1 FROM e GROUP BY dst)" +
+        ", h1 AS (SELECT e.src AS node, CAST(sum(a1.auth1) AS BIGINT) AS hub1 FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src)" +
+        ", a2 AS (SELECT e.dst AS node, CAST(sum(h1.hub1) AS BIGINT) AS auth2 FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst)" +
+        ", nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e) " +
+        "SELECT n.node, coalesce(a1.auth1, 0) AS auth1, coalesce(h1.hub1, 0) AS hub1, coalesce(a2.auth2, 0) AS auth2 " +
+        "FROM nodes n LEFT JOIN a1 ON n.node = a1.node LEFT JOIN h1 ON n.node = h1.node LEFT JOIN a2 ON n.node = a2.node"),
 
     "q_validate_someonly" ->
       (SpansCte + ", " + ClsCte + ", " + ArtCte + ", " +

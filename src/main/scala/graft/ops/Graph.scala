@@ -86,6 +86,107 @@ object Graph {
     ranks
   }
 
+  /** Synchronous min-label propagation over the UNDIRECTED edge graph,
+    * `iters` rounds: after round r, label(v) = min node id within r hops of
+    * v. With iters ≥ graph diameter this is connected components (the
+    * iterate-to-convergence form lives in [[Dedup.dupGroups]]); the bounded
+    * form here is the k-hop community-seed primitive — and, unlike full CC,
+    * it is exactly reproducible in SQL (a depth-bounded recursive CTE), so
+    * it carries a cross-engine hash oracle.
+    *
+    * Scale shape: per round ONE neighbor-min group-count exchange + one
+    * label join, both keyed on node id, lineage cut per round. `maxDegree >
+    * 0` first drops nodes whose total degree exceeds it (the standard LPA
+    * super-hub guard — a 10^7-degree hub makes any propagation quadratic in
+    * its neighborhood; at 10^12 docs the cap is what keeps round cost
+    * linear in |E|).
+    */
+  def minLabelPropagation(edges: DataFrame, iters: Int,
+                          src: String = "src", dst: String = "dst",
+                          maxDegree: Long = 0L): DataFrame = {
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+    val e =
+      if (maxDegree <= 0L) e0
+      else {
+        val deg = e0.select(col("a").as("node"))
+          .unionByName(e0.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+        val hot = deg.filter(col("d") > maxDegree).select("node")
+        e0.join(broadcast(hot), e0("a") === hot("node"), "left_anti")
+          .join(broadcast(hot), e0("b") === hot("node"), "left_anti")
+      }
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("node")).agg(min(col("label")).as("nl"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** HITS (Kleinberg) by power iteration: hub(v) = Σ_out auth(w), auth(v) =
+    * Σ_in hub(u), each L2-normalized per half-step. Returns (node, hub,
+    * auth). Same per-round shape as [[pageRank]] — keyed exchanges on node
+    * id, scalar-only collects (the two norms), lineage cut per round.
+    * FP scores → spec-verified against a driver-computed reference; the
+    * exact-integer opening steps are oracle-able via [[hitsTwoStepInts]].
+    */
+  def hits(edges: DataFrame, iters: Int = 10,
+           src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = edges.select(col(src).as("esrc"), col(dst).as("edst")).localCheckpoint()
+    val nodes = e.select(col("esrc").as("node"))
+      .unionByName(e.select(col("edst").as("node")))
+      .distinct().localCheckpoint()
+    var scores = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val authRaw = e.join(scores, e("esrc") === scores("node"))
+        .groupBy(col("edst").as("node")).agg(sum(col("hub")).as("raw"))
+      val authN = math.sqrt(authRaw.agg(sum(col("raw") * col("raw")))
+        .collect()(0).getDouble(0))
+      val auth = authRaw.select(col("node"), (col("raw") / lit(authN)).as("auth"))
+      val hubRaw = e.join(auth, e("edst") === auth("node"))
+        .groupBy(col("esrc").as("node")).agg(sum(col("auth")).as("raw"))
+      val hubN = math.sqrt(hubRaw.agg(sum(col("raw") * col("raw")))
+        .collect()(0).getDouble(0))
+      val hub = hubRaw.select(col("node"), (col("raw") / lit(hubN)).as("hub"))
+      scores = nodes
+        .join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+          coalesce(col("auth"), lit(0.0)).as("auth"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
+  /** The exact-integer opening of HITS (init hub=1, no normalization):
+    * auth1(v) = in-degree(v); hub1(v) = Σ_out auth1(w); auth2(v) = Σ_in
+    * hub1(u). Every value is a BIGINT sum of counts — the cross-engine
+    * oracle twin that pins [[hits]]'s join/agg shape.
+    */
+  def hitsTwoStepInts(edges: DataFrame,
+                      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = edges.select(col(src).as("esrc"), col(dst).as("edst"))
+    val auth1 = e.groupBy(col("edst").as("node")).agg(count(lit(1)).as("auth1"))
+    val hub1 = e.join(auth1, e("edst") === auth1("node"))
+      .groupBy(col("esrc").as("node")).agg(sum(col("auth1")).as("hub1"))
+    val auth2 = e.join(hub1, e("esrc") === hub1("node"))
+      .groupBy(col("edst").as("node")).agg(sum(col("hub1")).as("auth2"))
+    val nodes = e.select(col("esrc").as("node"))
+      .unionByName(e.select(col("edst").as("node"))).distinct()
+    nodes.join(auth1, Seq("node"), "left").join(hub1, Seq("node"), "left")
+      .join(auth2, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("auth1"), lit(0L)).as("auth1"),
+        coalesce(col("hub1"), lit(0L)).as("hub1"),
+        coalesce(col("auth2"), lit(0L)).as("auth2"))
+  }
+
   /** The document link graph from the spans table: one edge per
     * (doc, media_ref) span of the given kinds.
     */

@@ -79,6 +79,69 @@ object DriftStats {
     grid.map(x => math.abs(s1.getRank(x) - s2.getRank(x))).max
   }
 
+  /** EXACT two-sample KS computed distributively — the oracle twin of the
+    * sketch-based [[ksStatistic]]. The only corpus-scale work is ONE
+    * side-tagged group-count on the value (map-side combined); the
+    * cumulative pass then runs over the V distinct values, which post-agg
+    * is tiny (a profiled drift column is bounded-domain or pre-binned), so
+    * the unpartitioned window sort is over V rows, never the corpus. At
+    * 10^12 rows with an unbounded-domain column, bin first (see
+    * [[psiExact]]'s binning) or use the KLL path.
+    *
+    * Returns ONE row (ks: double, n_a: long, n_b: long); ks = sup over the
+    * merged value grid of |F_a(x) − F_b(x)| with F right-continuous
+    * (cumulative counts / total — the textbook discrete two-sample KS).
+    */
+  def ksExact(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = a.select(col(valueCol).cast("double").as("v"), lit("a").as("side"))
+      .unionByName(b.select(col(valueCol).cast("double").as("v"), lit("b").as("side")))
+      .filter(col("v").isNotNull)
+    val counts = u.groupBy("v").agg(
+      count(when(col("side") === "a", 1)).as("ca"),
+      count(when(col("side") === "b", 1)).as("cb"))
+    val totals = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .crossJoin(broadcast(totals))
+      .agg(
+        max(abs(col("cum_a").cast("double") / col("na").cast("double") -
+          col("cum_b").cast("double") / col("nb").cast("double"))).as("ks"),
+        first(col("na")).as("n_a"), first(col("nb")).as("n_b"))
+  }
+
+  /** EXACT PSI twin of the sketch-based [[psi]]: equal-width bins over the
+    * combined [min, max] range, per-bin mass from a distributed group-count
+    * (the one corpus-scale shuffle; `buckets` rows out), zero-mass bins
+    * floored at eps. Returns PER-BIN rows (bin, cnt_a, cnt_b, term) so a
+    * cross-engine check can pin each bin's contribution independently of
+    * floating-point summation order; total PSI = Σ term.
+    */
+  def psiExact(a: DataFrame, b: DataFrame, valueCol: String,
+               buckets: Int = 10, eps: Double = 1e-4): DataFrame = {
+    val u = a.select(col(valueCol).cast("double").as("v"), lit("a").as("side"))
+      .unionByName(b.select(col(valueCol).cast("double").as("v"), lit("b").as("side")))
+      .filter(col("v").isNotNull)
+    val range = u.agg(min("v").as("lo"), max("v").as("hi"))
+    val width = (col("hi") - col("lo")) / lit(buckets.toDouble)
+    val binned = u.crossJoin(broadcast(range))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("v") - col("lo")) / width),
+            lit(buckets - 1L))).cast("bigint"))
+    val counts = binned.groupBy("bin").agg(
+      count(when(col("side") === "a", 1)).as("cnt_a"),
+      count(when(col("side") === "b", 1)).as("cnt_b"))
+    val totals = counts.agg(sum("cnt_a").as("na"), sum("cnt_b").as("nb"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p", greatest(col("cnt_a").cast("double") / col("na").cast("double"), lit(eps)))
+      .withColumn("q", greatest(col("cnt_b").cast("double") / col("nb").cast("double"), lit(eps)))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        ((col("p") - col("q")) * log(col("p") / col("q"))).as("term"))
+  }
+
   /** Population-stability index over `buckets` equal-width bins spanning the
     * combined range. Zero-mass bins are floored at eps (standard practice).
     */

@@ -49,6 +49,74 @@ class GraphSpec extends SparkTestBase {
     assert(got("C") > got("D"))
   }
 
+  test("minLabelPropagation: label after r rounds = min node id within r hops") {
+    val session = spark
+    import session.implicits._
+    // path graph E-F-G-H plus the cyclic component above; undirected hops
+    val e = (edgeList ++ Seq(("E", "F"), ("F", "G"), ("G", "H"))).toDF("src", "dst")
+    def run(iters: Int): Map[String, String] =
+      Graph.minLabelPropagation(e, iters).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    // 1 hop: H sees G; G sees F; F sees E
+    assert(run(1) == Map("A" -> "A", "B" -> "A", "C" -> "A", "D" -> "C",
+      "E" -> "E", "F" -> "E", "G" -> "F", "H" -> "G"))
+    // 2 hops: D reaches A via C; G reaches E; H reaches F
+    assert(run(2) == Map("A" -> "A", "B" -> "A", "C" -> "A", "D" -> "A",
+      "E" -> "E", "F" -> "E", "G" -> "E", "H" -> "F"))
+    // 3 hops = diameter: both components fully labeled
+    assert(run(3) == Map("A" -> "A", "B" -> "A", "C" -> "A", "D" -> "A",
+      "E" -> "E", "F" -> "E", "G" -> "E", "H" -> "E"))
+  }
+
+  test("minLabelPropagation maxDegree drops super-hubs and their edges") {
+    val session = spark
+    import session.implicits._
+    // X is a degree-3 hub joining two otherwise-separate pairs
+    val e = Seq(("A", "X"), ("B", "X"), ("C", "X"), ("A", "B"))
+      .toDF("src", "dst")
+    val got = Graph.minLabelPropagation(e, iters = 5, maxDegree = 2L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // X (degree 3) removed → only the A-B edge survives; C drops out of the
+    // node universe entirely (its only edge touched the hub)
+    assert(got == Map("A" -> "A", "B" -> "A"))
+  }
+
+  test("hits matches a driver-side reference power iteration; two-step ints are exact") {
+    val session = spark
+    import session.implicits._
+    val e = edgeList.toDF("src", "dst")
+    val iters = 5
+    val nodes = edgeList.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.map(v => v -> edgeList.filter(_._2 == v).map(t => hub(t._1)).sum).toMap
+      val aN = math.sqrt(aRaw.values.map(x => x * x).sum)
+      auth = aRaw.view.mapValues(_ / aN).toMap
+      val hRaw = nodes.map(v => v -> edgeList.filter(_._1 == v).map(t => auth(t._2)).sum).toMap
+      val hN = math.sqrt(hRaw.values.map(x => x * x).sum)
+      hub = hRaw.view.mapValues(_ / hN).toMap
+    }
+    val got = Graph.hits(e, iters).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - hub(v)) < 1e-9, s"hub $v")
+      assert(math.abs(got(v)._2 - auth(v)) < 1e-9, s"auth $v")
+    }
+    // C is the structural authority (in from A and B)
+    assert(auth("C") == nodes.map(auth).max)
+
+    val ints = Graph.hitsTwoStepInts(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // auth1 = indegree; hub1 = Σ_out auth1(dst); auth2 = Σ_in hub1(src)
+    assert(ints == Map(
+      "A" -> ((1L, 3L, 2L)), // out: B(1)+C(2)=3; in: C with hub1(C)=2
+      "B" -> ((1L, 2L, 3L)), // out: C(2); in: A with hub1(A)=3
+      "C" -> ((2L, 2L, 5L)), // out: A(1)+D(1)=2; in: A(3)+B(2)=5
+      "D" -> ((1L, 0L, 2L))), ints.toString)
+  }
+
   test("pageRank tolL1 early-exit lands within tolerance of the converged ranks") {
     val session = spark
     import session.implicits._

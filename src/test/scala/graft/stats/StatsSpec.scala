@@ -31,6 +31,37 @@ class StatsSpec extends SparkTestBase {
     assert(p("s").getAs[Array[Byte]](6) == null) // string → no sketch
   }
 
+  test("drift: exact KS matches hand-computed sup on a tiny case and agrees with the sketch path") {
+    val a = spark.range(50000).select((col("id") % 100).cast("double").as("v"))
+    val b = spark.range(50000).select((col("id") % 100 + 50).cast("double").as("v"))
+    // hand case: a={1,2,3,4}, b={3,4,5,6} → sup|F_a-F_b| at x=2: |2/4 - 0| = 0.5
+    val ta = spark.range(4).select((col("id") + 1).cast("double").as("v"))
+    val tb = spark.range(4).select((col("id") + 3).cast("double").as("v"))
+    val tiny = DriftStats.ksExact(ta, tb, "v").collect()(0)
+    assert(math.abs(tiny.getDouble(0) - 0.5) < 1e-12)
+    assert(tiny.getLong(1) == 4 && tiny.getLong(2) == 4)
+    val exact = DriftStats.ksExact(a, b, "v").collect()(0).getDouble(0)
+    assert(math.abs(exact - 0.5) < 1e-12) // 50% shifted mass exactly
+    def sk(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(KllSketchAgg.kll_sketch(col("v"))).collect()(0).getAs[Array[Byte]](0)
+    // the KLL estimate must sit within its rank-error band of the exact stat
+    assert(math.abs(DriftStats.ksStatistic(sk(a), sk(b)) - exact) < 0.05)
+  }
+
+  test("drift: exact PSI per-bin terms sum to the sketch PSI within tolerance; zero on identical input") {
+    val a = spark.range(50000).select((col("id") % 100).cast("double").as("v"))
+    val b = spark.range(50000).select((col("id") % 100 + 50).cast("double").as("v"))
+    val terms = DriftStats.psiExact(a, b, "v").collect()
+    assert(terms.length == 10)
+    val exact = terms.map(_.getDouble(3)).sum
+    def sk(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(KllSketchAgg.kll_sketch(col("v"))).collect()(0).getAs[Array[Byte]](0)
+    assert(exact > 0.5) // real drift
+    assert(math.abs(DriftStats.psi(sk(a), sk(b)) - exact) < 0.15 * exact)
+    val same = DriftStats.psiExact(a, a, "v").collect().map(_.getDouble(3)).sum
+    assert(math.abs(same) < 1e-12)
+  }
+
   test("drift: KS and PSI detect a distribution shift, stay ~0 on same dist") {
     val a = spark.range(50000).select((col("id") % 100).cast("double").as("v"))
     val b = spark.range(50000).select((col("id") % 100 + 50).cast("double").as("v"))
