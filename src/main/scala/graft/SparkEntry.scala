@@ -707,7 +707,46 @@ object SparkEntry {
       graft.stats.DriftStats.psiExact(a, b, "v")
         .select(col("bin"), col("cnt_a"), col("cnt_b"),
           round(col("term") * 1e6).cast("bigint").as("term_e6"))
-    })
+    }),
+
+    // Efraimidis-Spirakis weighted sample without replacement: top-k by
+    // u^(1/w) with the md5-derived uniform — deterministic, so the SAME
+    // 100-doc sample falls out of both engines (keys are ~1e-9 apart at
+    // this n, 7 orders above pow()'s cross-engine ULP)
+    "q_weighted_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("w", greatest(col("n_chars").cast("double"), lit(1.0)))
+      graft.ops.Sampling.weightedTopK(docs, "doc_id", "w", 100).select("doc_id")
+    }),
+
+    // sentence-packed context windows: the corpus has no terminators, so
+    // both engines first synthesize them identically (words ending in 'e'
+    // end a sentence), then the greedy packer runs — the DuckDB twin is a
+    // depth-bounded recursive CTE stepping one sentence per iteration
+    "q_sentence_chunks" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("text", regexp_replace(col("text"), "e ", "e. "))
+      graft.ops.TextAnalysis.sentenceChunks(docs, maxTokens = 20)
+    }),
+
+    // BPE stage 1 (the only corpus-scale stage): the word-frequency table
+    "q_bpe_wordfreqs" -> ((s, d) =>
+      graft.ops.Bpe.wordFreqs(t(s, d, "documents"))),
+
+    // BPE stage 2 opening: round-1 adjacent-pair counts over the
+    // char-symbolized vocab, weighted by word frequency — exact integers
+    "q_bpe_pairs" -> ((s, d) =>
+      graft.ops.Bpe.pairCounts(
+        graft.ops.Bpe.wordFreqs(t(s, d, "documents"))
+          .select(graft.ops.Bpe.charSyms(col("word")).as("syms"), col("freq")))),
+
+    // BPE merge training (rows-only: the iterative argmax-then-rewrite loop
+    // is not expressible as one SQL query — each round's pair counts depend
+    // on all previous merges. BpeSpec pins train() to an independent
+    // reference implementation exactly; q_bpe_wordfreqs/q_bpe_pairs oracle
+    // the corpus-scale stage and the round-1 counting shape)
+    "q_bpe_merges" -> ((s, d) =>
+      graft.ops.Bpe.trainDF(graft.ops.Bpe.wordFreqs(t(s, d, "documents")), 20))
   )
 
   /** DuckDB-dialect oracles; aliases match the Spark column names exactly
@@ -1050,6 +1089,45 @@ object SparkEntry {
         ", t AS (SELECT CAST(sum(cnt_a) AS DOUBLE) AS na, CAST(sum(cnt_b) AS DOUBLE) AS nb FROM c) " +
         "SELECT bin, cnt_a, cnt_b, CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS term_e6 FROM " +
         "(SELECT bin, cnt_a, cnt_b, greatest(CAST(cnt_a AS DOUBLE) / na, 0.0001) AS p, greatest(CAST(cnt_b AS DOUBLE) / nb, 0.0001) AS q FROM c CROSS JOIN t)"),
+
+    // A-ES weighted sample: same md5-uniform, same pow/ordering arithmetic
+    "q_weighted_sample" ->
+      ("SELECT doc_id FROM (SELECT doc_id FROM documents ORDER BY " +
+        "pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0, " +
+        "1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) DESC, doc_id LIMIT 100)"),
+
+    // greedy sentence packing as a recursive CTE: one sentence advanced per
+    // iteration, carrying (chunk idx, token accumulator) exactly like the
+    // Spark-side fold
+    "q_sentence_chunks" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, list_filter(list_transform(" +
+        "regexp_extract_all(regexp_replace(text, 'e ', 'e. ', 'g'), '[^.!?]+[.!?]*'), " +
+        "x -> trim(x)), x -> x <> '') AS arr FROM documents), " +
+        "s AS (SELECT doc_id, i AS si, arr[i] AS sent, " +
+        "len(regexp_extract_all(arr[i], '\\S+')) AS ntok " +
+        "FROM d, UNNEST(generate_series(1, len(arr))) AS u(i)), " +
+        "r AS (SELECT doc_id, si, sent, CAST(0 AS BIGINT) AS cidx, CAST(ntok AS BIGINT) AS acc " +
+        "FROM s WHERE si = 1 " +
+        "UNION ALL SELECT s.doc_id, s.si, s.sent, " +
+        "CASE WHEN r.acc > 0 AND r.acc + s.ntok > 20 THEN r.cidx + 1 ELSE r.cidx END, " +
+        "CASE WHEN r.acc > 0 AND r.acc + s.ntok > 20 THEN CAST(s.ntok AS BIGINT) ELSE r.acc + s.ntok END " +
+        "FROM r JOIN s ON s.doc_id = r.doc_id AND s.si = r.si + 1) " +
+        "SELECT doc_id, cidx AS chunk_idx, string_agg(sent, ' ' ORDER BY si) AS chunk " +
+        "FROM r GROUP BY 1, 2"),
+
+    "q_bpe_wordfreqs" ->
+      ("SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        "(SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents) " +
+        "GROUP BY word"),
+
+    // round-1 BPE pair counts: adjacent char bigrams of each vocab word,
+    // weighted by frequency (the corpus is ASCII, so substr == char split)
+    "q_bpe_pairs" ->
+      ("WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        "(SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents) GROUP BY word) " +
+        "SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, CAST(sum(freq) AS BIGINT) AS cnt " +
+        "FROM w, UNNEST(generate_series(1, len(word) - 1)) AS u(i) " +
+        "WHERE len(word) >= 2 GROUP BY 1, 2"),
 
     // whole-pipeline rollup: count each family's oracle result (DuckDB
     // allows WITH inside a parenthesized subquery, so the family SQLs nest)

@@ -70,4 +70,26 @@ object Sampling {
   def hashSample(df: DataFrame, key: String, num: Int, den: Int = 10000,
                  salt: Int = 42): DataFrame =
     df.filter(pmod(xxhash64(col(key), lit(salt)), lit(den)) < num)
+
+  /** Efraimidis–Spirakis A-ES priority key for weighted sampling without
+    * replacement: u^(1/w), u = the md5-derived uniform of the key (first 12
+    * hex chars / 2^48 — engine-portable and rerun-stable like
+    * [[md5Bucket]]). Top-k rows by this key = one weighted sample without
+    * replacement with inclusion proportional to weight (Efraimidis &
+    * Spirakis 2006) — deterministic, so resumable runs and cross-engine
+    * checks see the same sample.
+    */
+  def aresKey(key: Column, weight: Column): Column = {
+    val u = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 2^48
+    pow(u, lit(1.0) / weight.cast("double"))
+  }
+
+  /** Weighted top-k sample: global TakeOrdered on [[aresKey]] — no full
+    * sort, each partition keeps k candidates and the driver merges (the
+    * scalable distributed k-selection). Ties break on the key column.
+    */
+  def weightedTopK(df: DataFrame, key: String, weight: String, k: Int): DataFrame =
+    df.withColumn("ares_key", aresKey(col(key), col(weight)))
+      .orderBy(col("ares_key").desc, col(key)).limit(k)
 }

@@ -138,6 +138,69 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // sentence segmentation + sentence-packed chunking
+  // ------------------------------------------------------------------
+
+  /** Sentence pattern, Java∩RE2 dialect (no lookaround): a sentence is a
+    * maximal run of non-terminators plus its trailing `.!?` run. Leading
+    * terminators with no preceding content are dropped by both engines'
+    * regexp_extract_all identically.
+    */
+  val SentenceRx = "[^.!?]+[.!?]*"
+
+  /** Trimmed non-empty sentences of a text column, in order. Row-local. */
+  def sentenceArray(text: Column): Column =
+    filter(transform(regexp_extract_all(text, lit(SentenceRx), lit(0)),
+      s => trim(s)), s => length(s) > 0)
+
+  /** (doc_id, sent_idx, sentence) — segmentation exploded to rows. */
+  def sentences(docs: org.apache.spark.sql.DataFrame,
+                idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+      posexplode(sentenceArray(col(textCol))).as(Seq("sent_idx", "sentence")))
+
+  /** Greedy sentence-packed chunking: pack consecutive sentences into
+    * chunks of ≤ `maxTokens` whitespace tokens, never splitting a sentence
+    * (an over-long sentence gets its own chunk) — the boundary-respecting
+    * alternative to [[chunkTokens]] for context-window preparation.
+    *
+    * The greedy fold is inherently sequential WITHIN a document and
+    * embarrassingly parallel ACROSS documents — exactly how it's
+    * distributed here (one row-local fold per doc; the only shuffle is the
+    * final explode-free select). The fold is an interpreted HOF over the
+    * per-doc sentence array (bounded by document length, same budget as
+    * the chunk-prep pass itself); the packing rule — start a new chunk
+    * when adding the sentence would exceed maxTokens and the current chunk
+    * is non-empty — is exactly reproducible as a depth-bounded recursive
+    * CTE, so it carries a cross-engine oracle.
+    */
+  def sentenceChunks(docs: org.apache.spark.sql.DataFrame, maxTokens: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, s"need maxTokens > 0, got $maxTokens")
+    // fold state: (cidx, acc tokens in current chunk, chunk idx per sentence)
+    val sents = sentenceArray(col(textCol))
+    val init = struct(lit(0L).as("cidx"), lit(0L).as("acc"),
+      array().cast("array<bigint>").as("assign"))
+    val folded = aggregate(sents, init, (st, s) => {
+      val ntok = size(regexp_extract_all(s, lit("\\S+"), lit(0))).cast("long")
+      val newChunk = st.getField("acc") > 0 && st.getField("acc") + ntok > maxTokens
+      struct(
+        when(newChunk, st.getField("cidx") + 1).otherwise(st.getField("cidx")).as("cidx"),
+        when(newChunk, ntok).otherwise(st.getField("acc") + ntok).as("acc"),
+        concat(st.getField("assign"),
+          array(when(newChunk, st.getField("cidx") + 1).otherwise(st.getField("cidx"))))
+          .as("assign"))
+    })
+    docs.select(col(idCol), sents.as("sents"), folded.getField("assign").as("assign"))
+      .select(col(idCol), posexplode(arrays_zip(col("sents"), col("assign")))
+        .as(Seq("pos", "z")))
+      .groupBy(col(idCol), col("z.assign").as("chunk_idx"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("z.sents").as("s")))),
+        p => p.getField("s"))).as("chunk"))
+  }
+
+  // ------------------------------------------------------------------
   // PII redaction
   // ------------------------------------------------------------------
 

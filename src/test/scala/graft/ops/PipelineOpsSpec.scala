@@ -258,4 +258,100 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r(1) == 1000000L)
     assert(r(2) == 1000000L && r(3) == 1000000L) // empty-text guard
   }
+
+  test("weighted sampling (A-ES): deterministic, weight-proportional inclusion") {
+    val session = spark
+    import session.implicits._
+    // 2000 light (w=1) + 200 heavy (w=50) ids: heavy mass = 10000 vs 2000,
+    // so a k=300 sample should be dominated by heavy ids
+    val df = ((0L until 2000L).map(i => (i, 1.0)) ++
+      (10000L until 10200L).map(i => (i, 50.0))).toDF("doc_id", "w")
+    val a = Sampling.weightedTopK(df, "doc_id", "w", 300)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedTopK(df, "doc_id", "w", 300)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 300) // pure function of (key, weight)
+    val heavy = a.count(_ >= 10000L)
+    // E[heavy kept] ≈ 200·(1 - (1-10000/12000)^?) — loosely: nearly all 200
+    // heavy ids survive, light ids fill the rest
+    assert(heavy > 180, s"heavy=$heavy")
+    // equal weights degrade to the uniform md5 sample ordering
+    val uni = df.withColumn("w", lit(1.0))
+    val k1 = Sampling.weightedTopK(uni, "doc_id", "w", 50).collect().map(_.getLong(0)).toSet
+    val k2 = Sampling.weightedTopK(uni, "doc_id", "w", 100).collect().map(_.getLong(0)).toSet
+    assert(k1.subsetOf(k2)) // top-k nests in top-2k
+    // zero/negative weights are a caller error worth surfacing early
+    val keys = df.select(Sampling.aresKey(col("doc_id"), col("w")).as("k"))
+      .collect().map(_.getDouble(0))
+    assert(keys.forall(k => k > 0.0 && k < 1.0))
+  }
+
+  // independent greedy packer: the oracle for sentenceChunks
+  private def refPack(sents: Seq[String], maxTokens: Int): Seq[(Long, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var cidx = 0L; var acc = 0L; var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (s <- sents) {
+      val ntok = s.split("\\s+").count(_.nonEmpty).toLong
+      if (acc > 0 && acc + ntok > maxTokens) {
+        out += ((cidx, cur.mkString(" "))); cur.clear(); cidx += 1; acc = ntok
+      } else acc += ntok
+      cur += s
+    }
+    if (cur.nonEmpty) out += ((cidx, cur.mkString(" ")))
+    out.toSeq
+  }
+
+  test("sentence segmentation: terminators kept, trims, drops empties") {
+    val session = spark
+    import session.implicits._
+    val r = Seq((1L, "One two. Three four!  Five?? Six...")).toDF("doc_id", "text")
+    val rows = TextAnalysis.sentences(r).collect()
+      .map(x => (x.getInt(1), x.getString(2)))
+    assert(rows.toList == List((0, "One two."), (1, "Three four!"),
+      (2, "Five??"), (3, "Six...")))
+  }
+
+  test("sentence-packed chunking: never splits a sentence; greedy boundaries exact") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "One two three. Four five. Six seven eight nine. Ten."),
+      (2L, "a b c d e f g. h i."), // over-long head sentence gets its own chunk
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceChunks(docs, maxTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    assert(got.toList == List(
+      (1L, 0L, "One two three. Four five."),
+      (1L, 1L, "Six seven eight nine. Ten."),
+      (2L, 0L, "a b c d e f g."), // 7 tokens > 5 but acc was 0 → own chunk
+      (2L, 1L, "h i."),
+      (3L, 0L, "solo")))
+  }
+
+  test("sentence-packed chunking: parametric parity with a reference packer") {
+    val session = spark
+    import session.implicits._
+    val texts = Seq(
+      (1L, "alpha beta gamma. delta. epsilon zeta eta theta iota kappa. mu nu! xi? " +
+        "omicron pi rho sigma. tau upsilon. phi chi psi omega. a b c d e f g h i j k."),
+      (2L, "just one long sentence with quite a few words and no terminator at all"),
+      (3L, "x. y. z. w. v. u. t. s. r. q. p. o. n. m."),
+      (4L, ""))
+    val docs = texts.toDF("doc_id", "text")
+    for (m <- Seq(1, 3, 5, 8, 100)) {
+      val got = TextAnalysis.sentenceChunks(docs, m).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toSeq).toMap
+      val want = texts.map { case (id, t) =>
+        id -> refPack(TextAnalysisRefSegment.segment(t), m)
+      }.filter(_._2.nonEmpty).toMap
+      assert(got == want, s"maxTokens=$m\ngot:  $got\nwant: $want")
+    }
+  }
+}
+
+/** Independent segmentation twin used by the parity test. */
+object TextAnalysisRefSegment {
+  def segment(t: String): Seq[String] =
+    "[^.!?]+[.!?]*".r.findAllIn(t).map(_.trim).filter(_.nonEmpty).toSeq
 }
