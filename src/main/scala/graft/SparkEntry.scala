@@ -740,6 +740,25 @@ object SparkEntry {
         graft.ops.Bpe.wordFreqs(t(s, d, "documents"))
           .select(graft.ops.Bpe.charSyms(col("word")).as("syms"), col("freq")))),
 
+    // global sentence-level dedup (RefinedWeb/C4 line-dedup): sentences
+    // fingerprint-shared by ≥12 distinct docs are boilerplate; docs are
+    // reassembled from survivors (all-boilerplate docs drop out)
+    "q_sentence_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("text", regexp_replace(col("text"), "e ", "e. "))
+      graft.ops.TextAnalysis.sentenceDedup(docs, minDocFreq = 12)
+    }),
+
+    // exact percentile profile per language (the non-sketch twin of the
+    // stats stage's KLL path), quantized at 1e6
+    "q_percentiles" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang").agg(
+        round(percentile(col("n_chars").cast("double"), lit(0.5)) * 1e6)
+          .cast("bigint").as("p50_e6"),
+        round(percentile(col("n_chars").cast("double"), lit(0.9)) * 1e6)
+          .cast("bigint").as("p90_e6"),
+        count(lit(1)).as("n"))),
+
     // BPE merge training (rows-only: the iterative argmax-then-rewrite loop
     // is not expressible as one SQL query — each round's pair counts depend
     // on all previous merges. BpeSpec pins train() to an independent
@@ -1114,6 +1133,27 @@ object SparkEntry {
         "FROM r JOIN s ON s.doc_id = r.doc_id AND s.si = r.si + 1) " +
         "SELECT doc_id, cidx AS chunk_idx, string_agg(sent, ' ' ORDER BY si) AS chunk " +
         "FROM r GROUP BY 1, 2"),
+
+    // sentence-level dedup: same synthesized terminators, same canonical
+    // fingerprint (lower → collapse ws → trim → md5), same ≥12-distinct-doc
+    // boilerplate rule, docs reassembled in sentence order
+    "q_sentence_dedup" ->
+      ("WITH d AS (SELECT doc_id, list_filter(list_transform(" +
+        "regexp_extract_all(regexp_replace(text, 'e ', 'e. ', 'g'), '[^.!?]+[.!?]*'), " +
+        "x -> trim(x)), x -> x <> '') AS arr FROM documents), " +
+        "s AS (SELECT doc_id, i AS si, arr[i] AS sent, " +
+        "md5(trim(regexp_replace(lower(arr[i]), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM d, UNNEST(generate_series(1, len(arr))) AS u(i)), " +
+        "b AS (SELECT fp FROM s GROUP BY fp HAVING count(DISTINCT doc_id) >= 12) " +
+        "SELECT doc_id, string_agg(sent, ' ' ORDER BY si) AS text, " +
+        "CAST(count(*) AS BIGINT) AS n_sentences " +
+        "FROM s WHERE fp NOT IN (SELECT fp FROM b) GROUP BY doc_id"),
+
+    "q_percentiles" ->
+      ("SELECT lang, " +
+        "CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) * 1000000) AS BIGINT) AS p50_e6, " +
+        "CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9) * 1000000) AS BIGINT) AS p90_e6, " +
+        "count(*) AS n FROM documents GROUP BY lang"),
 
     "q_bpe_wordfreqs" ->
       ("SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +

@@ -200,6 +200,37 @@ object TextAnalysis {
         p => p.getField("s"))).as("chunk"))
   }
 
+  /** Global sentence-level dedup (the RefinedWeb/C4 line-dedup stage):
+    * drop every sentence whose canonical fingerprint appears in at least
+    * `minDocFreq` DISTINCT documents (boilerplate, navigation chrome,
+    * license blurbs), then reassemble each document from its surviving
+    * sentences in order. Docs whose every sentence was boilerplate drop
+    * out entirely (an empty text carries no training signal).
+    *
+    * Scale shape: explode → ONE fingerprint group-count (map-side combined,
+    * keyed on fp) → anti-join back. The anti-join's build side is only the
+    * ≥minDocFreq fingerprints — a tiny fraction of the fp universe at any
+    * corpus size (boilerplate is by definition heavy-tailed), so AQE
+    * broadcasts it — then one reassembly groupBy keyed on doc id. Nothing
+    * is pairwise; every stage is a keyed shuffle that scales linearly.
+    */
+  def sentenceDedup(docs: org.apache.spark.sql.DataFrame, minDocFreq: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(minDocFreq >= 2, s"need minDocFreq >= 2, got $minDocFreq")
+    val sents = sentences(docs, idCol, textCol)
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("sentence")), "\\s+", " "))))
+    val boilerplate = sents.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("fp")
+    sents.join(boilerplate, Seq("fp"), "left_anti")
+      .groupBy(idCol)
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("sent_idx"), col("sentence").as("s")))),
+        p => p.getField("s"))).as("text"),
+        count(lit(1)).as("n_sentences"))
+  }
+
   // ------------------------------------------------------------------
   // PII redaction
   // ------------------------------------------------------------------

@@ -328,6 +328,24 @@ class PipelineOpsSpec extends SparkTestBase {
       (3L, 0L, "solo")))
   }
 
+  test("sentence dedup: boilerplate (≥K docs) dropped, docs reassembled in order") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "Unique alpha one. SHARED FOOTER here. More unique text."),
+      (2L, "Different beta words. shared   footer HERE."), // same fp after canon
+      (3L, "shared footer here."), // all-boilerplate doc drops out entirely
+      (4L, "Nothing in common.")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceDedup(docs, minDocFreq = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toList == List(
+      (1L, "Unique alpha one. More unique text.", 2L),
+      (2L, "Different beta words.", 1L),
+      (4L, "Nothing in common.", 1L)))
+    // below the threshold nothing is boilerplate
+    assert(TextAnalysis.sentenceDedup(docs, minDocFreq = 4).count() == 4)
+  }
+
   test("sentence-packed chunking: parametric parity with a reference packer") {
     val session = spark
     import session.implicits._
