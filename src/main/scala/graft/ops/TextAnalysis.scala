@@ -164,18 +164,29 @@ object TextAnalysis {
     * (an over-long sentence gets its own chunk) — the boundary-respecting
     * alternative to [[chunkTokens]] for context-window preparation.
     *
-    * The greedy fold is inherently sequential WITHIN a document and
+    * The greedy pack is inherently sequential WITHIN a document and
     * embarrassingly parallel ACROSS documents — exactly how it's
-    * distributed here (one row-local fold per doc; the only shuffle is the
-    * final explode-free select). The fold is an interpreted HOF over the
-    * per-doc sentence array (bounded by document length, same budget as
-    * the chunk-prep pass itself); the packing rule — start a new chunk
-    * when adding the sentence would exceed maxTokens and the current chunk
-    * is non-empty — is exactly reproducible as a depth-bounded recursive
-    * CTE, so it carries a cross-engine oracle.
+    * distributed here: ONE native codegen pass per doc
+    * ([[graft.functions.SentencePack]] — segment, trim, count, pack,
+    * re-join without touching the regex engine or an interpreted HOF),
+    * then a posexplode; no shuffle at all. The packing rule — start a new
+    * chunk when adding the sentence would exceed maxTokens and the current
+    * chunk is non-empty — is exactly reproducible as a depth-bounded
+    * recursive CTE, so it carries a cross-engine oracle.
     */
   def sentenceChunks(docs: org.apache.spark.sql.DataFrame, maxTokens: Int,
-                     idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.SentencePack.sentencePack(col(textCol), maxTokens))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+
+  /** The declarative fold formulation of [[sentenceChunks]] — an
+    * interpreted HOF kept as the parity twin (native ≡ HOF asserted in
+    * PipelineOpsSpec), per the repo convention for codegen expressions.
+    */
+  def sentenceChunksHof(docs: org.apache.spark.sql.DataFrame, maxTokens: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     require(maxTokens > 0, s"need maxTokens > 0, got $maxTokens")
     // fold state: (cidx, acc tokens in current chunk, chunk idx per sentence)
     val sents = sentenceArray(col(textCol))

@@ -364,6 +364,12 @@ class PipelineOpsSpec extends SparkTestBase {
         id -> refPack(TextAnalysisRefSegment.segment(t), m)
       }.filter(_._2.nonEmpty).toMap
       assert(got == want, s"maxTokens=$m\ngot:  $got\nwant: $want")
+      // native codegen expression ≡ the interpreted HOF fold (repo
+      // convention for codegen exprs), exact including chunk indices
+      val hof = TextAnalysis.sentenceChunksHof(docs, m).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toSeq).toMap
+      assert(hof == got, s"maxTokens=$m: HOF diverged from native")
     }
   }
 }
