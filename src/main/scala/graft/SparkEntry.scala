@@ -302,6 +302,34 @@ object SparkEntry {
           graft.ops.Multimodal.wavSampleRate(col("b")).as("sample_rate"))
     }),
 
+    // MP4 box walk: ftyp of VARIABLE declared size (compat-brand count =
+    // id%3, so the moov offset is data-dependent), then moov/mvhd with
+    // planted timescale + duration; id%4==3 plants garbage → null row,
+    // id%5==0 plants a VERSION-1 mvhd → null (64-bit times refused, not
+    // misparsed). DuckDB re-derives every offset from the size fields.
+    "q_video_meta" -> ((s, d) => {
+      val id = col("doc_id")
+      val brandHex = element_at(
+        typedLit(Seq("69736F6D", "6D703432", "61766331")), (id % 3 + 1).cast("int"))
+      val ftypSize = lit(16) + (id % 3) * 4
+      val compat = repeat(lit("6D703431"), (id % 3).cast("int"))
+      val ver = when(id % 5 === 0, lit("01")).otherwise(lit("00"))
+      val mp4 = concat(lpad(hex(ftypSize), 8, "0"), lit("66747970"), brandHex,
+        lit("00000000"), compat,
+        lit("000000746D6F6F76"), lit("0000006C6D766864"), ver, lit("000000"),
+        lit("00000000"), lit("00000000"),
+        lpad(hex(lit(600) + id % 400), 8, "0"),
+        lpad(hex(lit(6000) + id % 5000), 8, "0"))
+      val payload = when(id % 4 === 3, unhex(lit("4445414442454546")))
+        .otherwise(unhex(mp4))
+      val meta = graft.ops.Multimodal.mp4Meta(col("b"))
+      t(s, d, "documents").select(id, payload.as("b"))
+        .select(id, graft.ops.Multimodal.sniffFormat(col("b")).as("format"),
+          meta.getField("brand").as("brand"),
+          meta.getField("timescale").as("timescale"),
+          meta.getField("duration").as("duration"))
+    }),
+
     // --- BPE-training core: adjacent char-pair counts (top 20) — gives the
     // native CharNgrams expression a cross-engine oracle (multiplicity +
     // canonicalization checked exactly)
@@ -871,6 +899,29 @@ object SparkEntry {
         "CASE WHEN substr(hx, 25, 8) = '666D7420' THEN TRY_CAST(('0x' || substr(hx, 55, 2) || substr(hx, 53, 2) || substr(hx, 51, 2) || substr(hx, 49, 2)) AS BIGINT) " +
         "WHEN substr(hx, 2 * c2 - 1, 8) = '666D7420' THEN TRY_CAST(('0x' || substr(hx, 2 * (c2 + 15) - 1, 2) || substr(hx, 2 * (c2 + 14) - 1, 2) || substr(hx, 2 * (c2 + 13) - 1, 2) || substr(hx, 2 * (c2 + 12) - 1, 2)) AS BIGINT) END AS sample_rate " +
         "FROM p2"),
+
+    // MP4 walk: moov offset = the ftyp box's declared size (chars 1-8);
+    // moov/mvhd/version checks and timescale/duration fields re-derived
+    // from that parsed offset, never from the construction arithmetic
+    "q_video_meta" ->
+      ("WITH b AS (SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN '4445414442454546' ELSE " +
+        "lpad(hex(16 + (doc_id % 3) * 4), 8, '0') || '66747970' || " +
+        "CASE doc_id % 3 WHEN 0 THEN '69736F6D' WHEN 1 THEN '6D703432' ELSE '61766331' END || " +
+        "'00000000' || repeat('6D703431', CAST(doc_id % 3 AS INT)) || " +
+        "'000000746D6F6F76' || '0000006C6D766864' || " +
+        "CASE WHEN doc_id % 5 = 0 THEN '01' ELSE '00' END || '000000' || " +
+        "'00000000' || '00000000' || " +
+        "lpad(hex(600 + doc_id % 400), 8, '0') || lpad(hex(6000 + doc_id % 5000), 8, '0') END AS hx FROM documents), " +
+        "p AS (SELECT doc_id, hx, TRY_CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) AS s1, " +
+        "substr(hx, 9, 8) = '66747970' AS is_mp4 FROM b), " +
+        "q AS (SELECT doc_id, hx, s1, is_mp4, " +
+        "is_mp4 AND len(hx) >= (s1 + 36) * 2 AND substr(hx, 2 * s1 + 9, 8) = '6D6F6F76' " +
+        "AND substr(hx, 2 * s1 + 25, 8) = '6D766864' AND substr(hx, 2 * s1 + 33, 2) = '00' AS ok FROM p) " +
+        "SELECT doc_id, CASE WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END AS format, " +
+        "CASE WHEN ok THEN decode(unhex(substr(hx, 17, 8))) END AS brand, " +
+        "CASE WHEN ok THEN TRY_CAST(('0x' || substr(hx, 2 * s1 + 57, 8)) AS BIGINT) END AS timescale, " +
+        "CASE WHEN ok THEN TRY_CAST(('0x' || substr(hx, 2 * s1 + 65, 8)) AS BIGINT) END AS duration " +
+        "FROM q"),
 
     "q_char_bigrams" ->
       ("WITH t AS (SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS c FROM documents), " +

@@ -295,6 +295,40 @@ class OpsSpec extends SparkTestBase {
     assert(rates.toSeq == Seq(Some(8000L), None), rates.toSeq.toString)
   }
 
+  test("MP4 ftyp→moov→mvhd walk: variable ftyp size, v1/malformed → null") {
+    val session = spark
+    import session.implicits._
+    import graft.ops.Multimodal
+    // mvhd v0 tail: size|'mvhd'|ver|flags|ctime|mtime|timescale=1000|dur=10000
+    def tail(ver: String) = "000000746D6F6F76" + "0000006C6D766864" + ver +
+      "000000" + "00000000" + "00000000" + "000003E8" + "00002710"
+    val rows = Seq(
+      // minimal ftyp (16 bytes, no compat brands)
+      "00000010" + "66747970" + "69736F6D" + "00000000" + tail("00"),
+      // one compat brand → ftyp size 20, moov at a deeper offset
+      "00000014" + "66747970" + "6D703432" + "00000000" + "6D703431" + tail("00"),
+      // version-1 mvhd (64-bit times) must be refused, not misparsed
+      "00000010" + "66747970" + "69736F6D" + "00000000" + tail("01"),
+      // ftyp followed by 'free' instead of 'moov' → null meta
+      "00000010" + "66747970" + "69736F6D" + "00000000" +
+        ("000000746672656500000000" + "0" * 56),
+      // truncated before the duration field → null, not garbage
+      ("00000010" + "66747970" + "69736F6D" + "00000000" + tail("00")).dropRight(4),
+      // not ISO-BMFF at all
+      "DEADBEEF00000000")
+      .toDF("hx").select(unhex(col("hx")).as("b"))
+      .select(Multimodal.sniffFormat(col("b")).as("f"),
+        Multimodal.mp4Meta(col("b")).as("m")).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("mp4", "mp4", "mp4", "mp4", "mp4", "unknown"))
+    def meta(i: Int) = Option(rows(i).getStruct(1))
+      .map(s => (s.getString(0), s.getLong(1), s.getLong(2)))
+    assert(meta(0).contains(("isom", 1000L, 10000L)), s"got ${meta(0)}")
+    assert(meta(1).contains(("mp42", 1000L, 10000L)), s"compat-brand hop: ${meta(1)}")
+    assert(meta(2).isEmpty && meta(3).isEmpty && meta(4).isEmpty && meta(5).isEmpty,
+      s"malformed must be null: ${(2 to 5).map(meta).toSeq}")
+  }
+
   test("bloom-prefiltered decontamination ≡ exact path, even with a saturated sketch") {
     val session = spark
     import session.implicits._
