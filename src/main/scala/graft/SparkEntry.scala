@@ -793,8 +793,33 @@ object SparkEntry {
     // reference implementation exactly; q_bpe_wordfreqs/q_bpe_pairs oracle
     // the corpus-scale stage and the round-1 counting shape)
     "q_bpe_merges" -> ((s, d) =>
-      graft.ops.Bpe.trainDF(graft.ops.Bpe.wordFreqs(t(s, d, "documents")), 20))
+      graft.ops.Bpe.trainDF(graft.ops.Bpe.wordFreqs(t(s, d, "documents")), 20)),
+
+    // BPE ENCODE under a FIXED rank-ordered merge list (training itself is
+    // pinned by BpeSpec; this oracles the subtle encode machinery —
+    // left-to-right non-overlapping merge application, rank-order
+    // cascades like (t,h)→(th,e) and (s,c)+(a,n)→(sc,an), vocab-join
+    // reassembly in word order). DuckDB twin: sentinel-wrapped symbols
+    // "<t> <h> <e>" + one replace() per merge — string replace's
+    // continue-after-match scan IS the fold's non-overlap semantics.
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val seg = graft.ops.Bpe.segmentVocab(
+        graft.ops.Bpe.wordFreqs(docs), FixedBpeMerges)
+      graft.ops.Bpe.encode(docs, seg)
+        .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("toks"))
+    })
   )
+
+  /** Fixed merge table for `q_bpe_encode`: ranks 1-8, chosen to cascade
+    * ((th,e) needs (t,h); (sc,an) needs both (s,c) and (a,n)) and to
+    * include one merge that never fires on the corpus ((q,q)).
+    */
+  private val FixedBpeMerges: Seq[(Int, String, String, Long)] = Seq(
+    (1, "t", "h", 0L), (2, "th", "e", 0L), (3, "e", "r", 0L),
+    (4, "o", "r", 0L), (5, "a", "n", 0L), (6, "s", "c", 0L),
+    (7, "sc", "an", 0L), (8, "q", "q", 0L))
 
   /** DuckDB-dialect oracles; aliases match the Spark column names exactly
     * (the driver sorts columns by name before hashing).
@@ -1219,6 +1244,23 @@ object SparkEntry {
         "SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, CAST(sum(freq) AS BIGINT) AS cnt " +
         "FROM w, UNNEST(generate_series(1, len(word) - 1)) AS u(i) " +
         "WHERE len(word) >= 2 GROUP BY 1, 2"),
+
+    // BPE encode under the same fixed merge list as the Spark side:
+    // sentinel-wrapped char symbols, one replace() per merge in rank
+    // order (replace's continue-after-match = fold's non-overlap), then
+    // sentinel strip → space-joined tokens, reassembled in word order
+    "q_bpe_encode" -> {
+      val segChain = FixedBpeMerges.foldLeft(
+        "trim(regexp_replace(word, '(.)', '<\\1> ', 'g'))") {
+        case (e, (_, l, r, _)) => s"replace($e, '<$l> <$r>', '<$l$r>')"
+      }
+      "WITH dw AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents), " +
+        "pw AS (SELECT doc_id, i AS pos, ws[i] AS word FROM dw, " +
+        "UNNEST(generate_series(1, len(ws))) AS u(i)), " +
+        s"sg AS (SELECT doc_id, pos, replace(replace($segChain, '<', ''), '>', '') AS tw FROM pw) " +
+        "SELECT doc_id, CAST(sum(len(string_split(tw, ' '))) AS INT) AS n_tokens, " +
+        "string_agg(tw, ' ' ORDER BY pos) AS toks FROM sg GROUP BY doc_id"
+    },
 
     // whole-pipeline rollup: count each family's oracle result (DuckDB
     // allows WITH inside a parenthesized subquery, so the family SQLs nest)

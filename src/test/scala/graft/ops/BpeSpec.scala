@@ -98,6 +98,30 @@ class BpeSpec extends SparkTestBase {
     assert(toks.containsSlice("zzzunseen".map(_.toString)))
   }
 
+  test("encode under a fixed merge list: rank-order cascades + non-overlap") {
+    val session = spark
+    import session.implicits._
+    // the q_bpe_encode merge list: (th,e) cascades on (t,h); (sc,an) on
+    // (s,c)+(a,n); (q,q) never fires
+    val merges = Seq(
+      (1, "t", "h", 0L), (2, "th", "e", 0L), (3, "e", "r", 0L),
+      (4, "o", "r", 0L), (5, "a", "n", 0L), (6, "s", "c", 0L),
+      (7, "sc", "an", 0L), (8, "q", "q", 0L))
+    val docs = Seq((1L, "the scanner thther order qqq")).toDF("doc_id", "text")
+    val wf = Bpe.wordFreqs(docs)
+    val enc = Bpe.encode(docs, Bpe.segmentVocab(wf, merges)).collect()
+    val toks = enc(0).getSeq[String](1).toList
+    assert(toks == List(
+      "the", // t,h → th, then th,e → the (rank-order cascade)
+      "scan", "n", "er", // s,c,a,n,n,e,r → (e,r),(a,n),(s,c) then (sc,an)
+      "th", "the", "r", // thther: (t,h) fires twice non-overlapping, then
+      // (th,e) merges only the SECOND th with e; (e,r) can't fire on the
+      // already-fused "the" symbol
+      "or", "d", "er", // order: (e,r) at rank 3 precedes (o,r) at rank 4
+      "qq", "q"), // qqq: one left-to-right non-overlapping (q,q) merge
+      toks.toString)
+  }
+
   test("trained merge ranks are 1..n with non-increasing counts on ties-free prefix") {
     val merges = Bpe.train(Bpe.wordFreqs(corpus), 8)
     assert(merges.map(_._1) == (1 to merges.size))
