@@ -410,6 +410,12 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.distinctWordRatioE6(col("text")).as("dwr_e6"))),
 
+    // --- Gopher repetition signals: chars in the most frequent 2-gram +
+    // chars in duplicated 3-grams, exact integers (ratios left to the
+    // caller so nothing FP crosses the oracle) ----------------------------
+    "q_repetition_signals" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(t(s, d, "documents"))),
+
     // --- PII redaction over a deterministically seeded slice (both engines
     // append the same synthetic email/phone/IP, so the scrub is non-vacuous
     // and byte-comparable) ------------------------------------------------
@@ -1030,6 +1036,21 @@ object SparkEntry {
       ("SELECT doc_id, CAST(round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 " +
         "THEN CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) " +
         "ELSE 1.0 END * 1000000) AS BIGINT) AS dwr_e6 FROM documents"),
+
+    // top-2-gram / duplicated-3-gram character coverage: the tie-break on
+    // the MOST frequent gram is (cnt DESC, gram DESC) — the exact order
+    // Spark's max(struct(cnt, gram)) induces
+    "q_repetition_signals" ->
+      ("WITH d AS (SELECT doc_id, len(text) AS n_chars, string_split_regex(text, '\\s+') AS w FROM documents), " +
+        "g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram FROM d, UNNEST(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)), " +
+        "c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2), " +
+        "t2 AS (SELECT doc_id, gram AS top_gram, CAST(cnt * len(gram) AS BIGINT) AS top_gram_chars, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM c2), " +
+        "g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram FROM d, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)), " +
+        "c3 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g3 GROUP BY 1, 2), " +
+        "d3 AS (SELECT doc_id, CAST(sum(CASE WHEN cnt >= 2 THEN cnt * len(gram) ELSE 0 END) AS BIGINT) AS dup_gram_chars FROM c3 GROUP BY 1) " +
+        "SELECT d.doc_id, d.n_chars, t2.top_gram, t2.top_gram_chars, d3.dup_gram_chars " +
+        "FROM d JOIN t2 ON d.doc_id = t2.doc_id AND t2.rn = 1 JOIN d3 ON d.doc_id = d3.doc_id"),
 
     // same regex dialect subset (no lookaround/backrefs) evaluates
     // identically under Java regex and RE2; DuckDB needs the 'g' flag for

@@ -23,16 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * words contribute their whole token sequence as one gram, first-occurrence
   * distinct order.
   */
-case class WordNgrams(child: Expression, n: Int)
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean = true)
   extends UnaryExpression with UnaryLike[Expression] {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    WordNgrams.compute(input.asInstanceOf[UTF8String], n)
+    WordNgrams.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.compute($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
@@ -45,11 +45,14 @@ object WordNgrams {
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
   /** Referenced from generated code — must stay public. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     // limit -1 matches Spark's split(): trailing empty tokens preserved
     val toks = Ws.split(text.toString, -1)
     val m = toks.length
+    // LinkedHashSet for the distinct form (first-occurrence order), plain
+    // append order for the multiplicity form — same grams either way
     val out = new java.util.LinkedHashSet[UTF8String]()
+    val all = new java.util.ArrayList[UTF8String]()
     val last = math.max(m - n, 0)
     var i = 0
     while (i <= last) {
@@ -61,12 +64,22 @@ object WordNgrams {
         sb.append(toks(j))
         j += 1
       }
-      out.add(UTF8String.fromString(sb.toString))
+      val g = UTF8String.fromString(sb.toString)
+      if (distinct) out.add(g) else all.add(g)
       i += 1
     }
-    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+    val arr = if (distinct) out.toArray(new Array[AnyRef](out.size()))
+              else all.toArray(new Array[AnyRef](all.size()))
+    new GenericArrayData(arr)
   }
 
   def wordNgrams(text: Column, n: Int): Column =
     shims.column(WordNgrams(shims.expression(text), n))
+
+  /** ALL n-grams with multiplicity (left-to-right order) — the counting
+    * twin of [[wordNgrams]] for repetition signals, same tokenization and
+    * short-document whole-sequence gram.
+    */
+  def allWordNgrams(text: Column, n: Int): Column =
+    shims.column(WordNgrams(shims.expression(text), n, distinct = false))
 }

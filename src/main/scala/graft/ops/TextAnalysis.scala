@@ -102,6 +102,43 @@ object TextAnalysis {
       .cast("bigint")
   }
 
+  /** Gopher-style repetition signals over word n-grams (Rae et al. 2021,
+    * Appendix A): characters covered by the single most frequent
+    * `nTop`-gram (`top_gram_chars` = count × gram length; ties broken on
+    * the lexicographically greatest gram, so fully deterministic) and
+    * characters in all duplicated `nDup`-grams (`dup_gram_chars` = Σ
+    * count × length over grams occurring ≥ 2× — every occurrence counted,
+    * a documented simplification of Gopher's positional coverage, which
+    * counts each character position once). Exact integers with the doc's
+    * `n_chars`, so the downstream filter thresholds ratios itself.
+    *
+    * Scale shape: two explode + partial-agg corpus passes (one per n),
+    * every stage keyed on the doc id — no corpus-wide state, map-side
+    * combine on (id, gram). Gram tokenization is the native
+    * [[graft.functions.WordNgrams]] multiplicity form, shared with
+    * decontamination/Jaccard.
+    */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+                        nTop: Int = 2, nDup: Int = 3,
+                        id: String = "doc_id", text: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.WordNgrams.allWordNgrams
+    def gramCounts(n: Int) = docs
+      .select(col(id), explode(allWordNgrams(col(text), n)).as("gram"))
+      .groupBy(col(id), col("gram")).agg(count(lit(1)).as("cnt"))
+    val top = gramCounts(nTop)
+      .groupBy(col(id))
+      .agg(max(struct(col("cnt"), col("gram"))).as("m"))
+      .select(col(id), col("m.gram").as("top_gram"),
+        (col("m.cnt") * length(col("m.gram"))).as("top_gram_chars"))
+    val dup = gramCounts(nDup)
+      .groupBy(col(id))
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))
+        .otherwise(lit(0L))).as("dup_gram_chars"))
+    docs.select(col(id), length(col(text)).as("n_chars"))
+      .join(top, Seq(id)).join(dup, Seq(id))
+  }
+
   // ------------------------------------------------------------------
   // chunking (context-window preparation)
   // ------------------------------------------------------------------

@@ -49,6 +49,43 @@ class PipelineOpsSpec extends SparkTestBase {
         .filter(!(col("a") <=> col("b"))).count()
       assert(diff == 0, s"native vs HOF ngrams differ at n=$n")
     }
+    // multiplicity twin: same grams without the distinct, order preserved
+    def hofAll(t: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+      val toks = split(t, "\\s+")
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))
+    }
+    for (n <- Seq(2, 3, 5)) {
+      val diff = df.select(
+          graft.functions.WordNgrams.allWordNgrams(col("t"), n).as("a"),
+          hofAll(col("t"), n).as("b"))
+        .filter(!(col("a") <=> col("b"))).count()
+      assert(diff == 0, s"native vs HOF all-ngrams differ at n=$n")
+    }
+  }
+
+  test("repetition signals: top-gram tie-break, duplicated-gram coverage") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      // "b c" ×2 beats "a b" ×1... both 2-grams with cnt 2: "b c" and "c b"?
+      // b c b c b: grams = b c, c b, b c, c b → tie cnt=2; winner is the
+      // lexicographically GREATEST gram "c b"
+      (1L, "b c b c b"),
+      (2L, "x y z"), // all grams unique → dup 0; top = greatest gram "y z"
+      (3L, "one"), // shorter than n: whole sequence is the single gram
+      (4L, "p q r p q r p q r")) // 3-gram "p q r" ×3... dup3 counts it
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.repetitionSignals(docs)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(2), x.getLong(3), x.getLong(4)))).toMap
+    // doc 1 3-grams: "b c b" ×2, "c b c" ×1 → dup = 2 × 5 = 10
+    assert(r(1L) == (("c b", 2 * 3, 10L)), r(1L).toString)
+    assert(r(2L) == (("y z", 3, 0L)), r(2L).toString)
+    assert(r(3L) == (("one", 3, 0L)), r(3L).toString)
+    // doc 4: 2-grams p q(×3), q r(×3), r p(×2) → tie at 3, "q r" wins;
+    // 3-grams: p q r ×3 (15 chars), q r p ×2 (10), r p q ×2 (10) → 35
+    assert(r(4L) == (("q r", 3 * 3, 35L)), r(4L).toString)
   }
 
   test("decontamination: n-gram overlap flags exactly the leaky docs") {
