@@ -41,6 +41,23 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + 1000000L)
       .withColumn("text", mutate(col("text"))))
 
+  /** Documents with deterministically seeded URL mentions: every doc gets
+    * one good URL (host varies with md5(doc_id) and doc_id % 7); every
+    * third doc also gets a blocklisted `*.bad-ads.net` URL with a trailing
+    * period — making the URL-extract / blocklist-filter oracles non-vacuous
+    * and byte-comparable in both engines.
+    */
+  private def urlSeeded(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" see https://"),
+      substring(md5(col("doc_id").cast("string")), 1, 4),
+      lit(".news.example"), (col("doc_id") % 7).cast("string"),
+      lit(".com/a/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" and http://spam"), (col("doc_id") % 4).cast("string"),
+          lit(".bad-ads.net/x?q=1.")))
+        .otherwise(lit(""))))
+
   /** Embeddings with a planted near-identical slice (every 20th vector
     * twinned at id+1e6, one coordinate nudged by 1e-3) — the ONE plant both
     * embedding-dedup demos share, so their fixtures cannot drift apart.
@@ -425,6 +442,42 @@ object SparkEntry {
           concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
             lit("@example.com or +1 (555) 010-00"), col("doc_id").cast("string"),
             lit(" at 192.168.0.1"))).as("redacted"))),
+
+    // --- URL extraction / domain parse over a deterministically seeded
+    // corpus (every doc gets one good URL; every third doc also gets a
+    // blocklisted one, with a trailing '.' to exercise punct stripping) ----
+    "q_url_extract" -> ((s, d) =>
+      graft.ops.UrlOps.urlMentions(
+          urlSeeded(t(s, d, "documents")).filter(col("doc_id") % 11 === 0))
+        .select(col("doc_id"), col("url_idx"), col("url"), col("host"),
+          col("domain"))),
+
+    // --- domain-blocklist corpus filter (broadcast semi-join → anti-join);
+    // the two never-seeded domains prove no over-blocking -----------------
+    "q_domain_filter" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.UrlOps.filterBlockedDomains(
+          urlSeeded(t(s, d, "documents")),
+          Seq("bad-ads.net", "evil.example", "tracker.io").toDF("domain"))
+        .select(col("doc_id"))
+    }),
+
+    // --- hashing-trick quality classifier: train on the %5==0 slice with
+    // the lexical-diversity label, all-integer model ----------------------
+    "q_qc_model" -> ((s, d) =>
+      graft.ops.QualityClassifier.train(
+        t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        graft.ops.QualityClassifier.diversityLabel(col("text")), 64)),
+
+    // --- score the held-out %5==1 slice with that model ------------------
+    "q_qc_scores" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.ops.QualityClassifier.train(
+        docs.filter(col("doc_id") % 5 === 0),
+        graft.ops.QualityClassifier.diversityLabel(col("text")), 64)
+      graft.ops.QualityClassifier.score(
+        docs.filter(col("doc_id") % 5 === 1), model, 64)
+    }),
 
     // --- flagship validation pipeline, oracle-backed per check family ---
     // (the oracle SQL reads the exploded-spans fixture Verify writes; the
@@ -1062,6 +1115,48 @@ object SparkEntry {
         s"'${TextAnalysis.Ipv4Rx}', '<IP>', 'g'), " +
         s"'${TextAnalysis.PhoneRx}', '<PHONE>', 'g') AS redacted " +
         "FROM documents WHERE doc_id % 7 = 0"),
+
+    // URL extraction over the seeded corpus: DuckDB re-derives mention
+    // order with generate_series over the extracted list; host / naive
+    // registrable-domain parsing mirrors UrlOps term-for-term
+    "q_url_extract" ->
+      (s"WITH s AS (SELECT * FROM ($UrlSeedSql) WHERE doc_id % 11 = 0), " +
+        s"x AS (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), " +
+        "m AS (SELECT doc_id, CAST(i AS INT) - 1 AS url_idx, urls[CAST(i AS INT)] AS url " +
+        "FROM x, UNNEST(generate_series(1, len(urls))) AS u(i)), " +
+        "h AS (SELECT doc_id, url_idx, url, regexp_extract(url, 'https?://([^/\\s:?#]+)', 1) AS host FROM m) " +
+        "SELECT doc_id, url_idx, url, host, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
+        "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h"),
+
+    // domain-blocklist filter: docs survive iff NO extracted mention's
+    // registrable domain is blocklisted
+    "q_domain_filter" ->
+      (s"WITH s AS ($UrlSeedSql), " +
+        s"m AS (SELECT doc_id, u.url FROM (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), UNNEST(urls) AS u(url)), " +
+        "h AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\\s:?#]+)', 1) AS host FROM m), " +
+        "dm AS (SELECT doc_id, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
+        "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h) " +
+        "SELECT doc_id FROM s WHERE doc_id NOT IN " +
+        "(SELECT DISTINCT doc_id FROM dm WHERE domain IN ('bad-ads.net', 'evil.example', 'tracker.io'))"),
+
+    // hashing-trick classifier training: md5-prefix feature hash (the
+    // inverted index's shard form), ±1 token votes by the diversity label —
+    // all-integer, so the model is bit-identical cross-engine
+    "q_qc_model" ->
+      (s"WITH $QcTrainSql " +
+        "SELECT bucket, CAST(sum(w) AS BIGINT) AS weight, count(*) AS n_terms FROM b GROUP BY 1"),
+
+    // scoring the held-out slice with that model: per-doc sum of bucket
+    // weights (absent buckets weigh 0 via the left join)
+    "q_qc_scores" ->
+      (s"WITH $QcTrainSql, " +
+        "model AS (SELECT bucket, CAST(sum(w) AS BIGINT) AS weight FROM b GROUP BY 1), " +
+        "sctok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS term FROM t WHERE doc_id % 5 = 1), " +
+        "sb AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket FROM sctok WHERE term <> '') " +
+        "SELECT sb.doc_id, count(*) AS n_tokens, CAST(sum(COALESCE(model.weight, 0)) AS BIGINT) AS score, " +
+        "CAST(sum(COALESCE(model.weight, 0)) AS BIGINT) > 0 AS pred " +
+        "FROM sb LEFT JOIN model USING (bucket) GROUP BY 1"),
+
     "q_point_lookup" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey = 1",
     "q_sort_limit" ->
@@ -1315,6 +1410,28 @@ object SparkEntry {
   val VerdictFamilies: Seq[String] = Seq(
     "q_validate_datatype", "q_validate_domain", "q_validate_cardinality",
     "q_validate_someonly")
+
+  /** The urlSeeded corpus in DuckDB — mirrors [[urlSeeded]] term-for-term
+    * (same md5 prefix, same % moduli, same literal fragments). Shared by
+    * the q_url_extract and q_domain_filter oracles.
+    */
+  private val UrlSeedSql: String =
+    ("SELECT doc_id, text || ' see https://' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) || " +
+      "'.news.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id AS VARCHAR) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' and http://spam' || CAST(doc_id % 4 AS VARCHAR) || '.bad-ads.net/x?q=1.' " +
+      "ELSE '' END AS seeded FROM documents")
+
+  /** Shared training CTEs for the quality-classifier oracles: canonical
+    * tokens, the integer lexical-diversity label (±1 per token), and the
+    * md5-prefix 64-bucket feature hash — ends at `b(doc_id, bucket, w)`.
+    */
+  private val QcTrainSql: String =
+    ("t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c FROM documents), " +
+      "lab AS (SELECT doc_id, CASE WHEN len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE -1 END AS w " +
+      "FROM (SELECT doc_id, list_filter(string_split(c, ' '), x -> x <> '') AS toks FROM t WHERE doc_id % 5 = 0)), " +
+      "tk AS (SELECT doc_id, unnest(string_split(c, ' ')) AS term FROM t WHERE doc_id % 5 = 0), " +
+      "b AS (SELECT tk.doc_id, CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket, lab.w " +
+      "FROM tk JOIN lab ON tk.doc_id = lab.doc_id WHERE term <> '')")
 
   /** Exact all-pairs word-3-gram Jaccard at ≥0.6 — shared by the
     * q_ngram_jaccard oracle and (as the edge set) the q_dedup_groups one.

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkTestBase {
+
+  test("extractUrls: multiple mentions in order, trailing punctuation stripped, none for plain text") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "see https://a.example.com/p/1, then http://b.net/x?q=2. done"),
+      (2L, "no links here"),
+      (3L, "bare https://c.org end")).toDF("doc_id", "text")
+    val m = UrlOps.urlMentions(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(m == Map(
+      (1L, 0) -> "https://a.example.com/p/1",
+      (1L, 1) -> "http://b.net/x?q=2",
+      (3L, 0) -> "https://c.org"), s"got $m")
+  }
+
+  test("hostOf + registrableDomain: subdomains collapse to last two labels; ports and paths excluded") {
+    val session = spark
+    import session.implicits._
+    val urls = Seq(
+      "https://x.y.news.example.com/a/1",
+      "http://example.com/b",
+      "http://single/x",
+      "http://a.com:8080/p").toDF("url")
+    val got = urls.select(
+        UrlOps.hostOf(col("url")).as("h"),
+        UrlOps.registrableDomain(UrlOps.hostOf(col("url"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("x.y.news.example.com", "example.com"),
+      ("example.com", "example.com"),
+      ("single", "single"),
+      ("a.com", "a.com")), s"got $got")
+  }
+
+  test("domainProfile: exact mention and distinct-doc counts per domain") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "https://a.x.com/1 https://b.x.com/2"),
+      (2L, "https://c.x.com/3 and http://y.org/z")).toDF("doc_id", "text")
+    val p = UrlOps.domainProfile(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p == Map("x.com" -> (3L, 2L), "y.org" -> (1L, 1L)), s"got $p")
+  }
+
+  test("filterBlockedDomains: drops docs with ANY blocked mention, keeps the rest; blocklist side broadcast") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "fine https://good.example.com/1"),
+      (2L, "mixed https://good.example.com/2 and http://ads.bad.net/x"),
+      (3L, "no urls at all"),
+      (4L, "http://bad.net/direct")).toDF("doc_id", "text")
+    val block = Seq("bad.net", "never-seen.io").toDF("domain")
+    val kept = UrlOps.filterBlockedDomains(docs, block)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    val plan = kept.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"blocklist join not broadcast:\n$plan")
+  }
+}
