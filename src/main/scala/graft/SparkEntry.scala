@@ -479,6 +479,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 1), model, 64)
     }),
 
+    // --- encoding hygiene: NFC compose + control/replacement-char scrub
+    // over deterministically seeded damage (decomposed e+U+0301, a C0
+    // control, a U+FFFD) — both engines normalize independently -----------
+    "q_unicode_clean" -> ((s, d) => {
+      val p = concat(col("text"),
+        lit(" cafe\u0301 x\u0008y \uFFFD fin"))
+      t(s, d, "documents").filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.stripControlChars(TextAnalysis.nfc(p)).as("cleaned"),
+          TextAnalysis.badCharCount(p).cast("bigint").as("n_bad"),
+          length(p).cast("bigint").as("raw_chars"),
+          length(TextAnalysis.nfc(p)).cast("bigint").as("nfc_chars"))
+    }),
+
     // --- flagship validation pipeline, oracle-backed per check family ---
     // (the oracle SQL reads the exploded-spans fixture Verify writes; the
     // Spark side regenerates the identical deterministic corpus)
@@ -1156,6 +1170,16 @@ object SparkEntry {
         "SELECT sb.doc_id, count(*) AS n_tokens, CAST(sum(COALESCE(model.weight, 0)) AS BIGINT) AS score, " +
         "CAST(sum(COALESCE(model.weight, 0)) AS BIGINT) > 0 AS pred " +
         "FROM sb LEFT JOIN model USING (bucket) GROUP BY 1"),
+
+    // NFC via utf8proc vs java.text.Normalizer — same Unicode canonical
+    // composition; chr(769)=U+0301 combining acute, chr(8)=C0 control,
+    // chr(65533)=U+FFFD replacement char
+    "q_unicode_clean" ->
+      ("WITH s AS (SELECT doc_id, text || ' cafe' || chr(769) || ' x' || chr(8) || 'y ' || chr(65533) || ' fin' AS p " +
+        "FROM documents WHERE doc_id % 13 = 0) " +
+        s"SELECT doc_id, regexp_replace(nfc_normalize(p), '${TextAnalysis.BadCharRx}', '', 'g') AS cleaned, " +
+        s"CAST(len(regexp_extract_all(p, '${TextAnalysis.BadCharRx}')) AS BIGINT) AS n_bad, " +
+        "CAST(len(p) AS BIGINT) AS raw_chars, CAST(len(nfc_normalize(p)) AS BIGINT) AS nfc_chars FROM s"),
 
     "q_point_lookup" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey = 1",

@@ -307,6 +307,34 @@ object TextAnalysis {
       PhoneRx, "<PHONE>")
 
   // ------------------------------------------------------------------
+  // encoding hygiene (NFC + control-char scrub)
+  // ------------------------------------------------------------------
+
+  /** Encoding-damage characters: C0 controls except tab/LF/CR, DEL, and
+    * U+FFFD (the replacement char a lossy decode leaves behind). Java∩RE2
+    * dialect (`\x{..}` escapes) — identical under DuckDB for the oracle.
+    */
+  val BadCharRx: String =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]|\\x{FFFD}"
+
+  /** Unicode NFC canonical composition (native codegen'd expression —
+    * [[graft.functions.NfcNormalize]]); run BEFORE tokenizing or
+    * fingerprinting so `é` and `e`+combining-acute can't fork dedup keys.
+    */
+  def nfc(text: Column): Column =
+    graft.functions.NfcNormalize.nfcNormalize(text)
+
+  /** Count of encoding-damage characters — the mojibake signal a quality
+    * filter thresholds on. Row-local.
+    */
+  def badCharCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BadCharRx), lit(0)))
+
+  /** Text with encoding-damage characters removed. Row-local, codegen'd. */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, BadCharRx, "")
+
+  // ------------------------------------------------------------------
   // fingerprinting
   // ------------------------------------------------------------------
 
