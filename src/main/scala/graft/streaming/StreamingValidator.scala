@@ -169,6 +169,21 @@ object StreamingValidator {
     dedupStreamBy(docs, graft.ops.TextAnalysis.fingerprint(col(textCol)),
       eventTime, delay)
 
+  /** Streaming twin of the batch quality-classifier scorer
+    * ([[graft.ops.QualityClassifier]]): score documents on ingestion with
+    * a model trained offline on the batch side. The D-bucket model rides
+    * along as a literal map inside a row-local fold — stateless and
+    * append-legal (no streaming aggregation, no watermark demanded of the
+    * consumer), the streaming analogue of the batch broadcast join.
+    * Batch≡stream parity asserted in StreamingValidatorSpec.
+    */
+  def qualityScoreStream(docs: DataFrame, model: Map[Long, Long],
+                         d: Int = 64, id: String = "doc_id",
+                         text: String = "text"): DataFrame = {
+    val score = graft.ops.QualityClassifier.scoreLocal(col(text), model, d)
+    docs.select(col(id), score.as("score"), (score > 0).as("pred"))
+  }
+
   /** Stateful per-kind violation monitor: running violation totals per
     * check kind across micro-batches via flatMapGroupsWithState — emits a
     * row whenever a kind's cumulative count changes (the streaming

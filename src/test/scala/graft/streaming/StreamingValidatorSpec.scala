@@ -258,4 +258,43 @@ class StreamingValidatorSpec extends SparkTestBase {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming quality scoring: per-doc scores match the batch classifier") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.QualityClassifier
+    val trainDocs = Seq(
+      (10L, "lucid cogent varied rich text"),
+      (11L, "nuanced detailed careful writing"),
+      (20L, "buy buy buy buy buy"),
+      (21L, "click click click click")).toDF("doc_id", "text")
+    val model = QualityClassifier.train(trainDocs,
+      QualityClassifier.diversityLabel(col("text")), 64)
+    val modelMap = QualityClassifier.modelToMap(model)
+
+    val arrivals = Seq(
+      (1L, "cogent nuanced rich writing"),
+      (2L, "buy click buy click buy"),
+      (3L, "vocabulary the model never saw"))
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingValidator.qualityScoreStream(
+      stream.toDF().toDF("doc_id", "text"), modelMap)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sv_qscore")
+      .outputMode("append").start()
+    try {
+      stream.addData(arrivals.take(1): _*)
+      q.processAllAvailable()
+      stream.addData(arrivals.drop(1): _*) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("sv_qscore").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      // batch scorer omits zero-token docs; this fixture has none
+      val batch = QualityClassifier.score(arrivals.toDF("doc_id", "text"), model, 64)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+      assert(batch(1L)._2 && !batch(2L)._2, s"fixture not separating: $batch")
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
