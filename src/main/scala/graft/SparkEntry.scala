@@ -319,6 +319,30 @@ object SparkEntry {
           graft.ops.Multimodal.wavSampleRate(col("b")).as("sample_rate"))
     }),
 
+    // MP3: ID3v2 with a VARIABLE syncsafe tag size (two active 7-bit
+    // bytes) on odd ids, bare frame on even ids, garbage on id%7==0 →
+    // null row; bitrate/sample-rate indices planted per id, both engines
+    // walk the tag and decode the frame-header bit fields independently
+    "q_mp3_meta" -> ((s, d) => {
+      val id = col("doc_id")
+      val sz = lit(100L) + id % 300
+      val ssHex = concat(lit("0000"),
+        lpad(hex(shiftright(sz, 7)), 2, "0"),
+        lpad(hex(sz.bitwiseAND(lit(127L))), 2, "0"))
+      val id3 = concat(lit("494433"), lit("040000"), ssHex,
+        repeat(lit("0"), (sz * 2).cast("int")))
+      val b3 = (lit(1L) + id % 14) * 16L + (id % 3) * 4L
+      val frame = concat(lit("FFFB"), lpad(hex(b3), 2, "0"), lit("00"))
+      val hexPayload = when(id % 7 === 0, lit("0011223344556677"))
+        .otherwise(concat(when(id % 2 === 1, id3).otherwise(lit("")), frame))
+      t(s, d, "documents").select(id, unhex(hexPayload).as("b"))
+        .select(id, graft.ops.Multimodal.sniffFormat(col("b")).as("format"),
+          graft.ops.Multimodal.mp3Meta(col("b")).as("m"))
+        .select(id, col("format"), col("m.id3_size").as("id3_size"),
+          col("m.bitrate_kbps").as("bitrate_kbps"),
+          col("m.sample_rate").as("sample_rate"))
+    }),
+
     // MP4 box walk: ftyp of VARIABLE declared size (compat-brand count =
     // id%3, so the moov offset is data-dependent), then moov/mvhd with
     // planted timescale + duration; id%4==3 plants garbage → null row,
@@ -1020,6 +1044,37 @@ object SparkEntry {
         "CASE WHEN ok THEN TRY_CAST(('0x' || substr(hx, 2 * s1 + 57, 8)) AS BIGINT) END AS timescale, " +
         "CASE WHEN ok THEN TRY_CAST(('0x' || substr(hx, 2 * s1 + 65, 8)) AS BIGINT) END AS duration " +
         "FROM q"),
+
+    // MP3: DuckDB rebuilds the identical hex payload, decodes the syncsafe
+    // ID3 size from 7-bit bytes, hops to the variable frame offset, and
+    // re-derives the bit fields with shift/mask — hex-string byte n is
+    // substr(h, (n-1)*2+1, 2); TRY_CAST nulls out-of-range reads
+    "q_mp3_meta" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN '0011223344556677' ELSE " +
+        "CASE WHEN doc_id % 2 = 1 THEN '494433' || '040000' || '0000' || " +
+        "lpad(hex((100 + doc_id % 300) // 128), 2, '0') || lpad(hex((100 + doc_id % 300) % 128), 2, '0') || " +
+        "repeat('0', (100 + doc_id % 300) * 2) ELSE '' END || " +
+        "'FFFB' || lpad(hex((1 + doc_id % 14) * 16 + (doc_id % 3) * 4), 2, '0') || '00' END AS h FROM documents), " +
+        "t1 AS (SELECT doc_id, h, CASE WHEN substr(h, 1, 6) = '494433' AND len(h) >= 20 THEN " +
+        "(TRY_CAST(('0x' || substr(h, 13, 2)) AS BIGINT) & 127) * 2097152 + " +
+        "(TRY_CAST(('0x' || substr(h, 15, 2)) AS BIGINT) & 127) * 16384 + " +
+        "(TRY_CAST(('0x' || substr(h, 17, 2)) AS BIGINT) & 127) * 128 + " +
+        "(TRY_CAST(('0x' || substr(h, 19, 2)) AS BIGINT) & 127) END AS id3_size FROM p), " +
+        "t2 AS (SELECT doc_id, h, id3_size, CASE WHEN id3_size IS NOT NULL THEN 11 + id3_size ELSE 1 END AS fo FROM t1), " +
+        "t3 AS (SELECT doc_id, h, id3_size, fo, " +
+        "TRY_CAST(('0x' || substr(h, CAST((fo - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS b1, " +
+        "TRY_CAST(('0x' || substr(h, CAST(fo * 2 + 1 AS INT), 2)) AS BIGINT) AS b2, " +
+        "TRY_CAST(('0x' || substr(h, CAST((fo + 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS b3, " +
+        "len(h) // 2 AS nb FROM t2), " +
+        "t4 AS (SELECT doc_id, h, id3_size, (b3 >> 4) & 15 AS br, (b3 >> 2) & 3 AS sr, " +
+        "(nb >= fo + 3 AND b1 = 255 AND (b2 & 224) = 224 AND (b2 & 24) = 24 AND (b2 & 6) = 2 " +
+        "AND ((b3 >> 4) & 15) BETWEEN 1 AND 14 AND ((b3 >> 2) & 3) <= 2) AS okhdr FROM t3) " +
+        "SELECT doc_id, CASE WHEN substr(h, 1, 6) = '494433' OR (TRY_CAST(('0x' || substr(h, 1, 2)) AS BIGINT) = 255 " +
+        "AND (TRY_CAST(('0x' || substr(h, 3, 2)) AS BIGINT) & 224) = 224) THEN 'mp3' ELSE 'unknown' END AS format, " +
+        "CASE WHEN okhdr THEN id3_size END AS id3_size, " +
+        "CASE WHEN okhdr THEN CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(br AS INT)] AS BIGINT) END AS bitrate_kbps, " +
+        "CASE WHEN okhdr THEN CAST(([44100,48000,32000])[CAST(sr + 1 AS INT)] AS BIGINT) END AS sample_rate " +
+        "FROM t4"),
 
     "q_char_bigrams" ->
       ("WITH t AS (SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS c FROM documents), " +

@@ -87,6 +87,12 @@ object Multimodal {
       .when(hexAt(bin, 1, 4) === "52494646" &&
         hexAt(bin, 9, 4) === "57415645", "wav")
       .when(hexAt(bin, 5, 4) === "66747970", "mp4") // ISO BMFF: size|'ftyp'
+      // ID3v2 tag or a bare MPEG frame sync (11 set bits); safely AFTER
+      // the jpeg branch — FFD8's second byte fails the & E0 == E0 test
+      .when(hexAt(bin, 1, 3) === "494433" ||
+        (hexAt(bin, 1, 1) === "FF" &&
+          conv(hexAt(bin, 2, 1), 16, 10).cast("long")
+            .bitwiseAND(lit(224L)) === 224L), "mp3")
       .otherwise("unknown")
 
   /** Little-endian unsigned 32-bit int at 1-based byte offset `off`. */
@@ -172,6 +178,48 @@ object Multimodal {
       conv(hx(moov + lit(28L), 4), 16, 10).cast("long").as("timescale"),
       conv(hx(moov + lit(32L), 4), 16, 10).cast("long").as("duration")))
       .otherwise(lit(null).cast("struct<brand:string,timescale:bigint,duration:bigint>"))
+  }
+
+  /** REAL MP3 metadata — ID3v2 tag size (syncsafe u28: four 7-bit bytes at
+    * offsets 7-10) and the first MPEG frame header's bitrate / sample rate.
+    * The frame sits at a VARIABLE offset (right after the ID3 tag when one
+    * is present, byte 1 otherwise). Commits to MPEG-1 Layer III — the
+    * format's overwhelming majority — and nulls everything else (wrong
+    * version/layer bits, free-format or invalid bitrate index, reserved
+    * sample-rate index, truncation before the header) rather than
+    * misparse, same policy as [[mp4Meta]]/[[wavSampleRate]]. Bit fields
+    * come out of the header bytes with shift/mask on longs — codegen'd,
+    * row-local, and mirrored operator-for-operator by the q_mp3_meta
+    * DuckDB oracle.
+    */
+  def mp3Meta(bin: Column): Column = {
+    def b(off: Column): Column =
+      conv(hex(bin.substr(off.cast("int"), lit(1))), 16, 10).cast("long")
+    val hasId3 = hexAt(bin, 1, 3) === "494433" && length(bin) >= 10
+    val ss = b(lit(7)).bitwiseAND(lit(127L)) * 2097152L +
+      b(lit(8)).bitwiseAND(lit(127L)) * 16384L +
+      b(lit(9)).bitwiseAND(lit(127L)) * 128L +
+      b(lit(10)).bitwiseAND(lit(127L))
+    val id3Size = when(hasId3, ss).otherwise(lit(null).cast("long"))
+    val f = when(hasId3, lit(11L) + ss).otherwise(lit(1L))
+    val b1 = b(f)
+    val b2 = b(f + lit(1L))
+    val b3 = b(f + lit(2L))
+    val brIdx = shiftright(b3, 4).bitwiseAND(lit(15L))
+    val srIdx = shiftright(b3, 2).bitwiseAND(lit(3L))
+    val ok = length(bin) >= f + lit(3L) &&
+      b1 === 255L && b2.bitwiseAND(lit(224L)) === 224L && // frame sync
+      b2.bitwiseAND(lit(24L)) === 24L && // version bits 11 = MPEG-1
+      b2.bitwiseAND(lit(6L)) === 2L && // layer bits 01 = Layer III
+      brIdx.between(1L, 14L) && srIdx <= 2L
+    val bitrate = element_at(typedLit(Seq(32L, 40L, 48L, 56L, 64L, 80L,
+      96L, 112L, 128L, 160L, 192L, 224L, 256L, 320L)), brIdx.cast("int"))
+    val srate = element_at(typedLit(Seq(44100L, 48000L, 32000L)),
+      (srIdx + 1L).cast("int"))
+    when(ok, struct(id3Size.as("id3_size"), bitrate.as("bitrate_kbps"),
+        srate.as("sample_rate")))
+      .otherwise(lit(null)
+        .cast("struct<id3_size:bigint,bitrate_kbps:bigint,sample_rate:bigint>"))
   }
 
   /** Frame sampling: n evenly spaced fixed-size byte windows from the

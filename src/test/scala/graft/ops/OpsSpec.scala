@@ -329,6 +329,36 @@ class OpsSpec extends SparkTestBase {
       s"malformed must be null: ${(2 to 5).map(meta).toSeq}")
   }
 
+  test("MP3 ID3 syncsafe walk + frame bit fields: variable tag offset, wrong version/layer → null") {
+    val session = spark
+    import session.implicits._
+    import graft.ops.Multimodal
+    // frame: FFFB (MPEG-1 L3), bitrate idx 9 (128 kbps), sr idx 0 (44100)
+    val frame = "FFFB" + "90" + "00"
+    // ID3v2.4, syncsafe size 0x0181 -> (1<<7)|1 = 129 body bytes
+    val id3 = "494433" + "040000" + "00000101" + "00" * 129
+    val rows = Seq(
+      frame,                            // bare frame, no tag
+      id3 + frame,                      // frame AFTER a 139-byte tag
+      id3 + "FFF390" + "00",            // MPEG-2 version bits → null
+      id3 + "FFFD90" + "00",            // Layer II → null
+      "FFFB" + "F0" + "00",             // bitrate idx 15 (bad) → null
+      "FFFB" + "9C" + "00",             // sr idx 3 (reserved) → null
+      id3,                              // tag but truncated before frame
+      "0011223344556677")               // not mp3 at all
+      .toDF("hx").select(
+        Multimodal.sniffFormat(unhex(col("hx"))).as("f"),
+        Multimodal.mp3Meta(unhex(col("hx"))).as("m"))
+      .collect().map(r => (r.getString(0),
+        Option(r.getStruct(1)).map(s =>
+          (if (s.isNullAt(0)) -1L else s.getLong(0), s.getLong(1), s.getLong(2)))))
+    assert(rows(0) == ("mp3", Some((-1L, 128L, 44100L))), s"bare: ${rows(0)}")
+    assert(rows(1) == ("mp3", Some((129L, 128L, 44100L))), s"tagged: ${rows(1)}")
+    assert(rows.slice(2, 7).forall(_._2.isEmpty),
+      s"malformed must be null: ${rows.slice(2, 7).toSeq}")
+    assert(rows(7) == ("unknown", None), s"garbage: ${rows(7)}")
+  }
+
   test("bloom-prefiltered decontamination ≡ exact path, even with a saturated sketch") {
     val session = spark
     import session.implicits._
