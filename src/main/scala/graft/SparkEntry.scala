@@ -486,6 +486,17 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // --- domain diversity cap: ≤100 docs per registrable domain (the
+    // seeded corpus has 7 domains, so ~700 of 5,000 docs survive) --------
+    "q_domain_cap" -> ((s, d) =>
+      graft.ops.UrlOps.capPerDomain(urlSeeded(t(s, d, "documents")), 100)
+        .select(col("doc_id"))),
+
+    // --- sequence packing into fixed-token-budget shards (concatenate-
+    // then-cut semantics, md5-bucketed cumulative sums) -------------------
+    "q_pack_shards" -> ((s, d) =>
+      graft.ops.Sampling.packIntoShards(t(s, d, "documents"), 1000L, 8)),
+
     // --- hashing-trick quality classifier: train on the %5==0 slice with
     // the lexical-diversity label, all-integer model ----------------------
     "q_qc_model" -> ((s, d) =>
@@ -1207,6 +1218,27 @@ object SparkEntry {
         "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h) " +
         "SELECT doc_id FROM s WHERE doc_id NOT IN " +
         "(SELECT DISTINCT doc_id FROM dm WHERE domain IN ('bad-ads.net', 'evil.example', 'tracker.io'))"),
+
+    // domain cap: rank within the FIRST mention's registrable domain by
+    // doc_id, keep rank ≤ 100 (no-URL docs would pass via the NULL arm)
+    "q_domain_cap" ->
+      (s"WITH s AS ($UrlSeedSql), " +
+        s"x AS (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), " +
+        "f AS (SELECT doc_id, urls[1] AS url FROM x WHERE len(urls) >= 1), " +
+        "h AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\\s:?#]+)', 1) AS host FROM f), " +
+        "dm AS (SELECT doc_id, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
+        "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h), " +
+        "r AS (SELECT doc_id, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk FROM dm) " +
+        "SELECT s.doc_id FROM s LEFT JOIN r USING (doc_id) WHERE r.rk IS NULL OR r.rk <= 100"),
+
+    // sequence packing: per-md5-bucket running token offset, shard =
+    // start offset // budget — all integers
+    "q_pack_shards" ->
+      ("WITH d AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8 AS bucket, " +
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, bucket, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d) " +
+        "SELECT doc_id, bucket, n_tokens, CAST(start_tok // 1000 AS BIGINT) AS shard FROM c"),
 
     // hashing-trick classifier training: md5-prefix feature hash (the
     // inverted index's shard form), ±1 token votes by the diversity label —

@@ -92,4 +92,34 @@ object Sampling {
   def weightedTopK(df: DataFrame, key: String, weight: String, k: Int): DataFrame =
     df.withColumn("ares_key", aresKey(col(key), col(weight)))
       .orderBy(col("ares_key").desc, col(key)).limit(k)
+
+  /** Sequence packing: assign docs to fixed-token-budget training shards —
+    * the concatenate-then-cut convention (a doc's shard is where its FIRST
+    * token lands in the bucket's running token stream; a doc may straddle
+    * a cut, exactly as pre-training sequence packers concatenate docs and
+    * slice at the budget). Deterministic: docs pack in doc-id order.
+    *
+    * Scale shape: one cumulative-sum window PER md5 BUCKET, never a global
+    * ordering — `nBuckets` bounds every window partition to corpus/nBuckets
+    * docs and the running state to one counter (at 10^12 docs, pick
+    * nBuckets so a bucket's (id, n_tokens) pairs stream through one task).
+    * Shard ids are (bucket, shard_in_bucket) — globally unique without any
+    * cross-bucket coordination. All-integer, hash-oracled cross-engine.
+    */
+  def packIntoShards(docs: DataFrame, tokensPerShard: Long, nBuckets: Int,
+                     id: String = "doc_id",
+                     text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokensPerShard > 0 && nBuckets > 0)
+    val bucket = pmod(
+      conv(substring(md5(col(id).cast("string")), 1, 6), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(id), bucket.as("bucket"),
+        TextAnalysis.tokenCount(col(text)).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard", floor(col("start_tok") / tokensPerShard))
+      .select(col(id), col("bucket"), col("n_tokens"), col("shard"))
+  }
 }

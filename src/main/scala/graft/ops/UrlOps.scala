@@ -77,6 +77,29 @@ object UrlOps {
       .agg(count(lit(1)).as("n_mentions"),
         countDistinct(col(id)).as("n_docs"))
 
+  /** Domain-diversity cap (the RefinedWeb-style guard against one domain
+    * flooding the corpus): keep at most `k` docs per registrable domain —
+    * deterministically the lowest doc ids — where a doc's domain is that
+    * of its FIRST URL mention. Docs with no URL mentions pass untouched.
+    *
+    * Scale shape: the rank is a window partitioned by domain; heavy-hitter
+    * domains make single fat partitions, but each window state is one
+    * counter and rows stream through it — and the window input is the
+    * (doc, domain) projection, not the doc payloads. The payload-carrying
+    * join is keyed on doc_id.
+    */
+  def capPerDomain(docs: DataFrame, k: Int, id: String = "doc_id",
+                   text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = urlMentions(docs, id, text)
+      .filter(col("url_idx") === 0).select(col(id), col("domain"))
+    val ranked = dom.withColumn("rk",
+      row_number().over(Window.partitionBy(col("domain")).orderBy(col(id))))
+    docs.join(ranked.select(col(id), col("rk")), Seq(id), "left")
+      .filter(col("rk").isNull || col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Documents whose text mentions NO blocklisted domain. `blocklist` is a
     * one-column (`domain`) frame, broadcast; docs with at least one
     * blocked mention are derived by a map-only broadcast semi-join and

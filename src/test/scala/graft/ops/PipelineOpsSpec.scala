@@ -323,6 +323,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(keys.forall(k => k > 0.0 && k < 1.0))
   }
 
+  test("packIntoShards: start-offset shard assignment vs an independent per-bucket reference") {
+    val session = spark
+    import session.implicits._
+    val docs = (0L until 200L).map(i => (i, ("tok " * ((i % 17) + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = Sampling.packIntoShards(docs, tokensPerShard = 40L, nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // reference: same md5 bucket, cumulative start offset in id order
+    def refBucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % 4
+    }
+    val exp = (0L until 200L).map(i => (i, refBucket(i), (i % 17) + 1))
+      .groupBy(_._2).flatMap { case (_, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, b, n) =>
+          val start = cum; cum += n
+          id -> ((b, n, start / 40L))
+        }
+      }.toMap
+    assert(got == exp, s"first diffs: ${(got.toSet -- exp.toSet).take(3)}")
+    // every shard's token mass stays within budget + one straddling doc
+    val byShard = got.values.groupBy(v => (v._1, v._3)).view
+      .mapValues(_.map(_._2).sum).toMap
+    assert(byShard.values.forall(_ <= 40L + 17L), s"over-full shard: $byShard")
+  }
+
   // independent greedy packer: the oracle for sentenceChunks
   private def refPack(sents: Seq[String], maxTokens: Int): Seq[(Long, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]

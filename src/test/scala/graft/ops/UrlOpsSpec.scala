@@ -50,6 +50,23 @@ class UrlOpsSpec extends SparkTestBase {
     assert(p == Map("x.com" -> (3L, 2L), "y.org" -> (1L, 1L)), s"got $p")
   }
 
+  test("capPerDomain: keeps k lowest ids per first-mention domain; no-URL docs always pass") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (5L, "https://a.x.com/1"),
+      (3L, "https://b.x.com/2"),
+      (9L, "https://c.x.com/3"),
+      (2L, "https://d.y.org/4"),
+      (7L, "no urls in this one"),
+      // second mention is x.com but the FIRST (y.org) decides the domain
+      (8L, "http://y.org/5 then https://e.x.com/6")).toDF("doc_id", "text")
+    val kept = UrlOps.capPerDomain(docs, k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // x.com keeps {3,5} (drops 9); y.org keeps {2,8}; 7 has no URL
+    assert(kept == Seq(2L, 3L, 5L, 7L, 8L), s"got $kept")
+  }
+
   test("filterBlockedDomains: drops docs with ANY blocked mention, keeps the rest; blocklist side broadcast") {
     val session = spark
     import session.implicits._
