@@ -497,6 +497,18 @@ object SparkEntry {
     "q_pack_shards" -> ((s, d) =>
       graft.ops.Sampling.packIntoShards(t(s, d, "documents"), 1000L, 8)),
 
+    // --- residual-markup strip over seeded tags: double-escaped entity,
+    // a bare "a < b" inequality that must NOT strip, entity decode order --
+    "q_strip_markup" -> ((s, d) => {
+      val p = concat(col("text"), lit("<div id=\"d"),
+        col("doc_id").cast("string"),
+        lit("\"><b>bold</b> &amp;amp; 1 &lt; 2</div> a < b done"))
+      t(s, d, "documents").filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.markupTagCount(p).cast("bigint").as("n_tags"),
+          TextAnalysis.stripMarkup(p).as("clean"))
+    }),
+
     // --- hashing-trick quality classifier: train on the %5==0 slice with
     // the lexical-diversity label, all-integer model ----------------------
     "q_qc_model" -> ((s, d) =>
@@ -1239,6 +1251,17 @@ object SparkEntry {
         "c AS (SELECT doc_id, bucket, n_tokens, " +
         "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d) " +
         "SELECT doc_id, bucket, n_tokens, CAST(start_tok // 1000 AS BIGINT) AS shard FROM c"),
+
+    // markup strip: same tag pattern + entity chain (amp LAST so
+    // double-escapes decode one level, as in TextAnalysis.stripMarkup)
+    "q_strip_markup" ->
+      ("WITH s AS (SELECT doc_id, text || '<div id=\"d' || CAST(doc_id AS VARCHAR) || " +
+        "'\"><b>bold</b> &amp;amp; 1 &lt; 2</div> a < b done' AS p FROM documents WHERE doc_id % 9 = 0) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(p, '${TextAnalysis.MarkupTagRx}')) AS BIGINT) AS n_tags, " +
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"p, '${TextAnalysis.MarkupTagRx}', ' ', 'g'), " +
+        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', chr(34), 'g'), '&#39;', chr(39), 'g'), " +
+        "'&amp;', '&', 'g'), '\\s+', ' ', 'g')) AS clean FROM s"),
 
     // hashing-trick classifier training: md5-prefix feature hash (the
     // inverted index's shard form), ±1 token votes by the diversity label —

@@ -335,6 +335,38 @@ object TextAnalysis {
     regexp_replace(text, BadCharRx, "")
 
   // ------------------------------------------------------------------
+  // residual-markup stripping (C4-style)
+  // ------------------------------------------------------------------
+
+  /** HTML/XML tag pattern, Java∩RE2: `<` + one non-space head char +
+    * non-`>` run + `>`. The head-char guard keeps bare inequalities
+    * ("a < b") out of the tag class.
+    */
+  val MarkupTagRx: String = "</?[a-zA-Z!][^>]*>"
+
+  /** Count of residual markup tags — the signal a curation filter
+    * thresholds on before paying for the strip pass. Row-local.
+    */
+  def markupTagCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(MarkupTagRx), lit(0)))
+
+  /** Text with residual markup removed: tags → one space (so adjacent
+    * words don't fuse), the five predefined XML entities decoded, runs of
+    * whitespace collapsed. Row-local chain of codegen'd built-ins; the
+    * q_strip_markup oracle applies the identical chain in DuckDB over
+    * seeded markup. (A full HTML5 entity table would ride in as a
+    * broadcast map; the predefined five cover XML and the vast majority
+    * of web text.)
+    */
+  def stripMarkup(text: Column): Column = {
+    val untagged = regexp_replace(text, MarkupTagRx, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&") // &amp; LAST: "&amp;lt;" is "&lt;" text
+      .foldLeft(untagged) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  // ------------------------------------------------------------------
   // fingerprinting
   // ------------------------------------------------------------------
 

@@ -59,6 +59,27 @@ class EncodingHygieneSpec extends SparkTestBase {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("stripMarkup: tags removed, entities decoded once, inequalities untouched") {
+    val session = spark
+    import session.implicits._
+    val cases = Seq(
+      ("""<p class="x">hi <b>there</b></p>""", "hi there"),
+      ("a < b and c<d stay", "a < b and c<d stay"), // no tag head char
+      ("1 &lt; 2 &amp; 3 &gt; 2", "1 < 2 & 3 > 2"),
+      ("&amp;lt; is the TEXT &lt;", "&lt; is the TEXT <"), // one decode level
+      ("<!DOCTYPE html><br/>x", "x"),
+      ("say &quot;hi&quot; to &#39;em", "say \"hi\" to 'em"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t"))).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, exp), g) =>
+      assert(g == exp, s"input [$in]: got [$g] want [$exp]")
+    }
+    // 4 real tags (<a>, </a>, <em>, </em>); the bare "< 5" must not count
+    val n = Seq("<a href=\"u\">x</a> < 5 <em>y</em>").toDF("t")
+      .select(TextAnalysis.markupTagCount(col("t"))).collect()(0).getInt(0)
+    assert(n == 4, s"n_tags=$n")
+  }
+
   test("badCharCount + stripControlChars: exact over seeded damage; tab/LF/CR preserved") {
     val session = spark
     import session.implicits._
