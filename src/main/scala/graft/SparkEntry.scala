@@ -497,6 +497,29 @@ object SparkEntry {
     "q_pack_shards" -> ((s, d) =>
       graft.ops.Sampling.packIntoShards(t(s, d, "documents"), 1000L, 8)),
 
+    // --- URL canonicalization over seeded messy URLs: mixed-case scheme/
+    // host, default + non-default ports, fragments, bare root paths ------
+    "q_url_canon" -> ((s, d) => {
+      val id = col("doc_id")
+      val k = (id % 7).cast("string")
+      val u = when(id % 4 === 0, concat(lit("HTTP://WWW.Example"), k,
+          lit(".COM:80/Path/"), id.cast("string"), lit("?q=A#frag")))
+        .when(id % 4 === 1, concat(lit("https://Sub.Site"), k, lit(".org:8443/")))
+        .when(id % 4 === 2, concat(lit("HTTPS://Host"), k, lit(".NET:443/x/Y#z")))
+        .otherwise(concat(lit("http://plain"), k, lit(".io")))
+      t(s, d, "documents").select(id, u.as("url"),
+        graft.ops.UrlOps.canonicalizeUrl(u).as("canon"))
+    }),
+
+    // --- readability components (Flesch inputs): exact integers ---------
+    "q_readability" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_words"),
+        size(TextAnalysis.sentenceArray(col("text"))).cast("bigint")
+          .as("n_sentences"),
+        TextAnalysis.vowelGroupCount(col("text")).cast("bigint")
+          .as("n_vowel_groups"))),
+
     // --- residual-markup strip over seeded tags: double-escaped entity,
     // a bare "a < b" inequality that must NOT strip, entity decode order --
     "q_strip_markup" -> ((s, d) => {
@@ -1251,6 +1274,28 @@ object SparkEntry {
         "c AS (SELECT doc_id, bucket, n_tokens, " +
         "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d) " +
         "SELECT doc_id, bucket, n_tokens, CAST(start_tok // 1000 AS BIGINT) AS shard FROM c"),
+
+    // URL canonicalization: same (?i) regex chain, mirrored term-for-term
+    "q_url_canon" ->
+      ("WITH u AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/Path/' || CAST(doc_id AS VARCHAR) || '?q=A#frag' " +
+        "WHEN doc_id % 4 = 1 THEN 'https://Sub.Site' || CAST(doc_id % 7 AS VARCHAR) || '.org:8443/' " +
+        "WHEN doc_id % 4 = 2 THEN 'HTTPS://Host' || CAST(doc_id % 7 AS VARCHAR) || '.NET:443/x/Y#z' " +
+        "ELSE 'http://plain' || CAST(doc_id % 7 AS VARCHAR) || '.io' END AS url FROM documents), " +
+        "x AS (SELECT doc_id, url, lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme, " +
+        "lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)) AS host, " +
+        "regexp_extract(url, '(?i)^https?://[^/:?#]+:([0-9]+)', 1) AS port, " +
+        "regexp_extract(url, '(?i)^https?://[^/?#]*([^#]*)', 1) AS pq FROM u) " +
+        "SELECT doc_id, url, scheme || '://' || host || " +
+        "CASE WHEN port <> '' AND port <> (CASE WHEN scheme = 'https' THEN '443' ELSE '80' END) THEN ':' || port ELSE '' END || " +
+        "CASE WHEN pq = '/' THEN '' ELSE pq END AS canon FROM x"),
+
+    // readability: exact Flesch inputs — \S+ words, SentenceRx sentences
+    // (trim + drop-empty like sentenceArray), [aeiouy]+ vowel groups
+    "q_readability" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, " +
+        s"CAST(len(list_filter(list_transform(regexp_extract_all(text, '${TextAnalysis.SentenceRx}'), x -> trim(x)), x -> len(x) > 0)) AS BIGINT) AS n_sentences, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_vowel_groups FROM documents"),
 
     // markup strip: same tag pattern + entity chain (amp LAST so
     // double-escapes decode one level, as in TextAnalysis.stripMarkup)

@@ -44,6 +44,26 @@ object UrlOps {
   def hostOf(url: Column): Column =
     regexp_extract(url, "https?://([^/\\s:?#]+)", 1)
 
+  /** Canonical URL form for mention-level dedup and frontier keys:
+    * scheme + host lowercased (path/query case-significant, preserved),
+    * `#fragment` dropped, default ports (`:80` http, `:443` https)
+    * dropped (non-default ports preserved), a bare root path `/`
+    * dropped. Row-local chain of codegen'd regexes in the Java∩RE2
+    * subset — mirrored verbatim by the q_url_canon oracle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "(?i)^(https?)://", 1))
+    val host = lower(regexp_extract(url, "(?i)^https?://([^/:?#]+)", 1))
+    val port = regexp_extract(url, "(?i)^https?://[^/:?#]+:([0-9]+)", 1)
+    val defaultPort = when(scheme === "https", "443").otherwise("80")
+    val portPart = when(port =!= "" && port =!= defaultPort,
+      concat(lit(":"), port)).otherwise(lit(""))
+    // path+query: from the first / or ? after the authority, fragment cut
+    val pq = regexp_extract(url, "(?i)^https?://[^/?#]*([^#]*)", 1)
+    val pqNorm = when(pq === "/", lit("")).otherwise(pq)
+    concat(scheme, lit("://"), host, portPart, pqNorm)
+  }
+
   /** Naive registrable domain: the last two dot-labels of the host
     * (`a.b.example.com` → `example.com`). A production suffix list (PSL)
     * plugs in here as a broadcast lookup; the two-label rule is the

@@ -50,6 +50,23 @@ class UrlOpsSpec extends SparkTestBase {
     assert(p == Map("x.com" -> (3L, 2L), "y.org" -> (1L, 1L)), s"got $p")
   }
 
+  test("canonicalizeUrl: case, fragments, default ports, bare root; non-defaults preserved") {
+    val session = spark
+    import session.implicits._
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/Path/1?q=A#frag", "http://www.example.com/Path/1?q=A"),
+      ("https://Sub.Site.org:8443/", "https://sub.site.org:8443"),
+      ("HTTPS://Host.NET:443/x/Y#z", "https://host.net/x/Y"),
+      ("http://plain.io", "http://plain.io"),
+      ("http://a.com/", "http://a.com"),
+      ("http://a.com:8080/p/Q?x=1&y=2", "http://a.com:8080/p/Q?x=1&y=2"),
+      ("https://b.io:80/k", "https://b.io:80/k")) // 80 is NOT https default
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, exp) => assert(got(in) == exp, s"$in -> ${got(in)}") }
+  }
+
   test("capPerDomain: keeps k lowest ids per first-mention domain; no-URL docs always pass") {
     val session = spark
     import session.implicits._
