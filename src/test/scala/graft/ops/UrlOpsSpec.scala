@@ -67,6 +67,31 @@ class UrlOpsSpec extends SparkTestBase {
     cases.foreach { case (in, exp) => assert(got(in) == exp, s"$in -> ${got(in)}") }
   }
 
+  test("canonicalizeUrl is idempotent (stable frontier keys) and total on degenerate inputs") {
+    val session = spark
+    import session.implicits._
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/Path/1?q=A#frag",
+      "https://Sub.Site.org:8443/",
+      "http://a.com/",
+      "http://h",                    // host only
+      "https://h:443",               // default port, no path
+      "http://h:0/x",                // weird port preserved
+      "not a url at all",            // no scheme → degenerate, must not throw
+      "")
+    val once = urls.toDF("u")
+      .select(col("u"), UrlOps.canonicalizeUrl(col("u")).as("c1"))
+    val twice = once.select(col("u"), col("c1"),
+        UrlOps.canonicalizeUrl(col("c1")).as("c2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    twice.filter(t => t._1.toLowerCase.startsWith("http")).foreach { case (u, c1, c2) =>
+      assert(c1 == c2, s"not idempotent for [$u]: [$c1] -> [$c2]")
+    }
+    // non-URLs degrade to the empty-ish "://" skeleton, never an error
+    val nonUrl = twice.find(_._1 == "not a url at all").get
+    assert(nonUrl._2 == "://", s"degenerate: ${nonUrl._2}")
+  }
+
   test("capPerDomain: keeps k lowest ids per first-mention domain; no-URL docs always pass") {
     val session = spark
     import session.implicits._
