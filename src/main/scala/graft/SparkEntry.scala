@@ -497,6 +497,22 @@ object SparkEntry {
     "q_pack_shards" -> ((s, d) =>
       graft.ops.Sampling.packIntoShards(t(s, d, "documents"), 1000L, 8)),
 
+    // --- classifier evaluation: confusion matrix of held-out predictions
+    // against the diversity label — exact integer counts -----------------
+    "q_qc_confusion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.ops.QualityClassifier.train(
+        docs.filter(col("doc_id") % 5 === 0),
+        graft.ops.QualityClassifier.diversityLabel(col("text")), 64)
+      val scored = graft.ops.QualityClassifier.score(
+        docs.filter(col("doc_id") % 5 === 1), model, 64)
+      val labels = docs.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          graft.ops.QualityClassifier.diversityLabel(col("text")).as("lbl"))
+      graft.ops.QualityClassifier.confusion(
+        scored.join(labels, Seq("doc_id")), col("lbl"))
+    }),
+
     // --- URL canonicalization over seeded messy URLs: mixed-case scheme/
     // host, default + non-default ports, fragments, bare root paths ------
     "q_url_canon" -> ((s, d) => {
@@ -1274,6 +1290,19 @@ object SparkEntry {
         "c AS (SELECT doc_id, bucket, n_tokens, " +
         "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d) " +
         "SELECT doc_id, bucket, n_tokens, CAST(start_tok // 1000 AS BIGINT) AS shard FROM c"),
+
+    // classifier confusion matrix on the held-out slice: same train CTEs,
+    // labels recomputed with the identical diversity rule
+    "q_qc_confusion" ->
+      (s"WITH $QcTrainSql, " +
+        "model AS (SELECT bucket, CAST(sum(w) AS BIGINT) AS weight FROM b GROUP BY 1), " +
+        "sctok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS term FROM t WHERE doc_id % 5 = 1), " +
+        "sb AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket FROM sctok WHERE term <> ''), " +
+        "sc AS (SELECT sb.doc_id, CAST(sum(COALESCE(model.weight, 0)) AS BIGINT) > 0 AS pred " +
+        "FROM sb LEFT JOIN model USING (bucket) GROUP BY 1), " +
+        "lb AS (SELECT doc_id, len(list_distinct(toks)) * 2 >= len(toks) AS label " +
+        "FROM (SELECT doc_id, list_filter(string_split(c, ' '), x -> x <> '') AS toks FROM t WHERE doc_id % 5 = 1)) " +
+        "SELECT sc.pred, lb.label, count(*) AS n FROM sc JOIN lb USING (doc_id) GROUP BY 1, 2"),
 
     // URL canonicalization: same (?i) regex chain, mirrored term-for-term
     "q_url_canon" ->

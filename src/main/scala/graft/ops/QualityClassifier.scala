@@ -112,6 +112,15 @@ object QualityClassifier {
       (acc, t) => acc + coalesce(element_at(weights, hashBucket(t, d)), lit(0L)))
   }
 
+  /** Confusion matrix of predictions against a boolean label column on a
+    * held-out slice — the evaluate-before-deploy stage. ONE groupBy over
+    * the scored frame; exact integer counts, so the whole evaluation is
+    * hash-oracled cross-engine (q_qc_confusion).
+    */
+  def confusion(scored: DataFrame, label: Column): DataFrame =
+    scored.groupBy(col("pred"), label.as("label"))
+      .agg(count(lit(1)).as("n"))
+
   /** The deterministic zero-external-data training label: lexical
     * diversity — a doc is "good" when at least half its tokens are
     * distinct (`2·n_distinct ≥ n_tokens`). Integer compare, exactly

@@ -101,6 +101,21 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(empty == Seq(0L, 0L, 0L), s"empty-model scores: $empty")
   }
 
+  test("confusion: exact quadrant counts on a hand-built scored frame") {
+    val session = spark
+    import session.implicits._
+    // (pred, label): TP, TP, FP, FN, TN
+    val scored = Seq(
+      (1L, 3L, 5L, true, true), (2L, 3L, 4L, true, true),
+      (3L, 3L, 9L, true, false), (4L, 3L, -2L, false, true),
+      (5L, 3L, -7L, false, false))
+      .toDF("doc_id", "n_tokens", "score", "pred", "lbl")
+    val got = QualityClassifier.confusion(scored, col("lbl"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(got == Map((true, true) -> 2L, (true, false) -> 1L,
+      (false, true) -> 1L, (false, false) -> 1L), s"got $got")
+  }
+
   test("end-to-end: train on labeled slice separates held-out docs with the same vocabularies") {
     val session = spark
     import session.implicits._
