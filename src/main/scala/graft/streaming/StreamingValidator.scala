@@ -184,6 +184,38 @@ object StreamingValidator {
     docs.select(col(id), score.as("score"), (score > 0).as("pred"))
   }
 
+  /** Streaming distribution-drift monitor — the streaming face of the
+    * batch KS/PSI checks ([[graft.stats.ColumnStats.psiExact]]): per
+    * event-time window, bin the streamed metric against FIXED reference
+    * bin edges (lo/width/buckets taken from the OFFLINE reference
+    * profile — fixed edges are what make this append-legal; deriving
+    * edges from the stream would need an all-time aggregation) and emit
+    * exact integer (window, bin, n) counts after the watermark closes.
+    * The consumer folds PSI terms from these counts against the
+    * reference histogram — integers stream, FP stays at the edge.
+    * Batch≡stream count parity asserted in StreamingValidatorSpec.
+    */
+  def driftBinCounts(events: DataFrame, valueCol: String,
+                     lo: Double, width: Double, buckets: Int,
+                     eventTime: String = "ts", window: String = "1 minute",
+                     lateness: String = "2 minutes"): DataFrame = {
+    require(width > 0 && buckets > 0)
+    events
+      .withWatermark(eventTime, lateness)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(eventTime), window),
+        driftBin(col(valueCol), lo, width, buckets).as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The shared binning expression (stream + batch twin): clamp to
+    * [0, buckets) so out-of-reference-range values land in the edge bins
+    * instead of vanishing (a drift monitor must SEE the outliers).
+    */
+  def driftBin(v: Column, lo: Double, width: Double, buckets: Int): Column =
+    least(greatest(floor((v.cast("double") - lo) / width), lit(0L)),
+      lit(buckets - 1L)).cast("bigint")
+
   /** Stateful per-kind violation monitor: running violation totals per
     * check kind across micro-batches via flatMapGroupsWithState — emits a
     * row whenever a kind's cumulative count changes (the streaming

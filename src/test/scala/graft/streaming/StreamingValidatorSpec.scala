@@ -297,4 +297,43 @@ class StreamingValidatorSpec extends SparkTestBase {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming drift monitor: per-window bin counts match the batch twin; outliers clamp to edge bins") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference edges: lo=0, width=10, 4 bins → [0,10) [10,20) [20,30) [30,∞ clamps)
+    val fixture = Seq(
+      ("2026-01-01 10:00:05", 3.0),   // w1 bin 0
+      ("2026-01-01 10:00:15", 12.0),  // w1 bin 1
+      ("2026-01-01 10:00:25", 15.0),  // w1 bin 1
+      ("2026-01-01 10:00:35", 99.0),  // w1 bin 3 (clamped outlier)
+      ("2026-01-01 10:00:45", -5.0),  // w1 bin 0 (clamped below)
+      ("2026-01-01 10:01:10", 27.0))  // w2 bin 2
+      .map { case (t, v) => (java.sql.Timestamp.valueOf(t), v) }
+
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val out = StreamingValidator.driftBinCounts(
+      stream.toDF().toDF("ts", "v"), "v", lo = 0.0, width = 10.0, buckets = 4)
+    val q = out.writeStream.format("memory").queryName("sv_drift")
+      .outputMode("complete").start()
+    try {
+      stream.addData(fixture.take(4): _*)
+      q.processAllAvailable()
+      stream.addData(fixture.drop(4): _*) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("sv_drift").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batch = fixture.toDF("ts", "v")
+        .groupBy(window(col("ts"), "1 minute"),
+          StreamingValidator.driftBin(col("v"), 0.0, 10.0, 4).as("bin"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(batch.values.sum == 6L && batch.keys.map(_._2).toSet == Set(0L, 1L, 2L, 3L),
+        s"fixture broken: $batch")
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
