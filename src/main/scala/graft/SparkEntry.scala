@@ -58,6 +58,11 @@ object SparkEntry {
           lit(".bad-ads.net/x?q=1.")))
         .otherwise(lit(""))))
 
+  // code-point-constructed fixture chars (source stays ASCII; a raw
+  // decomposed literal is one editor-save away from being composed)
+  private val CombAcute = new String(Character.toChars(0x0301))
+  private val Ctrl = new String(Character.toChars(0x0008))
+
   /** Embeddings with a planted near-identical slice (every 20th vector
     * twinned at id+1e6, one coordinate nudged by 1e-3) — the ONE plant both
     * embedding-dedup demos share, so their fixtures cannot drift apart.
@@ -496,6 +501,17 @@ object SparkEntry {
     // then-cut semantics, md5-bucketed cumulative sums) -------------------
     "q_pack_shards" -> ((s, d) =>
       graft.ops.Sampling.packIntoShards(t(s, d, "documents"), 1000L, 8)),
+
+    // --- composed curation pipeline: NFC → markup strip → scrub →
+    // quality filter → exact-dedup winners, oracle-able END-TO-END; the
+    // seeded suffix plants markup + a combining char + a control char,
+    // withDups plants the duplicate slice (its +1e6 ids keep %4, so twins
+    // stay byte-identical and collapse to the min-id winner) -------------
+    "q_curate" -> ((s, d) =>
+      graft.ops.Curation.curate(
+        withDups(t(s, d, "documents")).withColumn("text",
+          concat(col("text"), lit("<p>tail"), (col("doc_id") % 4).cast("string"),
+            lit("</p> cafe" + CombAcute + " x" + Ctrl + "y &amp; ok"))))),
 
     // --- classifier evaluation: confusion matrix of held-out predictions
     // against the diversity label — exact integer counts -----------------
@@ -1290,6 +1306,26 @@ object SparkEntry {
         "c AS (SELECT doc_id, bucket, n_tokens, " +
         "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d) " +
         "SELECT doc_id, bucket, n_tokens, CAST(start_tok // 1000 AS BIGINT) AS shard FROM c"),
+
+    // composed curation: the per-stage oracle chains verbatim — nfc, tag
+    // strip, entity decode (amp last), whitespace collapse, bad-char
+    // scrub, token/diversity filter, min-id winner per fingerprint
+    "q_curate" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
+        "s AS (SELECT doc_id, text || '<p>tail' || CAST(doc_id % 4 AS VARCHAR) || " +
+        "'</p> cafe' || chr(769) || ' x' || chr(8) || 'y &amp; ok' AS p FROM u), " +
+        "c AS (SELECT doc_id, regexp_replace(trim(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"nfc_normalize(p), '${TextAnalysis.MarkupTagRx}', ' ', 'g'), " +
+        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', chr(34), 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g'), " +
+        s"'\\s+', ' ', 'g')), '${TextAnalysis.BadCharRx}', '', 'g') AS clean FROM s), " +
+        "f AS (SELECT doc_id, clean FROM (SELECT doc_id, clean, " +
+        "list_filter(string_split(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks FROM c) " +
+        "WHERE len(regexp_extract_all(clean, '\\S+')) >= 5 AND len(list_distinct(toks)) * 2 >= len(toks)), " +
+        "w AS (SELECT doc_id, clean, row_number() OVER (" +
+        "PARTITION BY md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rk FROM f) " +
+        "SELECT doc_id, clean FROM w WHERE rk = 1"),
 
     // classifier confusion matrix on the held-out slice: same train CTEs,
     // labels recomputed with the identical diversity rule

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed curation front door: the standard hygiene → filter →
+  * dedup chain every web-corpus ingest runs, built entirely from the
+  * library's own stages so the composition can never drift from its
+  * parts — and, because every stage mirrors in ANSI SQL, the WHOLE
+  * pipeline is hash-oracled end-to-end (q_curate).
+  *
+  * Stages, in order:
+  *  1. hygiene (row-local, shuffle-free, one projection):
+  *     NFC compose → residual-markup strip → control-char scrub;
+  *  2. quality filter (row-local): ≥ `minTokens` whitespace tokens AND
+  *     the lexical-diversity label;
+  *  3. exact dedup (ONE window over the canonical fingerprint): keep the
+  *     minimum-id row per fingerprint.
+  *
+  * Scale shape: stages 1–2 fuse into the scan (zero exchanges —
+  * plan-asserted in CurationPlanSpec for the hygiene chain); the only
+  * shuffle in the whole pipeline is the dedup window's hash exchange on
+  * the fingerprint. Near-dup stages ([[Dedup.minhashDupPairs]] etc.)
+  * compose after this, on the already-shrunk corpus.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, minTokens: Int = 5, id: String = "doc_id",
+             text: String = "text"): DataFrame = {
+    val clean = TextAnalysis.stripControlChars(
+      TextAnalysis.stripMarkup(TextAnalysis.nfc(col(text))))
+    val cleaned = docs.select(col(id), clean.as("clean"))
+    val filtered = cleaned.filter(
+      TextAnalysis.tokenCount(col("clean")) >= minTokens &&
+        QualityClassifier.diversityLabel(col("clean")))
+    Dedup.fingerprintDedup(filtered, id, "clean")
+  }
+}
