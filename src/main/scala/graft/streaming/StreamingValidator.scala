@@ -184,6 +184,73 @@ object StreamingValidator {
     docs.select(col(id), score.as("score"), (score > 0).as("pred"))
   }
 
+  /** Streaming MinHash near-dup twin — the batch
+    * [[graft.ops.Dedup.minhashCandidates]] + signature-agreement prefilter
+    * re-expressed for ingestion: each arriving doc's native MinHash
+    * signature ([[graft.functions.MinHashSig]]) explodes to its LSH band
+    * buckets; per bucket, `flatMapGroupsWithState` holds the (id,
+    * signature) entries seen within the watermark (capped at
+    * `maxBucketState`, the same cap discipline as the batch bucket-pair
+    * miner) and emits an `(id_a, id_b, sig_agreement)` event whenever a
+    * new arrival agrees with a stored signature at ≥ `minAgreement` —
+    * i.e. near-dup PAIRS ON ARRIVAL. Events are per colliding band;
+    * consumers dedup pairs (exactly as the batch candidate stage
+    * `distinct`s across bands). Event-time timeout drops a bucket's state
+    * once the watermark passes its last arrival + `delay`, so state is
+    * bounded by hot-window volume, not corpus size. Requires a long
+    * `doc_id` and an event-time column. Batch≡stream pair-set parity
+    * asserted in StreamingValidatorSpec.
+    */
+  def minhashPairEventsStream(docs: DataFrame, textCol: String = "text",
+                              eventTime: String = "ts",
+                              delay: String = "10 minutes",
+                              k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                              minAgreement: Double = 0.8,
+                              maxBucketState: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sig = graft.functions.MinHashSig.minhashSig(col(textCol), k, numHashes)
+    val banded = docs
+      .withWatermark(eventTime, delay)
+      .filter(length(col(textCol)) >= k)
+      // the event-time column must pass through UNTOUCHED (a cast/alias
+      // detaches the watermark tag and EventTimeTimeout then refuses)
+      .select(col("doc_id").cast("long").as("docId"),
+        col(eventTime), sig.as("sig"),
+        explode(graft.ops.Dedup.bandKeys(sig, numHashes, bands)).as("bucket"))
+      .as[(Long, java.sql.Timestamp, Seq[Long], Long)]
+    banded.groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Seq[Long], Long)],
+         state: GroupState[Seq[(Long, Seq[Long])]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            var maxTs = 0L
+            // in-batch arrivals process in id order so same-batch pairs
+            // are deterministic regardless of partition interleaving
+            rows.toSeq.sortBy(_._1).foreach { case (id, ts, sg, _) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              seen.foreach { case (sid, ssig) =>
+                if (sid != id) {
+                  val agg = sg.iterator.zip(ssig.iterator)
+                    .count { case (a, b) => a == b }.toDouble / numHashes
+                  if (agg >= minAgreement)
+                    out += ((math.min(sid, id), math.max(sid, id), agg))
+                }
+              }
+              if (seen.size < maxBucketState) seen = seen :+ ((id, sg))
+            }
+            state.update(seen)
+            if (maxTs > 0) state.setTimeoutTimestamp(maxTs, delay)
+            out.iterator
+          }
+        }).toDF("id_a", "id_b", "sig_agreement")
+  }
+
   /** Streaming distribution-drift monitor — the streaming face of the
     * batch KS/PSI checks ([[graft.stats.ColumnStats.psiExact]]): per
     * event-time window, bin the streamed metric against FIXED reference

@@ -298,6 +298,43 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming MinHash near-dup: pair events match the batch candidate+agreement set") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + "!"),                       // near-dup of 1
+      (3L, "completely different content with nothing shared at all here"),
+      (4L, base.replace("quick", "quicc")))   // near-dup of 1 and 2
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = StreamingValidator.minhashPairEventsStream(
+      stream.toDF().toDF("ts", "doc_id", "text"), minAgreement = 0.6)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sv_mh")
+      .outputMode("append").start()
+    try {
+      stream.addData(corpus.take(2).map { case (i, t) => (ts(i.toInt), i, t) }: _*)
+      q.processAllAvailable()
+      stream.addData(corpus.drop(2).map { case (i, t) => (ts(i.toInt), i, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sv_mh").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cands = graft.ops.Dedup.minhashCandidates(corpus.toDF("doc_id", "text"))
+      val batch = cands.withColumn("agg",
+          graft.ops.Dedup.sigAgreement(col("sig_a"), col("sig_b"), 32))
+        .filter(col("agg") >= 0.6)
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty && !batch.exists(p => p._1 == 3L || p._2 == 3L),
+        s"fixture broken: $batch")
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: per-window bin counts match the batch twin; outliers clamp to edge bins") {
     val session = spark
     import session.implicits._
