@@ -502,6 +502,14 @@ object SparkEntry {
     "q_pack_shards" -> ((s, d) =>
       graft.ops.Sampling.packIntoShards(t(s, d, "documents"), 1000L, 8)),
 
+    // --- binary payload dedup: ids sharing doc_id%17 carry byte-identical
+    // synthetic payloads; the min id per payload digest survives ----------
+    "q_media_dedup" -> ((s, d) =>
+      graft.ops.Dedup.binaryDedup(
+          t(s, d, "documents").select(col("doc_id"),
+            unhex(md5((col("doc_id") % 17).cast("string"))).as("payload")))
+        .select(col("doc_id"))),
+
     // --- composed curation pipeline: NFC → markup strip → scrub →
     // quality filter → exact-dedup winners, oracle-able END-TO-END; the
     // seeded suffix plants markup + a combining char + a control char,
@@ -1306,6 +1314,14 @@ object SparkEntry {
         "c AS (SELECT doc_id, bucket, n_tokens, " +
         "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d) " +
         "SELECT doc_id, bucket, n_tokens, CAST(start_tok // 1000 AS BIGINT) AS shard FROM c"),
+
+    // binary dedup: identical payloads ⇔ identical source keys, so DuckDB
+    // partitions on the key digest directly — same equivalence classes,
+    // same min-id winners
+    "q_media_dedup" ->
+      ("WITH p AS (SELECT doc_id, md5(CAST(doc_id % 17 AS VARCHAR)) AS dg FROM documents), " +
+        "w AS (SELECT doc_id, row_number() OVER (PARTITION BY dg ORDER BY doc_id) AS rk FROM p) " +
+        "SELECT doc_id FROM w WHERE rk = 1"),
 
     // composed curation: the per-stage oracle chains verbatim — nfc, tag
     // strip, entity decode (amp last), whitespace collapse, bad-char

@@ -54,6 +54,17 @@ object Dedup {
   def fingerprintDedup(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
     dedupBy(df, TextAnalysis.fingerprint(col(text)), id)
 
+  /** Exact dedup for BINARY payload columns (the media-lake analogue of
+    * [[fingerprintDedup]]): keep the minimum id per md5 of the raw bytes.
+    * The digest hashes the payload where it sits — no decode, no cast;
+    * identical images/audio stored under different doc ids collapse to
+    * one kept row. Oracle `q_media_dedup` (DuckDB md5 over the identical
+    * constructed payloads).
+    */
+  def binaryDedup(df: DataFrame, id: String = "doc_id",
+                  payload: String = "payload"): DataFrame =
+    dedupBy(df, md5(col(payload)), id)
+
   private def dedupBy(df: DataFrame, digest: org.apache.spark.sql.Column,
                       id: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -329,6 +329,20 @@ class OpsSpec extends SparkTestBase {
       s"malformed must be null: ${(2 to 5).map(meta).toSeq}")
   }
 
+  test("binary payload dedup: byte-identical payloads collapse to the min id; distinct bytes survive") {
+    val session = spark
+    import session.implicits._
+    import graft.ops.Dedup
+    val rows = Seq(
+      (5L, "AABB"), (2L, "AABB"), (9L, "AABB"), // identical bytes → keep 2
+      (3L, "AABBCC"),                           // superset bytes are distinct
+      (7L, "CCDD"))
+      .toDF("doc_id", "hx").select(col("doc_id"), unhex(col("hx")).as("payload"))
+    val kept = Dedup.binaryDedup(rows).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L, 7L), s"got $kept")
+  }
+
   test("MP3 ID3 syncsafe walk + frame bit fields: variable tag offset, wrong version/layer → null") {
     val session = spark
     import session.implicits._
