@@ -1279,7 +1279,7 @@ object SparkEntry {
         s"x AS (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), " +
         "m AS (SELECT doc_id, CAST(i AS INT) - 1 AS url_idx, urls[CAST(i AS INT)] AS url " +
         "FROM x, UNNEST(generate_series(1, len(urls))) AS u(i)), " +
-        "h AS (SELECT doc_id, url_idx, url, regexp_extract(url, 'https?://([^/\\s:?#]+)', 1) AS host FROM m) " +
+        "h AS (SELECT doc_id, url_idx, url, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.$', '') AS host FROM m) " +
         "SELECT doc_id, url_idx, url, host, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
         "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h"),
 
@@ -1288,7 +1288,7 @@ object SparkEntry {
     "q_domain_filter" ->
       (s"WITH s AS ($UrlSeedSql), " +
         s"m AS (SELECT doc_id, u.url FROM (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), UNNEST(urls) AS u(url)), " +
-        "h AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\\s:?#]+)', 1) AS host FROM m), " +
+        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.$', '') AS host FROM m), " +
         "dm AS (SELECT doc_id, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
         "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h) " +
         "SELECT doc_id FROM s WHERE doc_id NOT IN " +
@@ -1300,7 +1300,7 @@ object SparkEntry {
       (s"WITH s AS ($UrlSeedSql), " +
         s"x AS (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), " +
         "f AS (SELECT doc_id, urls[1] AS url FROM x WHERE len(urls) >= 1), " +
-        "h AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\\s:?#]+)', 1) AS host FROM f), " +
+        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.$', '') AS host FROM f), " +
         "dm AS (SELECT doc_id, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
         "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h), " +
         "r AS (SELECT doc_id, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk FROM dm) " +

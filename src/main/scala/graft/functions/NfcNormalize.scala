@@ -32,6 +32,17 @@ case class NfcNormalize(child: Expression)
 
   override def dataType: DataType = StringType
 
+  // reject non-string children at ANALYSIS time (ExpectsInputTypes is not
+  // nameable outside org.apache.spark.sql — AbstractDataType is
+  // private[sql] — so the repo convention is checkInputDataTypes, as in
+  // MinHashSig)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize requires a string input, got ${child.dataType.catalogString}")
+
   override def nullSafeEval(input: Any): Any =
     NfcNormalize.compute(input.asInstanceOf[UTF8String])
 

@@ -127,8 +127,10 @@ object QualityClassifier {
     * mirrored by the oracle; stands in for human quality labels.
     */
   def diversityLabel(text: Column): Column = {
-    val toks = filter(split(TextAnalysis.canonicalText(text), " "),
-      t => t =!= "")
+    // == non-empty tokens of canonicalText, but via codegen'd
+    // regexp_extract_all: the `filter` HOF is interpreted per element and
+    // this label runs corpus-wide in Curation.curate's hottest stage
+    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
     size(array_distinct(toks)) * 2 >= size(toks)
   }
 }

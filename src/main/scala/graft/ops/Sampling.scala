@@ -111,9 +111,10 @@ object Sampling {
                      text: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokensPerShard > 0 && nBuckets > 0)
-    val bucket = pmod(
-      conv(substring(md5(col(id).cast("string")), 1, 6), 16, 10).cast("long"),
-      lit(nBuckets.toLong))
+    // the ONE md5-prefix bucket hash (shared with QualityClassifier and
+    // Ranking.invertedIndex's shard key) so the cross-engine form never
+    // forks
+    val bucket = QualityClassifier.hashBucket(col(id).cast("string"), nBuckets)
     val w = Window.partitionBy(col("bucket")).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(id), bucket.as("bucket"),

@@ -40,9 +40,14 @@ object UrlOps {
 
   /** Host (authority minus port/userinfo is not modelled — crawl URLs in
     * practice carry neither; ports are excluded by the `:` stop class).
+    * LOWERCASED and trailing-dot-stripped: DNS names are case-insensitive
+    * and `host.` ≡ `host`, so a blocklist/cap keyed on the raw spelling
+    * would be trivially bypassed by `Spam.BAD-ADS.net.`.
     */
   def hostOf(url: Column): Column =
-    regexp_extract(url, "https?://([^/\\s:?#]+)", 1)
+    regexp_replace(
+      lower(regexp_extract(url, "(?i)https?://([^/\\s:?#]+)", 1)),
+      "\\.$", "")
 
   /** Canonical URL form for mention-level dedup and frontier keys:
     * scheme + host lowercased (path/query case-significant, preserved),

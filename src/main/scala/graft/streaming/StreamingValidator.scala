@@ -176,13 +176,24 @@ object StreamingValidator {
     * append-legal (no streaming aggregation, no watermark demanded of the
     * consumer), the streaming analogue of the batch broadcast join.
     * Batch≡stream parity asserted in StreamingValidatorSpec.
+    *
+    * Parity caveat: the batch scorer emits NO row for zero-token or
+    * null-text docs (nothing survives its explode); this row-local twin
+    * emits (id, 0, false) / (id, null, null) for them — filter upstream
+    * if exact row-set parity with a batch re-score matters.
+    *
+    * `pred` derives from the PROJECTED score column in a second select —
+    * inlining `score > 0` beside `score` would instantiate the
+    * interpreted scoreLocal fold twice per row (CollapseProject keeps
+    * the two projections apart only because the fold is non-cheap; the
+    * explicit split makes that independence structural).
     */
   def qualityScoreStream(docs: DataFrame, model: Map[Long, Long],
                          d: Int = 64, id: String = "doc_id",
-                         text: String = "text"): DataFrame = {
-    val score = graft.ops.QualityClassifier.scoreLocal(col(text), model, d)
-    docs.select(col(id), score.as("score"), (score > 0).as("pred"))
-  }
+                         text: String = "text"): DataFrame =
+    docs.select(col(id),
+        graft.ops.QualityClassifier.scoreLocal(col(text), model, d).as("score"))
+      .select(col(id), col("score"), (col("score") > 0).as("pred"))
 
   /** Streaming MinHash near-dup twin — the batch
     * [[graft.ops.Dedup.minhashCandidates]] + signature-agreement prefilter
@@ -195,11 +206,18 @@ object StreamingValidator {
     * new arrival agrees with a stored signature at ≥ `minAgreement` —
     * i.e. near-dup PAIRS ON ARRIVAL. Events are per colliding band;
     * consumers dedup pairs (exactly as the batch candidate stage
-    * `distinct`s across bands). Event-time timeout drops a bucket's state
-    * once the watermark passes its last arrival + `delay`, so state is
-    * bounded by hot-window volume, not corpus size. Requires a long
-    * `doc_id` and an event-time column. Batch≡stream pair-set parity
-    * asserted in StreamingValidatorSpec.
+    * `distinct`s across bands), and a re-delivered doc_id (at-least-once
+    * source) is recognized in state and ignored. Event-time timeout
+    * drops a bucket's state once the watermark passes its latest-ever
+    * arrival + `delay` (monotone — a late in-watermark arrival cannot
+    * LOWER a previously set timeout), so state is bounded by hot-window
+    * volume, not corpus size. Requires a long `doc_id` and an event-time
+    * column. Batch≡stream pair-set parity asserted in
+    * StreamingValidatorSpec — BELOW the cap: past `maxBucketState` the
+    * stream keeps matching arrivals against the first N stored entries
+    * (graceful degradation), whereas the batch miner drops over-cap
+    * buckets entirely and logs them to the audit frame; a hot-bucket
+    * window therefore yields a SUPERSET of the batch pairs.
     */
   def minhashPairEventsStream(docs: DataFrame, textCol: String = "text",
                               eventTime: String = "ts",
@@ -224,27 +242,28 @@ object StreamingValidator {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(
         (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Seq[Long], Long)],
-         state: GroupState[Seq[(Long, Seq[Long])]]) => {
+         state: GroupState[(Seq[(Long, Seq[Long])], Long)]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var seen = state.getOption.getOrElse(Seq.empty)
+            var (seen, maxTs) = state.getOption.getOrElse((Seq.empty[(Long, Seq[Long])], 0L))
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-            var maxTs = 0L
             // in-batch arrivals process in id order so same-batch pairs
             // are deterministic regardless of partition interleaving
             rows.toSeq.sortBy(_._1).foreach { case (id, ts, sg, _) =>
+              // maxTs is the latest event time EVER seen (kept in state):
+              // a late in-watermark batch must not lower the timeout
               maxTs = math.max(maxTs, ts.getTime)
-              seen.foreach { case (sid, ssig) =>
-                if (sid != id) {
+              if (!seen.exists(_._1 == id)) { // at-least-once re-delivery
+                seen.foreach { case (sid, ssig) =>
                   val agg = sg.iterator.zip(ssig.iterator)
                     .count { case (a, b) => a == b }.toDouble / numHashes
                   if (agg >= minAgreement)
                     out += ((math.min(sid, id), math.max(sid, id), agg))
                 }
+                if (seen.size < maxBucketState) seen = seen :+ ((id, sg))
               }
-              if (seen.size < maxBucketState) seen = seen :+ ((id, sg))
             }
-            state.update(seen)
+            state.update((seen, maxTs))
             if (maxTs > 0) state.setTimeoutTimestamp(maxTs, delay)
             out.iterator
           }

@@ -98,6 +98,15 @@ class EncodingHygieneSpec extends SparkTestBase {
     assert(rows(1).isNullAt(3), "empty doc must score null")
   }
 
+  test("nfc: non-string input rejected at analysis time, not with a runtime ClassCastException") {
+    val session = spark
+    import session.implicits._
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("n").select(NfcNormalize.nfcNormalize(col("n"))).collect()
+    }
+    assert(e.getMessage.contains("nfc_normalize"), e.getMessage)
+  }
+
   test("badCharCount + stripControlChars: exact over seeded damage; tab/LF/CR preserved") {
     val session = spark
     import session.implicits._

@@ -116,7 +116,9 @@ class UrlOpsSpec extends SparkTestBase {
       (1L, "fine https://good.example.com/1"),
       (2L, "mixed https://good.example.com/2 and http://ads.bad.net/x"),
       (3L, "no urls at all"),
-      (4L, "http://bad.net/direct")).toDF("doc_id", "text")
+      (4L, "http://bad.net/direct"),
+      (5L, "case dodge http://Spam.BAD.net/y"),     // DNS is case-insensitive
+      (6L, "dot dodge http://x.bad.net./z")).toDF("doc_id", "text") // trailing-dot FQDN
     val block = Seq("bad.net", "never-seen.io").toDF("domain")
     val kept = UrlOps.filterBlockedDomains(docs, block)
     assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq

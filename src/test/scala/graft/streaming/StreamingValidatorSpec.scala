@@ -321,6 +321,12 @@ class StreamingValidatorSpec extends SparkTestBase {
       q.processAllAvailable()
       stream.addData(corpus.drop(2).map { case (i, t) => (ts(i.toInt), i, t) }: _*)
       q.processAllAvailable()
+      val nBefore = spark.table("sv_mh").count()
+      // at-least-once re-delivery of doc 2 must emit nothing new
+      stream.addData((ts(2), 2L, corpus(1)._2))
+      q.processAllAvailable()
+      assert(spark.table("sv_mh").count() == nBefore,
+        "re-delivered doc_id emitted new pair events")
       val streamed = spark.table("sv_mh").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val cands = graft.ops.Dedup.minhashCandidates(corpus.toDF("doc_id", "text"))
