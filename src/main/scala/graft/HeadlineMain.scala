@@ -128,6 +128,9 @@ object HeadlineMain {
         TextAnalysis.qualityScore(col("text")).as("q"))
         .agg(count(lit(1)), avg(col("q"))).collect()
     }
+    bench("curate") { // the composed hygiene→filter→dedup front door
+      graft.ops.Curation.curate(tbl("documents")).count()
+    }
     bench("ann_topk") {
       val emb = tbl("embeddings")
       val q = emb.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
