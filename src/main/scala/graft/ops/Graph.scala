@@ -144,22 +144,35 @@ object Graph {
       .distinct().localCheckpoint()
     var scores = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // norm aggregates coalesce to 0.0 (an empty edge frame yields a null
+    // sum, as pageRank's dangling-mass collect already handles) and a zero
+    // norm short-circuits: the iteration has dried — dividing by it would
+    // turn every score into NaN (or NPE on the empty frame)
+    var dry = false
+    for (_ <- 1 to iters if !dry) {
       val authRaw = e.join(scores, e("esrc") === scores("node"))
         .groupBy(col("edst").as("node")).agg(sum(col("hub")).as("raw"))
-      val authN = math.sqrt(authRaw.agg(sum(col("raw") * col("raw")))
-        .collect()(0).getDouble(0))
-      val auth = authRaw.select(col("node"), (col("raw") / lit(authN)).as("auth"))
-      val hubRaw = e.join(auth, e("edst") === auth("node"))
-        .groupBy(col("esrc").as("node")).agg(sum(col("auth")).as("raw"))
-      val hubN = math.sqrt(hubRaw.agg(sum(col("raw") * col("raw")))
-        .collect()(0).getDouble(0))
-      val hub = hubRaw.select(col("node"), (col("raw") / lit(hubN)).as("hub"))
-      scores = nodes
-        .join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
-        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
-          coalesce(col("auth"), lit(0.0)).as("auth"))
-        .localCheckpoint()
+      val authSq = authRaw.agg(coalesce(sum(col("raw") * col("raw")), lit(0.0)))
+        .collect()(0).getDouble(0)
+      if (authSq == 0.0) dry = true
+      else {
+        val authN = math.sqrt(authSq)
+        val auth = authRaw.select(col("node"), (col("raw") / lit(authN)).as("auth"))
+        val hubRaw = e.join(auth, e("edst") === auth("node"))
+          .groupBy(col("esrc").as("node")).agg(sum(col("auth")).as("raw"))
+        val hubSq = hubRaw.agg(coalesce(sum(col("raw") * col("raw")), lit(0.0)))
+          .collect()(0).getDouble(0)
+        if (hubSq == 0.0) dry = true
+        else {
+          val hubN = math.sqrt(hubSq)
+          val hub = hubRaw.select(col("node"), (col("raw") / lit(hubN)).as("hub"))
+          scores = nodes
+            .join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+            .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+              coalesce(col("auth"), lit(0.0)).as("auth"))
+            .localCheckpoint()
+        }
+      }
     }
     scores
   }

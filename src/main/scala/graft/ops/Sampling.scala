@@ -78,19 +78,29 @@ object Sampling {
     * replacement with inclusion proportional to weight (Efraimidis &
     * Spirakis 2006) — deterministic, so resumable runs and cross-engine
     * checks see the same sample.
+    *
+    * A-ES is defined only for weight > 0: weight = 0 gives u^Inf = 0 and a
+    * NEGATIVE weight gives u^(negative) > 1 — a key that outranks every
+    * valid row. Non-positive (or null) weights therefore get a NULL key, so
+    * they can never win [[weightedTopK]]'s descending top-k (nulls sort
+    * last) instead of silently corrupting the sample.
     */
   def aresKey(key: Column, weight: Column): Column = {
     val u = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
       .cast("double") / lit(281474976710656.0) // 2^48
-    pow(u, lit(1.0) / weight.cast("double"))
+    when(weight > 0, pow(u, lit(1.0) / weight.cast("double")))
   }
 
   /** Weighted top-k sample: global TakeOrdered on [[aresKey]] — no full
     * sort, each partition keeps k candidates and the driver merges (the
     * scalable distributed k-selection). Ties break on the key column.
+    * Rows with non-positive weight (null A-ES key) are dropped outright —
+    * without the filter they could still PAD the result when fewer than k
+    * valid rows exist.
     */
   def weightedTopK(df: DataFrame, key: String, weight: String, k: Int): DataFrame =
     df.withColumn("ares_key", aresKey(col(key), col(weight)))
+      .filter(col("ares_key").isNotNull)
       .orderBy(col("ares_key").desc, col(key)).limit(k)
 
   /** Sequence packing: assign docs to fixed-token-budget training shards —

@@ -206,8 +206,17 @@ object StreamingValidator {
     * new arrival agrees with a stored signature at ≥ `minAgreement` —
     * i.e. near-dup PAIRS ON ARRIVAL. Events are per colliding band;
     * consumers dedup pairs (exactly as the batch candidate stage
-    * `distinct`s across bands), and a re-delivered doc_id (at-least-once
-    * source) is recognized in state and ignored. Event-time timeout
+    * `distinct`s across bands). A re-delivered doc_id (at-least-once
+    * source) is recognized and ignored for every STORED id and within a
+    * micro-batch; once a bucket is at `maxBucketState`, new ids match but
+    * are not stored, so a re-delivery of an over-cap id in a LATER batch
+    * re-emits its pair events — harmless precisely because consumers
+    * already dedup pairs (tracking over-cap ids would grow state past the
+    * cap, defeating it). Membership is checked against a per-invocation
+    * hash set (built once per group, O(state)), so raising
+    * `maxBucketState` costs O(arrivals · state) for the pair mining
+    * itself — inherent to emitting pairs — not an extra quadratic
+    * membership scan. Event-time timeout
     * drops a bucket's state once the watermark passes its latest-ever
     * arrival + `delay` (monotone — a late in-watermark arrival cannot
     * LOWER a previously set timeout), so state is bounded by hot-window
@@ -247,13 +256,19 @@ object StreamingValidator {
           else {
             var (seen, maxTs) = state.getOption.getOrElse((Seq.empty[(Long, Seq[Long])], 0L))
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            // O(1) membership beside the ordered Seq: built once per group
+            // invocation, and it also absorbs ids processed THIS batch that
+            // the cap keeps out of stored state (in-batch re-delivery guard)
+            val seenIds = scala.collection.mutable.HashSet.empty[Long]
+            seen.foreach(s => seenIds += s._1)
             // in-batch arrivals process in id order so same-batch pairs
             // are deterministic regardless of partition interleaving
             rows.toSeq.sortBy(_._1).foreach { case (id, ts, sg, _) =>
               // maxTs is the latest event time EVER seen (kept in state):
               // a late in-watermark batch must not lower the timeout
               maxTs = math.max(maxTs, ts.getTime)
-              if (!seen.exists(_._1 == id)) { // at-least-once re-delivery
+              if (!seenIds.contains(id)) { // at-least-once re-delivery
+                seenIds += id
                 seen.foreach { case (sid, ssig) =>
                   val agg = sg.iterator.zip(ssig.iterator)
                     .count { case (a, b) => a == b }.toDouble / numHashes

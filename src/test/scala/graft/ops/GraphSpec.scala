@@ -117,6 +117,14 @@ class GraphSpec extends SparkTestBase {
       "D" -> ((1L, 0L, 2L))), ints.toString)
   }
 
+  test("hits on an empty edge frame returns the empty scores frame (no NPE)") {
+    val session = spark
+    import session.implicits._
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val got = Graph.hits(empty, iters = 3).collect()
+    assert(got.isEmpty)
+  }
+
   test("pageRank tolL1 early-exit lands within tolerance of the converged ranks") {
     val session = spark
     import session.implicits._

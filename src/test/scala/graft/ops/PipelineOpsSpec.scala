@@ -321,6 +321,17 @@ class PipelineOpsSpec extends SparkTestBase {
     val keys = df.select(Sampling.aresKey(col("doc_id"), col("w")).as("k"))
       .collect().map(_.getDouble(0))
     assert(keys.forall(k => k > 0.0 && k < 1.0))
+    // weight = 0 (u^Inf = 0) and weight < 0 (u^neg > 1, outranks every
+    // valid row) must get a NULL key and never enter the sample
+    val bad = ((0L until 10L).map(i => (i, 1.0)) ++
+      Seq((100L, 0.0), (101L, -2.0))).toDF("doc_id", "w")
+    val badKeys = bad.select(col("doc_id"),
+      Sampling.aresKey(col("doc_id"), col("w")).as("k")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(badKeys(100L).isEmpty && badKeys(101L).isEmpty)
+    val kept = Sampling.weightedTopK(bad, "doc_id", "w", 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 10L).toSet, s"bad-weight rows leaked: $kept")
   }
 
   test("packIntoShards: start-offset shard assignment vs an independent per-bucket reference") {
