@@ -447,9 +447,12 @@ object SparkEntry {
 
     // per-source corpus accounting (volume, language spread, exact-dup
     // count inside each source) — planted dup slice makes n_dup_docs
-    // non-vacuous
+    // non-vacuous; planted null-text slice (doc_id % 97) proves null-text
+    // docs count as n_null_text, NOT as duplicates
     "q_source_report" -> ((s, d) =>
-      graft.ops.CorpusReport.bySource(withDups(t(s, d, "documents")))),
+      graft.ops.CorpusReport.bySource(withDups(t(s, d, "documents"))
+        .withColumn("text", when(col("doc_id") % 97 === 0,
+          lit(null).cast("string")).otherwise(col("text"))))),
 
     // --- distinct-word ratio (Gopher-style repetition filter) ------------
     "q_word_diversity" -> ((s, d) =>
@@ -538,13 +541,14 @@ object SparkEntry {
     }),
 
     // --- URL canonicalization over seeded messy URLs: mixed-case scheme/
-    // host, default + non-default ports, fragments, bare root paths ------
+    // host, default + non-default ports, fragments, bare root paths, and a
+    // trailing-dot host (`.org.`) that must canonicalize to `.org` --------
     "q_url_canon" -> ((s, d) => {
       val id = col("doc_id")
       val k = (id % 7).cast("string")
       val u = when(id % 4 === 0, concat(lit("HTTP://WWW.Example"), k,
           lit(".COM:80/Path/"), id.cast("string"), lit("?q=A#frag")))
-        .when(id % 4 === 1, concat(lit("https://Sub.Site"), k, lit(".org:8443/")))
+        .when(id % 4 === 1, concat(lit("https://Sub.Site"), k, lit(".org.:8443/")))
         .when(id % 4 === 2, concat(lit("HTTPS://Host"), k, lit(".NET:443/x/Y#z")))
         .otherwise(concat(lit("http://plain"), k, lit(".io")))
       t(s, d, "documents").select(id, u.as("url"),
@@ -1222,15 +1226,17 @@ object SparkEntry {
         "FROM events GROUP BY 1"),
 
     "q_source_report" ->
-      ("WITH u AS (SELECT text, source, lang FROM documents UNION ALL " +
-        "SELECT text, source, lang FROM documents WHERE doc_id % 10 = 0) " +
+      ("WITH u AS (SELECT doc_id, text, source, lang FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text, source, lang FROM documents WHERE doc_id % 10 = 0), " +
+        "v AS (SELECT CASE WHEN doc_id % 97 = 0 THEN NULL ELSE text END AS text, source, lang FROM u) " +
         "SELECT source, count(*) AS n_docs, " +
         "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens, " +
         "CAST(sum(len(text)) AS BIGINT) AS n_chars, " +
         "CAST(sum(len(text)) AS DOUBLE) / count(*) AS avg_chars, " +
         "count(DISTINCT lang) AS n_langs, " +
-        "count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_dup_docs " +
-        "FROM u GROUP BY 1"),
+        "count(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_dup_docs, " +
+        "count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text " +
+        "FROM v GROUP BY 1"),
 
     "q_inverted_index" ->
       ("WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c FROM documents), " +
@@ -1360,11 +1366,11 @@ object SparkEntry {
     "q_url_canon" ->
       ("WITH u AS (SELECT doc_id, CASE " +
         "WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/Path/' || CAST(doc_id AS VARCHAR) || '?q=A#frag' " +
-        "WHEN doc_id % 4 = 1 THEN 'https://Sub.Site' || CAST(doc_id % 7 AS VARCHAR) || '.org:8443/' " +
+        "WHEN doc_id % 4 = 1 THEN 'https://Sub.Site' || CAST(doc_id % 7 AS VARCHAR) || '.org.:8443/' " +
         "WHEN doc_id % 4 = 2 THEN 'HTTPS://Host' || CAST(doc_id % 7 AS VARCHAR) || '.NET:443/x/Y#z' " +
         "ELSE 'http://plain' || CAST(doc_id % 7 AS VARCHAR) || '.io' END AS url FROM documents), " +
         "x AS (SELECT doc_id, url, lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme, " +
-        "lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)) AS host, " +
+        "regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)), '\\.$', '') AS host, " +
         "regexp_extract(url, '(?i)^https?://[^/:?#]+:([0-9]+)', 1) AS port, " +
         "regexp_extract(url, '(?i)^https?://[^/?#]*([^#]*)', 1) AS pq FROM u) " +
         "SELECT doc_id, url, scheme || '://' || host || " +

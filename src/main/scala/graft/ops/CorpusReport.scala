@@ -29,6 +29,10 @@ object CorpusReport {
         // hash-compare, unlike accumulated-FP averages
         (sum(length(col(text))) / count(lit(1))).as("avg_chars"),
         countDistinct(col(lang)).as("n_langs"),
-        (count(lit(1)) -
-          countDistinct(TextAnalysis.fingerprint(col(text)))).as("n_dup_docs"))
+        // minuend counts only rows WITH a fingerprint: null-text docs have
+        // a null fingerprint, which countDistinct excludes — a count(*)
+        // minuend would tally every null-text doc as a duplicate
+        (count(TextAnalysis.fingerprint(col(text))) -
+          countDistinct(TextAnalysis.fingerprint(col(text)))).as("n_dup_docs"),
+        count(when(col(text).isNull, lit(1))).as("n_null_text"))
 }

@@ -58,7 +58,11 @@ object UrlOps {
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "(?i)^(https?)://", 1))
-    val host = lower(regexp_extract(url, "(?i)^https?://([^/:?#]+)", 1))
+    // trailing-dot strip matches hostOf: `example.com.` ≡ `example.com` in
+    // DNS, and a canonical key that distinguishes them would give the same
+    // page two dedup/frontier identities
+    val host = regexp_replace(
+      lower(regexp_extract(url, "(?i)^https?://([^/:?#]+)", 1)), "\\.$", "")
     val port = regexp_extract(url, "(?i)^https?://[^/:?#]+:([0-9]+)", 1)
     val defaultPort = when(scheme === "https", "443").otherwise("80")
     val portPart = when(port =!= "" && port =!= defaultPort,

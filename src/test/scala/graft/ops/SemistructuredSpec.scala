@@ -41,16 +41,21 @@ class SemistructuredSpec extends SparkTestBase {
       (1L, "alpha beta gamma", "s1", "en"),
       (2L, "ALPHA   beta gamma", "s1", "en"), // canonical dup of doc 1
       (3L, "quatre cinq", "s1", "fr"),
+      (5L, null, "s1", "en"), // null text: n_null_text, NOT a duplicate
+      (6L, null, "s1", "en"),
       (4L, "one two three four", "s2", "en")
     ).toDF("doc_id", "text", "source", "lang")
     val rep = CorpusReport.bySource(docs).collect()
       .map(r => r.getString(0) -> r).toMap
     val s1 = rep("s1")
-    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("n_docs") == 5L)
     assert(s1.getAs[Long]("n_tokens") == 8L)
     assert(s1.getAs[Long]("n_langs") == 2L)
-    assert(s1.getAs[Long]("n_dup_docs") == 1L, "docs 1+2 share a fingerprint")
+    assert(s1.getAs[Long]("n_dup_docs") == 1L,
+      "docs 1+2 share a fingerprint; the two null-text docs must not count")
+    assert(s1.getAs[Long]("n_null_text") == 2L)
     assert(rep("s2").getAs[Long]("n_dup_docs") == 0L)
+    assert(rep("s2").getAs[Long]("n_null_text") == 0L)
     assert(rep("s2").getAs[Double]("avg_chars") == 18.0)
   }
 }

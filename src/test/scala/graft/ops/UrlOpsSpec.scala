@@ -60,7 +60,11 @@ class UrlOpsSpec extends SparkTestBase {
       ("http://plain.io", "http://plain.io"),
       ("http://a.com/", "http://a.com"),
       ("http://a.com:8080/p/Q?x=1&y=2", "http://a.com:8080/p/Q?x=1&y=2"),
-      ("https://b.io:80/k", "https://b.io:80/k")) // 80 is NOT https default
+      ("https://b.io:80/k", "https://b.io:80/k"), // 80 is NOT https default
+      // trailing-dot FQDN ≡ bare host (matches hostOf, so blocklist and
+      // frontier keys agree), with and without a port
+      ("https://Example.COM./p", "https://example.com/p"),
+      ("http://h.io.:8080/x", "http://h.io:8080/x"))
     val got = cases.map(_._1).toDF("u")
       .select(col("u"), UrlOps.canonicalizeUrl(col("u")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
