@@ -44,11 +44,17 @@ object SparkEntry {
   /** Documents with deterministically seeded URL mentions: every doc gets
     * one good URL (host varies with md5(doc_id) and doc_id % 7); every
     * third doc also gets a blocklisted `*.bad-ads.net` URL with a trailing
-    * period — making the URL-extract / blocklist-filter oracles non-vacuous
-    * and byte-comparable in both engines.
+    * period; every fifth-mod-1 doc LEADS with a `shop{k}.co.uk` URL — a
+    * public-suffix host whose registrable domain is three labels, proving
+    * the PSL rule keeps distinct `.co.uk` sites apart in the cap /
+    * blocklist oracles. All byte-comparable in both engines.
     */
   private def urlSeeded(docs: DataFrame): DataFrame =
     docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 5 === 1,
+        concat(lit(" via https://shop"), (col("doc_id") % 6).cast("string"),
+          lit(".co.uk/item")))
+        .otherwise(lit("")),
       lit(" see https://"),
       substring(md5(col("doc_id").cast("string")), 1, 4),
       lit(".news.example"), (col("doc_id") % 7).cast("string"),
@@ -485,12 +491,14 @@ object SparkEntry {
           col("domain"))),
 
     // --- domain-blocklist corpus filter (broadcast semi-join → anti-join);
-    // the two never-seeded domains prove no over-blocking -----------------
+    // the two never-seeded domains prove no over-blocking; shop3.co.uk
+    // proves the PSL rule — it blocks ONLY the shop3 site, not co.uk ------
     "q_domain_filter" -> ((s, d) => {
       import s.implicits._
       graft.ops.UrlOps.filterBlockedDomains(
           urlSeeded(t(s, d, "documents")),
-          Seq("bad-ads.net", "evil.example", "tracker.io").toDF("domain"))
+          Seq("bad-ads.net", "evil.example", "tracker.io", "shop3.co.uk")
+            .toDF("domain"))
         .select(col("doc_id"))
     }),
 
@@ -1278,7 +1286,7 @@ object SparkEntry {
         "FROM documents WHERE doc_id % 7 = 0"),
 
     // URL extraction over the seeded corpus: DuckDB re-derives mention
-    // order with generate_series over the extracted list; host / naive
+    // order with generate_series over the extracted list; host / PSL
     // registrable-domain parsing mirrors UrlOps term-for-term
     "q_url_extract" ->
       (s"WITH s AS (SELECT * FROM ($UrlSeedSql) WHERE doc_id % 11 = 0), " +
@@ -1286,29 +1294,29 @@ object SparkEntry {
         "m AS (SELECT doc_id, CAST(i AS INT) - 1 AS url_idx, urls[CAST(i AS INT)] AS url " +
         "FROM x, UNNEST(generate_series(1, len(urls))) AS u(i)), " +
         "h AS (SELECT doc_id, url_idx, url, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.$', '') AS host FROM m) " +
-        "SELECT doc_id, url_idx, url, host, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
-        "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h"),
+        s"SELECT doc_id, url_idx, url, host, ${domainSql("host")} AS domain FROM h"),
 
     // domain-blocklist filter: docs survive iff NO extracted mention's
-    // registrable domain is blocklisted
+    // registrable domain is blocklisted; shop3.co.uk is a PSL-rule plant —
+    // only the shop3 .co.uk site blocks, its .co.uk siblings survive
     "q_domain_filter" ->
       (s"WITH s AS ($UrlSeedSql), " +
         s"m AS (SELECT doc_id, u.url FROM (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), UNNEST(urls) AS u(url)), " +
         "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.$', '') AS host FROM m), " +
-        "dm AS (SELECT doc_id, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
-        "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h) " +
+        s"dm AS (SELECT doc_id, ${domainSql("host")} AS domain FROM h) " +
         "SELECT doc_id FROM s WHERE doc_id NOT IN " +
-        "(SELECT DISTINCT doc_id FROM dm WHERE domain IN ('bad-ads.net', 'evil.example', 'tracker.io'))"),
+        "(SELECT DISTINCT doc_id FROM dm WHERE domain IN ('bad-ads.net', 'evil.example', 'tracker.io', 'shop3.co.uk'))"),
 
     // domain cap: rank within the FIRST mention's registrable domain by
-    // doc_id, keep rank ≤ 100 (no-URL docs would pass via the NULL arm)
+    // doc_id, keep rank ≤ 100 (no-URL docs would pass via the NULL arm);
+    // the doc_id % 5 = 1 docs lead with shop{k}.co.uk, so each .co.uk
+    // site caps SEPARATELY under the PSL rule
     "q_domain_cap" ->
       (s"WITH s AS ($UrlSeedSql), " +
         s"x AS (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), " +
         "f AS (SELECT doc_id, urls[1] AS url FROM x WHERE len(urls) >= 1), " +
         "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.$', '') AS host FROM f), " +
-        "dm AS (SELECT doc_id, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
-        "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain FROM h), " +
+        s"dm AS (SELECT doc_id, ${domainSql("host")} AS domain FROM h), " +
         "r AS (SELECT doc_id, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk FROM dm) " +
         "SELECT s.doc_id FROM s LEFT JOIN r USING (doc_id) WHERE r.rk IS NULL OR r.rk <= 100"),
 
@@ -1682,10 +1690,25 @@ object SparkEntry {
     * the q_url_extract and q_domain_filter oracles.
     */
   private val UrlSeedSql: String =
-    ("SELECT doc_id, text || ' see https://' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) || " +
+    ("SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 5 = 1 THEN ' via https://shop' || CAST(doc_id % 6 AS VARCHAR) || '.co.uk/item' ELSE '' END || " +
+      "' see https://' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) || " +
       "'.news.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id AS VARCHAR) || " +
       "CASE WHEN doc_id % 3 = 0 THEN ' and http://spam' || CAST(doc_id % 4 AS VARCHAR) || '.bad-ads.net/x?q=1.' " +
       "ELSE '' END AS seeded FROM documents")
+
+  /** [[graft.ops.UrlOps.registrableDomain]] in DuckDB, over a host-valued
+    * column `h`: longest-matching two-part public suffix + 1 label; the
+    * suffix set is the SAME Scala constant rendered as an IN list, so the
+    * two engines' rules cannot drift.
+    */
+  private def domainSql(h: String): String = {
+    val ps = graft.ops.UrlOps.TwoPartSuffixes.map(s => s"'$s'").mkString(", ")
+    s"CASE WHEN len(string_split($h, '.')) <= 2 THEN $h " +
+      s"WHEN (string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]) IN ($ps) " +
+      s"THEN string_split($h, '.')[-3] || '.' || string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1] " +
+      s"ELSE string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1] END"
+  }
 
   /** Shared training CTEs for the quality-classifier oracles: canonical
     * tokens, the integer lexical-diversity label (±1 per token), and the

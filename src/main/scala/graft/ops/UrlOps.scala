@@ -73,16 +73,108 @@ object UrlOps {
     concat(scheme, lit("://"), host, portPart, pqNorm)
   }
 
-  /** Naive registrable domain: the last two dot-labels of the host
-    * (`a.b.example.com` → `example.com`). A production suffix list (PSL)
-    * plugs in here as a broadcast lookup; the two-label rule is the
-    * deterministic zero-external-data stand-in and is exact for the
-    * `*.TLD` majority of crawl hosts.
+  /** Embedded snapshot of the COMMON two-part public suffixes (a subset of
+    * the Mozilla Public Suffix List, which is public data): under these,
+    * the registrable domain is the last THREE host labels, not two —
+    * without this, `bbc.co.uk` and `spam.co.uk` both collapse to `co.uk`
+    * and every per-domain cap / profile / blocklist decision is corrupted
+    * for ccTLD hosts. The snapshot covers the second-level registries of
+    * the major crawled ccTLDs; a deployment carrying the FULL list swaps
+    * it in via the `twoPartSuffixes` parameter (a few thousand strings —
+    * still literal-sized) or the [[withRegistrableDomain]] broadcast-table
+    * seam.
     */
-  def registrableDomain(host: Column): Column = {
+  val TwoPartSuffixes: Seq[String] = Seq(
+    // UK
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+    "ltd.uk", "plc.uk", "nhs.uk",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    // Japan / Korea / China / Taiwan / Hong Kong
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
+    "lg.jp",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    // Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec",
+    // South / Southeast Asia
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "res.in",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "co.id", "or.id", "net.id", "web.id", "ac.id", "sch.id", "go.id",
+    "co.th", "or.th", "net.th", "ac.th", "go.th", "in.th",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    // Middle East / Africa
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr", "web.tr",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "sch.ae",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    // Europe (second-level registries)
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt")
+
+  /** Registrable domain under the embedded public-suffix snapshot:
+    * longest-matching public suffix + one label. `a.b.example.com` →
+    * `example.com`; `news.bbc.co.uk` → `bbc.co.uk` (because `co.uk` is a
+    * public suffix, NOT a registrable domain). A host that IS a suffix (or
+    * has ≤ 2 labels) returns itself. The suffix set rides in the plan as a
+    * literal array (`array_contains` — codegen'd, row-local, effectively a
+    * broadcast); for the full PSL use [[withRegistrableDomain]].
+    */
+  def registrableDomain(host: Column,
+                        twoPartSuffixes: Seq[String] = TwoPartSuffixes): Column = {
     val parts = split(host, "\\.")
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
     when(size(parts) <= 2, host)
-      .otherwise(concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+      .when(array_contains(typedLit(twoPartSuffixes), last2),
+        concat_ws(".", element_at(parts, -3), last2))
+      .otherwise(last2)
+  }
+
+  /** Broadcast-table seam for the FULL public-suffix list: joins the
+    * mentions frame's last-two-label candidate against a one-column
+    * (`suffix`) frame of two-part public suffixes and rewrites `domain` —
+    * semantically identical to [[registrableDomain]] with the same suffix
+    * set (parity-asserted in UrlOpsSpec), but the list lives in a
+    * broadcast relation instead of a plan literal, the right shape when
+    * the list is tens of thousands of rows or ships from a table.
+    */
+  def withRegistrableDomain(mentions: DataFrame, suffixes: DataFrame,
+                            host: String = "host"): DataFrame = {
+    val parts = split(col(host), "\\.")
+    // guarded: unlike the when()-chain in registrableDomain, this column is
+    // materialized unconditionally as the join key, and element_at(-2)
+    // THROWS (ANSI) on a single-label host rather than returning null
+    val last2 = when(size(parts) >= 2,
+      concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+    mentions.withColumn("__last2", last2)
+      .join(broadcast(suffixes.select(col("suffix").as("__last2"),
+        lit(true).as("__is_suffix"))), Seq("__last2"), "left")
+      .withColumn("domain",
+        when(size(parts) <= 2, col(host))
+          .when(col("__is_suffix"),
+            concat_ws(".", element_at(parts, -3), col("__last2")))
+          .otherwise(col("__last2")))
+      .drop("__last2", "__is_suffix")
   }
 
   /** (id, url, host, domain) — one row per URL mention, document order

@@ -39,6 +39,49 @@ class UrlOpsSpec extends SparkTestBase {
       ("a.com", "a.com")), s"got $got")
   }
 
+  test("registrableDomain: public-suffix hosts keep three labels; bbc.co.uk != spam.co.uk") {
+    val session = spark
+    import session.implicits._
+    val hosts = Seq(
+      "www.bbc.co.uk", "spam.co.uk", "news.bbc.co.uk", "bbc.co.uk",
+      "co.uk",              // the bare suffix: ≤2 labels → itself
+      "a.b.shop.com.au", "x.go.jp", "deep.sub.example.com", "example.com")
+    val got = hosts.toDF("h")
+      .select(col("h"), UrlOps.registrableDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("www.bbc.co.uk") == "bbc.co.uk")
+    assert(got("news.bbc.co.uk") == "bbc.co.uk")
+    assert(got("spam.co.uk") == "spam.co.uk")
+    assert(got("bbc.co.uk") == "bbc.co.uk")
+    assert(got("co.uk") == "co.uk")
+    assert(got("a.b.shop.com.au") == "shop.com.au")
+    assert(got("x.go.jp") == "x.go.jp")
+    assert(got("deep.sub.example.com") == "example.com")
+    assert(got("example.com") == "example.com")
+    // the critical corruption the naive 2-label rule caused: two distinct
+    // .co.uk sites must NOT share a registrable domain
+    assert(got("www.bbc.co.uk") != got("spam.co.uk"))
+  }
+
+  test("withRegistrableDomain (broadcast suffix table) matches the literal-set rule on every host shape") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "https://www.bbc.co.uk/news https://spam.co.uk/x"),
+      (2L, "http://a.b.shop.com.au/p and https://deep.sub.example.com/q"),
+      (3L, "http://single/x http://co.uk/y")).toDF("doc_id", "text")
+    val viaLiteral = UrlOps.urlMentions(docs)
+      .select("doc_id", "url_idx", "domain").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val suffixes = UrlOps.TwoPartSuffixes.toDF("suffix")
+    val viaTable = UrlOps.withRegistrableDomain(
+        UrlOps.urlMentions(docs).drop("domain"), suffixes)
+      .select("doc_id", "url_idx", "domain").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(viaTable == viaLiteral, s"table=$viaTable literal=$viaLiteral")
+    assert(viaLiteral((1L, 0)) == "bbc.co.uk" && viaLiteral((1L, 1)) == "spam.co.uk")
+  }
+
   test("domainProfile: exact mention and distinct-doc counts per domain") {
     val session = spark
     import session.implicits._
