@@ -202,15 +202,39 @@ object UrlOps {
     * flooding the corpus): keep at most `k` docs per registrable domain —
     * deterministically the lowest doc ids — where a doc's domain is that
     * of its FIRST URL mention. Docs with no URL mentions pass untouched.
+    * Requires a long-castable id (crawl doc ids are integers here; for
+    * opaque string ids use [[capPerDomainViaWindow]]).
     *
-    * Scale shape: the rank is a window partitioned by domain; heavy-hitter
-    * domains make single fat partitions, but each window state is one
-    * counter and rows stream through it — and the window input is the
-    * (doc, domain) projection, not the doc payloads. The payload-carrying
-    * join is keyed on doc_id.
+    * Scale shape — skew-immune: registrable domains are the canonical hot
+    * key (wordpress.com), and a window rank would sort a mega-domain's
+    * whole projection in ONE task. Instead the winners come from a bounded
+    * k-smallest `TypedImperativeAggregate`
+    * ([[graft.functions.KSmallestLongsAgg]]): every map task contributes
+    * ≤ k candidates per domain to the one domain-keyed exchange, the merged
+    * state is ≤ k longs, and no per-domain sort of the full row set exists
+    * anywhere in the plan (plan-asserted: no WindowExec). Losers (over-cap
+    * docs) and the final filter join on the UNIQUE doc id — skew-free by
+    * construction. Parity with the window form asserted in UrlOpsSpec.
     */
   def capPerDomain(docs: DataFrame, k: Int, id: String = "doc_id",
                    text: String = "text"): DataFrame = {
+    val dom = urlMentions(docs, id, text)
+      .filter(col("url_idx") === 0).select(col(id), col("domain"))
+    val winners = dom.groupBy(col("domain"))
+      .agg(graft.functions.KSmallestLongsAgg.kSmallest(col(id), k).as("keep"))
+      .select(explode(col("keep")).as(id))
+    val losers = dom.select(col(id).cast("long").as(id))
+      .join(winners, Seq(id), "left_anti")
+    docs.join(losers, docs(id).cast("long") === losers(id), "left_anti")
+  }
+
+  /** The window-rank form of [[capPerDomain]]: identical semantics for any
+    * orderable id type, but the per-domain `row_number` sort runs in one
+    * task per domain — fine below heavy-hitter scale or for string ids;
+    * the aggregate form is the 100 TB path.
+    */
+  def capPerDomainViaWindow(docs: DataFrame, k: Int, id: String = "doc_id",
+                            text: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dom = urlMentions(docs, id, text)
       .filter(col("url_idx") === 0).select(col(id), col("domain"))

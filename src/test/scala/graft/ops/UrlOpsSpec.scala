@@ -156,6 +156,32 @@ class UrlOpsSpec extends SparkTestBase {
     assert(kept == Seq(2L, 3L, 5L, 7L, 8L), s"got $kept")
   }
 
+  test("capPerDomain: parity with the window form on a skewed corpus; no window in the plan") {
+    val session = spark
+    import session.implicits._
+    // one mega-domain (800 docs of hot.com), a co.uk sibling pair, and a
+    // tail of small domains — spread over many partitions so the bounded
+    // aggregate's map-side partials actually merge
+    val docs = ((0L until 800L).map(i => (i, s"https://s$i.hot.com/p")) ++
+      (1000L until 1040L).map(i => (i, s"https://a.shop$i.co.uk/x")) ++
+      (2000L until 2030L).map(i => (i, s"http://t${i % 3}.tail.org/y")) ++
+      Seq((3000L, "no urls here")))
+      .toDF("doc_id", "text").repartition(16)
+    val viaAgg = UrlOps.capPerDomain(docs, k = 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaWin = UrlOps.capPerDomainViaWindow(docs, k = 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaAgg == viaWin, s"agg=$viaAgg win=$viaWin")
+    // hot.com capped to its 7 lowest ids; every 1-doc shopN.co.uk survives
+    assert(viaAgg.count(_ < 800L) == 7 && viaAgg.take(7) == (0L until 7L).toSeq)
+    assert((1000L until 1040L).forall(viaAgg.contains))
+    assert(viaAgg.contains(3000L))
+    // the skew guarantee is structural: no per-domain window sort anywhere
+    val plan = UrlOps.capPerDomain(docs, k = 7).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked into the capped plan:\n$plan")
+    assert(plan.contains("k_smallest"), s"bounded aggregate missing:\n$plan")
+  }
+
   test("filterBlockedDomains: drops docs with ANY blocked mention, keeps the rest; blocklist side broadcast") {
     val session = spark
     import session.implicits._
