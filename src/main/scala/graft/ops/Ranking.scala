@@ -15,10 +15,18 @@ import org.apache.spark.sql.functions._
   *    the shuffle, so shuffle volume is bounded by distinct (doc, term);
   *  - [[docFrequencies]] re-aggregates term counts by term only (second
   *    exchange is on term — far smaller: distinct terms, not doc×term);
-  *  - [[tfidf]]/[[bm25]] broadcast-join the per-term table (vocabulary ≪
-  *    corpus; for a vocabulary too large to broadcast, the join keys are
-  *    both term-partitioned, so the planner falls back to a co-located
-  *    sort-merge with no extra exchange on the big side).
+  *  - [[tfidf]]/[[bm25]] join the per-term table WITHOUT a forced hint by
+  *    default: a 100 TB crawl's distinct-token table (URLs, typos, code
+  *    identifiers) is easily 10^9+ rows, and an unconditional
+  *    `broadcast()` would collect it to the driver and die — the hint is
+  *    honored regardless of size estimate. Default shape: a sort-merge
+  *    join on term (the vocab side is already term-partitioned from its
+  *    aggregation; the (doc, term) side re-partitions once on term — the
+  *    unavoidable price of not broadcasting), and AQE converts it to a
+  *    runtime broadcast whenever the vocab MEASURES small. Plan-asserted
+  *    in RankingPlanSpec: no broadcast without the hint, broadcast with
+  *    it. Callers that KNOW the vocabulary is bounded (a fixed lexicon)
+  *    opt in with `broadcastVocab = true`.
   *  - Scores are per-(doc, term)-row-local FP ARITHMETIC (no FP summation
   *    across rows), so results are deterministic under any partitioning;
   *    cross-engine hash oracles still pin only the integer inputs (tf, df,
@@ -53,10 +61,11 @@ object Ranking {
     * pipeline reuse an already-known corpus size instead of recounting).
     */
   def tfidf(docs: DataFrame, nDocs: Long, id: String = "doc_id",
-            text: String = "text"): DataFrame = {
+            text: String = "text", broadcastVocab: Boolean = false): DataFrame = {
     val tc = termCounts(docs, id, text)
     val df = docFrequencies(tc, id)
-    tc.join(broadcast(df), Seq("term"))
+    val vocab = if (broadcastVocab) broadcast(df) else df
+    tc.join(vocab, Seq("term"))
       .select(col(id), col("term"), col("tf"), col("df"),
         (col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0))
           .as("tfidf"))
@@ -69,17 +78,19 @@ object Ranking {
     */
   def bm25(docs: DataFrame, nDocs: Long, avgLen: Double,
            k1: Double = 1.2, b: Double = 0.75,
-           id: String = "doc_id", text: String = "text"): DataFrame = {
+           id: String = "doc_id", text: String = "text",
+           broadcastVocab: Boolean = false): DataFrame = {
     val tc = termCounts(docs, id, text)
     val lens = tc.groupBy(col(id)).agg(sum(col("tf")).as("doc_len"))
     val df = docFrequencies(tc, id)
+    val vocab = if (broadcastVocab) broadcast(df) else df
     // arithmetic shape mirrors the q_bm25_rank oracle SQL term-for-term
     // (same association order, same folded double constants) so the only
     // cross-engine FP difference is the last ULP of ln()
     val lenNorm = lit(1.0 - b) + lit(b) * col("doc_len") / avgLen
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-    tc.join(broadcast(df), Seq("term"))
+    tc.join(vocab, Seq("term"))
       .join(lens, Seq(id))
       .select(col(id), col("term"), col("tf"), col("df"), col("doc_len"),
         (idf * (col("tf") * (k1 + 1.0)) / (col("tf") + lit(k1) * lenNorm))
