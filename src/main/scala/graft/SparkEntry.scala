@@ -355,23 +355,37 @@ object SparkEntry {
     }),
 
     // MP4 box walk: ftyp of VARIABLE declared size (compat-brand count =
-    // id%3, so the moov offset is data-dependent), then moov/mvhd with
-    // planted timescale + duration; id%4==3 plants garbage → null row,
-    // id%5==0 plants a VERSION-1 mvhd → null (64-bit times refused, not
-    // misparsed). DuckDB re-derives every offset from the size fields.
+    // id%3, so the moov offset is data-dependent); id%6==1 plants a `udta`
+    // child BEFORE mvhd (the walk must hop it); id%5==0 plants a VERSION-1
+    // mvhd (64-bit ctime/mtime/duration — parsed, not refused); id%4==3
+    // plants garbage → null row. DuckDB re-derives every offset — ftyp
+    // size, udta hop, version-dependent field positions — from the parsed
+    // size/version fields, never from the construction arithmetic.
     "q_video_meta" -> ((s, d) => {
       val id = col("doc_id")
       val brandHex = element_at(
         typedLit(Seq("69736F6D", "6D703432", "61766331")), (id % 3 + 1).cast("int"))
       val ftypSize = lit(16) + (id % 3) * 4
       val compat = repeat(lit("6D703431"), (id % 3).cast("int"))
-      val ver = when(id % 5 === 0, lit("01")).otherwise(lit("00"))
+      val ver1 = id % 5 === 0
+      val hasUdta = id % 6 === 1
+      val mvhdSize = when(ver1, lit(120)).otherwise(lit(108))
+      val moovSize = lit(8) + when(hasUdta, lit(16)).otherwise(lit(0)) + mvhdSize
+      val udtaBox = when(hasUdta,
+        lit("00000010" + "75647461" + "0000000000000000")).otherwise(lit(""))
+      val mvhdBody = when(ver1,
+        concat(lit("01000000"), // version 1 + flags
+          lit("0000000000000000"), lit("0000000000000000"), // 64-bit c/mtime
+          lpad(hex(lit(600) + id % 400), 8, "0"),
+          lpad(hex(lit(6000) + id % 5000), 16, "0"))) // 64-bit duration
+        .otherwise(concat(lit("00000000"),
+          lit("00000000"), lit("00000000"),
+          lpad(hex(lit(600) + id % 400), 8, "0"),
+          lpad(hex(lit(6000) + id % 5000), 8, "0")))
       val mp4 = concat(lpad(hex(ftypSize), 8, "0"), lit("66747970"), brandHex,
         lit("00000000"), compat,
-        lit("000000746D6F6F76"), lit("0000006C6D766864"), ver, lit("000000"),
-        lit("00000000"), lit("00000000"),
-        lpad(hex(lit(600) + id % 400), 8, "0"),
-        lpad(hex(lit(6000) + id % 5000), 8, "0"))
+        lpad(hex(moovSize), 8, "0"), lit("6D6F6F76"), udtaBox,
+        lpad(hex(mvhdSize), 8, "0"), lit("6D766864"), mvhdBody)
       val payload = when(id % 4 === 3, unhex(lit("4445414442454546")))
         .otherwise(unhex(mp4))
       val meta = graft.ops.Multimodal.mp4Meta(col("b"))
@@ -1121,27 +1135,40 @@ object SparkEntry {
         "FROM p2"),
 
     // MP4 walk: moov offset = the ftyp box's declared size (chars 1-8);
-    // moov/mvhd/version checks and timescale/duration fields re-derived
-    // from that parsed offset, never from the construction arithmetic
+    // the first moov child is hopped by ITS declared size when it's udta;
+    // mvhd field offsets switch on the PARSED version byte (v0 32-bit at
+    // +20/+24, v1 64-bit times at +28/+32) — every offset re-derived from
+    // parsed size/version fields, never from the construction arithmetic
     "q_video_meta" ->
       ("WITH b AS (SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN '4445414442454546' ELSE " +
         "lpad(hex(16 + (doc_id % 3) * 4), 8, '0') || '66747970' || " +
         "CASE doc_id % 3 WHEN 0 THEN '69736F6D' WHEN 1 THEN '6D703432' ELSE '61766331' END || " +
         "'00000000' || repeat('6D703431', CAST(doc_id % 3 AS INT)) || " +
-        "'000000746D6F6F76' || '0000006C6D766864' || " +
-        "CASE WHEN doc_id % 5 = 0 THEN '01' ELSE '00' END || '000000' || " +
-        "'00000000' || '00000000' || " +
-        "lpad(hex(600 + doc_id % 400), 8, '0') || lpad(hex(6000 + doc_id % 5000), 8, '0') END AS hx FROM documents), " +
+        "lpad(hex(8 + CASE WHEN doc_id % 6 = 1 THEN 16 ELSE 0 END + CASE WHEN doc_id % 5 = 0 THEN 120 ELSE 108 END), 8, '0') || '6D6F6F76' || " +
+        "CASE WHEN doc_id % 6 = 1 THEN '00000010756474610000000000000000' ELSE '' END || " +
+        "lpad(hex(CASE WHEN doc_id % 5 = 0 THEN 120 ELSE 108 END), 8, '0') || '6D766864' || " +
+        "CASE WHEN doc_id % 5 = 0 THEN '01000000' || '00000000000000000000000000000000' || " +
+        "lpad(hex(600 + doc_id % 400), 8, '0') || lpad(hex(6000 + doc_id % 5000), 16, '0') " +
+        "ELSE '00000000' || '0000000000000000' || " +
+        "lpad(hex(600 + doc_id % 400), 8, '0') || lpad(hex(6000 + doc_id % 5000), 8, '0') END " +
+        "END AS hx FROM documents), " +
         "p AS (SELECT doc_id, hx, TRY_CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) AS s1, " +
         "substr(hx, 9, 8) = '66747970' AS is_mp4 FROM b), " +
         "q AS (SELECT doc_id, hx, s1, is_mp4, " +
-        "is_mp4 AND len(hx) >= (s1 + 36) * 2 AND substr(hx, 2 * s1 + 9, 8) = '6D6F6F76' " +
-        "AND substr(hx, 2 * s1 + 25, 8) = '6D766864' AND substr(hx, 2 * s1 + 33, 2) = '00' AS ok FROM p) " +
+        "is_mp4 AND substr(hx, 2 * s1 + 9, 8) = '6D6F6F76' AS has_moov FROM p), " +
+        "c AS (SELECT doc_id, hx, is_mp4, has_moov, " +
+        "CASE WHEN substr(hx, 2 * (s1 + 8) + 9, 8) = '75647461' " +
+        "THEN s1 + 8 + TRY_CAST(('0x' || substr(hx, 2 * (s1 + 8) + 1, 8)) AS BIGINT) ELSE s1 + 8 END AS m FROM q), " +
+        "v AS (SELECT doc_id, hx, is_mp4, m, " +
+        "has_moov AND substr(hx, 2 * m + 9, 8) = '6D766864' AS has_mvhd, " +
+        "substr(hx, 2 * m + 17, 2) AS ver FROM c) " +
         "SELECT doc_id, CASE WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END AS format, " +
-        "CASE WHEN ok THEN decode(unhex(substr(hx, 17, 8))) END AS brand, " +
-        "CASE WHEN ok THEN TRY_CAST(('0x' || substr(hx, 2 * s1 + 57, 8)) AS BIGINT) END AS timescale, " +
-        "CASE WHEN ok THEN TRY_CAST(('0x' || substr(hx, 2 * s1 + 65, 8)) AS BIGINT) END AS duration " +
-        "FROM q"),
+        "CASE WHEN has_mvhd AND ver IN ('00', '01') THEN decode(unhex(substr(hx, 17, 8))) END AS brand, " +
+        "CASE WHEN has_mvhd AND ver = '00' THEN TRY_CAST(('0x' || substr(hx, 2 * m + 41, 8)) AS BIGINT) " +
+        "WHEN has_mvhd AND ver = '01' THEN TRY_CAST(('0x' || substr(hx, 2 * m + 57, 8)) AS BIGINT) END AS timescale, " +
+        "CASE WHEN has_mvhd AND ver = '00' THEN TRY_CAST(('0x' || substr(hx, 2 * m + 49, 8)) AS BIGINT) " +
+        "WHEN has_mvhd AND ver = '01' THEN TRY_CAST(('0x' || substr(hx, 2 * m + 65, 16)) AS BIGINT) END AS duration " +
+        "FROM v"),
 
     // MP3: DuckDB rebuilds the identical hex payload, decodes the syncsafe
     // ID3 size from 7-bit bytes, hops to the variable frame offset, and

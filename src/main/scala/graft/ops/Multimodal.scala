@@ -154,31 +154,16 @@ object Multimodal {
   }
 
   /** REAL MP4/ISO-BMFF container metadata — brand from the `ftyp` box,
-    * timescale + duration from the `mvhd` header: boxes are
-    * `BE-u32 size | 4-char type | payload`, so after the leading `ftyp`
-    * one declared-size hop lands on `moov`, whose first child is `mvhd`
-    * in every muxer's default layout (the one this bounded walk commits
-    * to — null otherwise, same flat-expression trade as [[wavSampleRate]];
-    * deeper box recursion belongs in a native expression). Version-1
-    * mvhd (64-bit times) and truncation before the duration field are
-    * nulled rather than misparsed. Duration stays (timescale, duration)
-    * — exact integers; milliseconds would be a lossy division.
+    * timescale + duration from the `mvhd` header, via the native bounded
+    * box walk [[graft.functions.Mp4Meta]]: finds `moov` wherever it sits
+    * at top level and `mvhd` wherever it sits among moov's children
+    * (`udta`/`iods`-first muxer layouts included), reads both mvhd
+    * versions (v0 32-bit and v1 64-bit times), and nulls anything
+    * malformed or truncated before the fields it reads. Duration stays
+    * (timescale, duration) — exact integers; milliseconds would be a
+    * lossy division.
     */
-  def mp4Meta(bin: Column): Column = {
-    val s1 = beUint32(bin, 1) // ftyp box size → moov starts at s1 + 1
-    def hx(off: Column, n: Int): Column = hex(bin.substr(off.cast("int"), lit(n)))
-    val moov = s1 + lit(1L)
-    val ok = sniffFormat(bin) === "mp4" &&
-      length(bin) >= moov + lit(35L) &&
-      hx(moov + lit(4L), 4) === "6D6F6F76" && // 'moov'
-      hx(moov + lit(12L), 4) === "6D766864" && // 'mvhd'
-      hx(moov + lit(16L), 1) === "00" // version 0 (32-bit times)
-    when(ok, struct(
-      bin.substr(9, 4).cast("string").as("brand"),
-      conv(hx(moov + lit(28L), 4), 16, 10).cast("long").as("timescale"),
-      conv(hx(moov + lit(32L), 4), 16, 10).cast("long").as("duration")))
-      .otherwise(lit(null).cast("struct<brand:string,timescale:bigint,duration:bigint>"))
-  }
+  def mp4Meta(bin: Column): Column = graft.functions.Mp4Meta.mp4Meta(bin)
 
   /** REAL MP3 metadata — ID3v2 tag size (syncsafe u28: four 7-bit bytes at
     * offsets 7-10) and the first MPEG frame header's bitrate / sample rate.

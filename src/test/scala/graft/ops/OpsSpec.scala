@@ -295,38 +295,55 @@ class OpsSpec extends SparkTestBase {
     assert(rates.toSeq == Seq(Some(8000L), None), rates.toSeq.toString)
   }
 
-  test("MP4 ftyp→moov→mvhd walk: variable ftyp size, v1/malformed → null") {
+  test("MP4 native box walk: box hops, udta-first moov, v1 64-bit mvhd; malformed → null") {
     val session = spark
     import session.implicits._
     import graft.ops.Multimodal
+    val ftyp16 = "00000010" + "66747970" + "69736F6D" + "00000000"
     // mvhd v0 tail: size|'mvhd'|ver|flags|ctime|mtime|timescale=1000|dur=10000
-    def tail(ver: String) = "000000746D6F6F76" + "0000006C6D766864" + ver +
+    val tail0 = "00000074" + "6D6F6F76" + "0000006C" + "6D766864" + "00" +
       "000000" + "00000000" + "00000000" + "000003E8" + "00002710"
+    // proper VERSION-1 mvhd: 64-bit ctime/mtime/duration, 32-bit timescale
+    val tail1 = "00000080" + "6D6F6F76" + "00000078" + "6D766864" + "01" +
+      "000000" + "0000000000000000" + "0000000000000000" + "000003E8" +
+      "0000000000002710"
     val rows = Seq(
-      // minimal ftyp (16 bytes, no compat brands)
-      "00000010" + "66747970" + "69736F6D" + "00000000" + tail("00"),
+      // minimal ftyp (16 bytes, no compat brands), v0 mvhd
+      ftyp16 + tail0,
       // one compat brand → ftyp size 20, moov at a deeper offset
-      "00000014" + "66747970" + "6D703432" + "00000000" + "6D703431" + tail("00"),
-      // version-1 mvhd (64-bit times) must be refused, not misparsed
-      "00000010" + "66747970" + "69736F6D" + "00000000" + tail("01"),
-      // ftyp followed by 'free' instead of 'moov' → null meta
-      "00000010" + "66747970" + "69736F6D" + "00000000" +
-        ("000000746672656500000000" + "0" * 56),
+      "00000014" + "66747970" + "6D703432" + "00000000" + "6D703431" + tail0,
+      // version-1 mvhd with REAL 64-bit fields → parsed, not refused
+      ftyp16 + tail1,
+      // v1 version byte over a v0-SIZED body → truncated before the
+      // 64-bit duration → null, not a misparse
+      ftyp16 + "00000074" + "6D6F6F76" + "0000006C" + "6D766864" + "01" +
+        "000000" + "00000000" + "00000000" + "000003E8" + "00002710",
+      // a well-formed 16-byte 'free' box between ftyp and moov → hopped
+      ftyp16 + "00000010" + "66726565" + "0000000000000000" + tail0,
+      // 'udta' child before mvhd inside moov → hopped
+      ftyp16 + "00000084" + "6D6F6F76" + "00000010" + "75647461" +
+        "0000000000000000" + "0000006C" + "6D766864" + "00" + "000000" +
+        "00000000" + "00000000" + "000003E8" + "00002710",
+      // 'free' declared past the payload, moov never reachable → null
+      ftyp16 + ("00000074" + "66726565" + "00000000" + "0" * 56),
       // truncated before the duration field → null, not garbage
-      ("00000010" + "66747970" + "69736F6D" + "00000000" + tail("00")).dropRight(4),
+      (ftyp16 + tail0).dropRight(4),
       // not ISO-BMFF at all
       "DEADBEEF00000000")
       .toDF("hx").select(unhex(col("hx")).as("b"))
       .select(Multimodal.sniffFormat(col("b")).as("f"),
         Multimodal.mp4Meta(col("b")).as("m")).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("mp4", "mp4", "mp4", "mp4", "mp4", "unknown"))
+      Seq("mp4", "mp4", "mp4", "mp4", "mp4", "mp4", "mp4", "mp4", "unknown"))
     def meta(i: Int) = Option(rows(i).getStruct(1))
       .map(s => (s.getString(0), s.getLong(1), s.getLong(2)))
     assert(meta(0).contains(("isom", 1000L, 10000L)), s"got ${meta(0)}")
     assert(meta(1).contains(("mp42", 1000L, 10000L)), s"compat-brand hop: ${meta(1)}")
-    assert(meta(2).isEmpty && meta(3).isEmpty && meta(4).isEmpty && meta(5).isEmpty,
-      s"malformed must be null: ${(2 to 5).map(meta).toSeq}")
+    assert(meta(2).contains(("isom", 1000L, 10000L)), s"v1 mvhd: ${meta(2)}")
+    assert(meta(4).contains(("isom", 1000L, 10000L)), s"free hop: ${meta(4)}")
+    assert(meta(5).contains(("isom", 1000L, 10000L)), s"udta-first moov: ${meta(5)}")
+    assert(meta(3).isEmpty && meta(6).isEmpty && meta(7).isEmpty && meta(8).isEmpty,
+      s"malformed must be null: ${Seq(3, 6, 7, 8).map(meta)}")
   }
 
   test("binary payload dedup: byte-identical payloads collapse to the min id; distinct bytes survive") {
