@@ -169,6 +169,33 @@ object StreamingValidator {
     dedupStreamBy(docs, graft.ops.TextAnalysis.fingerprint(col(textCol)),
       eventTime, delay)
 
+  /** Streaming twin of the composed curation front door
+    * ([[graft.ops.Curation.curate]]), built from the SAME stage columns so
+    * the two sides cannot drift: NFC → markup strip → control-char scrub
+    * (row-local), the token-count + lexical-diversity quality filter
+    * (row-local), then [[fingerprintDedupStream]] — first arrival per
+    * canonical fingerprint kept with watermark-bounded state. Output is
+    * (id, eventTime, clean). On a fixture whose arrival order is id order
+    * the kept (id, clean) set equals the batch `curate` result exactly
+    * (parity asserted in StreamingValidatorSpec); under out-of-order
+    * arrival the KEPT REPRESENTATIVE of a duplicate group may differ
+    * (first-arrival vs min-id) — the surviving content set is identical.
+    */
+  def curateStream(docs: DataFrame, minTokens: Int = 5,
+                   id: String = "doc_id", text: String = "text",
+                   eventTime: String = "ts",
+                   delay: String = "10 minutes"): DataFrame = {
+    import graft.ops.{QualityClassifier, TextAnalysis}
+    val clean = TextAnalysis.stripControlChars(
+      TextAnalysis.stripMarkup(TextAnalysis.nfc(col(text))))
+    // the event-time column passes through UNALIASED (see
+    // minhashPairEventsStream: a cast/alias detaches the watermark tag)
+    val filtered = docs.select(col(id), col(eventTime), clean.as("clean"))
+      .filter(TextAnalysis.tokenCount(col("clean")) >= minTokens &&
+        QualityClassifier.diversityLabel(col("clean")))
+    fingerprintDedupStream(filtered, "clean", eventTime, delay)
+  }
+
   /** Streaming twin of the batch quality-classifier scorer
     * ([[graft.ops.QualityClassifier]]): score documents on ingestion with
     * a model trained offline on the batch side. The D-bucket model rides

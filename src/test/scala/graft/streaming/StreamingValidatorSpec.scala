@@ -175,6 +175,47 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("curateStream: batch≡stream kept-set parity through the composed front door") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // code-point-constructed fixture chars (raw literals are one
+    // editor-save away from silent recomposition)
+    val comb = new String(Character.toChars(0x0301)) // combining acute
+    val ctrl = new String(Character.toChars(0x0008)) // backspace
+    def ts(s: Int) = new java.sql.Timestamp(1767261600000L + s * 1000L)
+    val fixture = Seq(
+      // 1 and 2 are byte-different but identical AFTER the hygiene chain
+      // (nfc composes cafe+0301, markup strips, ctrl scrubs) → one winner
+      (ts(0), 1L, "<p>cafe" + comb + " one</p> alpha beta gamma delta"),
+      (ts(1), 2L, "cafe" + comb + " one alpha beta gamma delta" + ctrl),
+      (ts(2), 3L, "too few"),                         // < 5 tokens → dropped
+      (ts(3), 4L, "spam spam spam spam spam spam"),   // low diversity → dropped
+      (ts(4), 5L, "five distinct tokens right here ok"))
+    val lateFixture = Seq(
+      (ts(10), 6L, "cafe" + comb + " one <i>alpha</i> beta gamma delta"), // dup of 1
+      (ts(11), 7L, "another totally fresh set of words"))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingValidator.curateStream(docs)
+    val q = out.writeStream.format("memory").queryName("sv_curate")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture)
+      q.processAllAvailable()
+      stream.addData(lateFixture)
+      q.processAllAvailable()
+      val streamKept = spark.table("sv_curate")
+        .select("doc_id", "clean").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batchKept = graft.ops.Curation.curate(
+          (fixture ++ lateFixture).toDF("ts", "doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamKept == batchKept, s"stream $streamKept != batch $batchKept")
+      assert(streamKept.map(_._1) == Set(1L, 5L, 7L), s"got $streamKept")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: session_window merges within-gap events, emits on close") {
     val session = spark
     import session.implicits._
