@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
   * merges to the small vocab table once, and [[encode]] broadcast-joins the
   * corpus's words against that segmentation.
   *
-  * Symbols are characters (no end-of-word marker — documented deviation
-  * from Sennrich's `</w>`; the merge dynamics are identical, the learned
-  * units just don't distinguish word-final position). Pair counting counts
-  * every adjacent occurrence; merge application is left-to-right
-  * non-overlapping — both exactly as in the reference implementation.
+  * Symbols are characters, optionally closed by Sennrich's `</w>`
+  * end-of-word marker (`endOfWord = true` appends [[Bpe.EndOfWord]] as a
+  * trailing symbol, letting merges learn word-FINAL units like `d</w>`;
+  * default off preserves the marker-free training runs and their
+  * cross-engine oracles). Pair counting counts every adjacent occurrence;
+  * merge application is left-to-right non-overlapping — both exactly as
+  * in the reference implementation.
   */
 object Bpe {
+
+  /** Sennrich's end-of-word marker symbol. Multi-char, so it can never
+    * collide with the single-char initial symbols.
+    */
+  val EndOfWord = "</w>"
 
   /** Word-frequency table of the corpus: lower-cased `\S+` runs. The one
     * corpus-scale stage; everything downstream is vocab-sized.
@@ -32,9 +39,13 @@ object Bpe {
     docs.select(explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Initial symbolization: each word as its character array. */
-  def charSyms(word: Column): Column =
-    filter(split(word, ""), x => x =!= "")
+  /** Initial symbolization: each word as its character array, plus the
+    * trailing `</w>` symbol when `endOfWord` is on.
+    */
+  def charSyms(word: Column, endOfWord: Boolean = false): Column = {
+    val chars = filter(split(word, ""), x => x =!= "")
+    if (endOfWord) concat(chars, array(lit(EndOfWord))) else chars
+  }
 
   /** Adjacent-pair counts over the current symbolization, weighted by word
     * frequency (every adjacent occurrence counts, the Sennrich get_stats
@@ -65,9 +76,10 @@ object Bpe {
     * Ties break lexicographically, so training is fully deterministic.
     * Returns (rank, left, right, cnt) — empty tail if the vocab merges dry.
     */
-  def train(wordFreqs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+  def train(wordFreqs: DataFrame, nMerges: Int,
+            endOfWord: Boolean = false): Seq[(Int, String, String, Long)] = {
     var words = wordFreqs
-      .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
+      .select(col("word"), col("freq"), charSyms(col("word"), endOfWord).as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var dry = false
@@ -86,18 +98,22 @@ object Bpe {
   }
 
   /** The trained merge table as a DataFrame (rank, left, right, cnt). */
-  def trainDF(wordFreqs: DataFrame, nMerges: Int): DataFrame = {
+  def trainDF(wordFreqs: DataFrame, nMerges: Int,
+              endOfWord: Boolean = false): DataFrame = {
     val spark = wordFreqs.sparkSession
     import spark.implicits._
-    train(wordFreqs, nMerges).toDF("rank", "left", "right", "cnt")
+    train(wordFreqs, nMerges, endOfWord).toDF("rank", "left", "right", "cnt")
   }
 
   /** Segmentation of each vocab word under the trained merges, applied in
     * rank order (a chain of nMerges vocab-table folds — still vocab-sized).
+    * `endOfWord` must match the training-time setting or word-final merges
+    * can never fire.
     */
-  def segmentVocab(wordFreqs: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame =
+  def segmentVocab(wordFreqs: DataFrame, merges: Seq[(Int, String, String, Long)],
+                   endOfWord: Boolean = false): DataFrame =
     merges.foldLeft(
-      wordFreqs.select(col("word"), charSyms(col("word")).as("syms"))) {
+      wordFreqs.select(col("word"), charSyms(col("word"), endOfWord).as("syms"))) {
       case (df, (_, l, r, _)) => df.withColumn("syms", applyMerge(col("syms"), l, r))
     }
 
@@ -108,13 +124,14 @@ object Bpe {
     * corpus, only the broadcast vocab.
     */
   def encode(docs: DataFrame, seg: DataFrame,
-             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+             idCol: String = "doc_id", textCol: String = "text",
+             endOfWord: Boolean = false): DataFrame = {
     val words = docs.select(col(idCol),
         posexplode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
           .as(Seq("pos", "word")))
     words.join(broadcast(seg), Seq("word"), "left")
       .select(col(idCol), col("pos"),
-        coalesce(col("syms"), charSyms(col("word"))).as("syms"))
+        coalesce(col("syms"), charSyms(col("word"), endOfWord)).as("syms"))
       .groupBy(idCol)
       .agg(flatten(transform(array_sort(collect_list(struct(col("pos"), col("syms")))),
         s => s.getField("syms"))).as("tokens"))

@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
 class BpeSpec extends SparkTestBase {
 
   // --- independent reference implementation (Sennrich-style, chars) ---
-  private def refTrain(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+  private def refTrain(words: Map[String, Long], n: Int,
+                       endOfWord: Boolean = false): Seq[(Int, String, String, Long)] = {
     var vocab: Map[Vector[String], Long] =
-      words.groupBy { case (w, _) => w.map(_.toString).toVector }
+      words.groupBy { case (w, _) =>
+        val cs = w.map(_.toString).toVector
+        if (endOfWord) cs :+ Bpe.EndOfWord else cs
+      }
         .map { case (syms, ws) => syms -> ws.values.sum }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var k = 0
@@ -120,6 +124,34 @@ class BpeSpec extends SparkTestBase {
       "or", "d", "er", // order: (e,r) at rank 3 precedes (o,r) at rank 4
       "qq", "q"), // qqq: one left-to-right non-overlapping (q,q) merge
       toks.toString)
+  }
+
+  test("endOfWord marker: training learns word-FINAL units, reference parity, round-trip") {
+    val wf = Bpe.wordFreqs(corpus)
+    val wordMap = wf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refTrain(wordMap, 12, endOfWord = true)
+    val got = Bpe.train(wf, 12, endOfWord = true)
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    // the corpus's -est/-er suffix words must surface at least one merge
+    // whose RIGHT side carries the marker (a word-final unit) — the exact
+    // thing the marker-free run cannot learn
+    assert(got.exists(m => m._3.endsWith(Bpe.EndOfWord)),
+      s"no word-final merge in $got")
+    // segmentation round-trips: concatenation minus the one trailing
+    // marker re-yields the word
+    val seg = Bpe.segmentVocab(wf, got, endOfWord = true)
+    seg.collect().foreach { r =>
+      val joined = r.getSeq[String](1).mkString
+      assert(joined == r.getString(0) + Bpe.EndOfWord, r.toString)
+    }
+    // encode keeps OOV fallback consistent with the marker setting
+    val session = spark
+    import session.implicits._
+    val docs = Seq((9L, "low ZZZUNSEEN")).toDF("doc_id", "text")
+    val toks = Bpe.encode(docs, seg, endOfWord = true).collect()(0).getSeq[String](1)
+    assert(toks.mkString == "low" + Bpe.EndOfWord + "zzzunseen" + Bpe.EndOfWord)
+    // default-off path is untouched: same merges as before this option
+    assert(Bpe.train(wf, 12) == refTrain(wordMap, 12))
   }
 
   test("trained merge ranks are 1..n with non-increasing counts on ties-free prefix") {
