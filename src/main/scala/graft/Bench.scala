@@ -111,11 +111,12 @@ private[graft] object BenchUtil {
   *    `efficiency_median` (of per-round paired ratios) and all per-round
   *    throughputs ship in the JSON for transparency;
   *  - early-stop only when the estimate is CREDIBLE: 0.8 ≤ eff ≤ 1.02, and
-  *    (round-4 verdict item 2) an estimate ABOVE the confirm band (> 0.98,
-  *    default — i.e. within 2% of the credibility ceiling or superlinear)
-  *    must be corroborated by a SECOND fully-measured round at the same
-  *    corpus before stopping: a near-ceiling single-round estimate usually
-  *    means the n side was noise-depressed, and the estimate is inflated.
+  *    a single-round estimate near EITHER bound must be corroborated by a
+  *    SECOND fully-measured round at the same corpus before stopping —
+  *    above the confirm band (> 0.98 default: a near-ceiling estimate
+  *    usually means the n side was noise-depressed; round-4 verdict item
+  *    2) or within 0.02 of the 0.8 floor (a hair-above-the-bar pass from
+  *    one ambient window is exactly as suspect; round-5 verdict item 5).
   *
   * Scaling pair default N=1 vs 4N=4: per-core throughput is flat through
   * ~8 local cores, beyond which one JVM saturates the socket's memory
@@ -167,6 +168,11 @@ object Bench {
     val effMax = sys.env.getOrElse("SPARK_GRAFT_EFF_STOP_MAX", "1.02").toDouble
     // estimates above this need a second fully-measured round to stop early
     val effConfirm = sys.env.getOrElse("SPARK_GRAFT_EFF_CONFIRM", "0.98").toDouble
+    // symmetric band at the FLOOR (round-5 verdict item 5): an estimate
+    // within this margin of effMin is as suspect as a near-ceiling one —
+    // a 0.004-margin pass from one ambient window deserves the same
+    // corroborating round the >0.98 side gets
+    val effFloorBand = sys.env.getOrElse("SPARK_GRAFT_EFF_FLOOR_BAND", "0.02").toDouble
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val docsPath = java.nio.file.Files.createTempDirectory("graft-bench").toString + "/docs"
     val scalePath = docsPath + "-scale"
@@ -369,18 +375,24 @@ object Bench {
         System.err.println(f"[bench] scale round $r: n=$tn%.0f 4n=$t4n%.0f docs/s docs=$docsThis capEff=$capEff%.3f (${lastRoundSec.toLong}s)")
         flush()
         // early-stop only on a CREDIBLE pass: a superlinear estimate means
-        // the n-core side is still noise-depressed — keep probing. And an
-        // estimate within 2% of the ceiling (> effConfirm) from a SINGLE
-        // round is suspect for the same reason: require a second
-        // fully-measured round at the same corpus before stopping (round-4
-        // verdict item 2).
+        // the n-core side is still noise-depressed — keep probing. And a
+        // single-round estimate near EITHER bound is suspect — within 2%
+        // of the ceiling (> effConfirm: the n side was likely depressed,
+        // round-4 verdict item 2) or within effFloorBand of the floor (a
+        // hair-above-0.8 pass from one ambient window, round-5 verdict
+        // item 5) — require a second fully-measured round at the same
+        // corpus before stopping.
         if (capEff >= effMin && capEff <= effMax) {
           val fullRounds = largestRounds.count(p => p._1 > 0 && p._2 > 0)
-          if (capEff <= effConfirm || fullRounds >= 2) {
+          val nearCeiling = capEff > effConfirm
+          val nearFloor = capEff <= effMin + effFloorBand
+          if ((!nearCeiling && !nearFloor) || fullRounds >= 2) {
             System.err.println(s"[bench] scaling criterion met ($fullRounds full rounds) — stopping probes early")
             stop = true
           } else {
-            System.err.println(f"[bench] eff $capEff%.3f above confirm band $effConfirm — buying a confirming round")
+            val side = if (nearCeiling) s"above confirm band $effConfirm"
+            else f"within $effFloorBand%.2f of the $effMin%.2f floor"
+            System.err.println(f"[bench] eff $capEff%.3f $side — buying a confirming round")
           }
         }
         r += 1
