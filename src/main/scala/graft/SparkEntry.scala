@@ -229,6 +229,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0), n = 4)
     }),
 
+    // --- fuzzy decontamination: char-5-shingle Jaccard ≥ 0.9 against a
+    // planted benchmark (the %37 slice's texts with a 2-char prefix
+    // mutation — NOT exact copies, so the minhash signatures genuinely
+    // differ and the LSH path is exercised). The oracle computes exact
+    // all-pairs Jaccard; the planted pairs sit well above 0.9 (len ≥ 100 →
+    // ≤5 boundary shingles added), where 8-band/4-row recall is ≈ 1-2e-5,
+    // so the LSH result equals the oracle set, as in q_minhash_neardup ----
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs
+        .filter(col("doc_id") % 37 === 0 && length(col("text")) >= 100)
+        .select((col("doc_id") + 5000000L).as("bench_id"),
+          concat(lit("q "), col("text")).as("text"))
+      graft.ops.Decontamination.nearDupContaminated(docs, bench)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("jaccard") * 1e6).cast("bigint").as("j_e6"))
+    }),
+
     // --- top-k per group (keep-best-doc-per-key shape; window function) --
     "q_rank_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1493,6 +1511,23 @@ object SparkEntry {
         "gs AS (SELECT DISTINCT doc_id, g FROM g0), " +
         "bench AS (SELECT DISTINCT g FROM gs WHERE doc_id % 50 = 0) " +
         "SELECT doc_id, count(*) AS n_shared FROM gs WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench) GROUP BY doc_id"),
+
+    // exact all-pairs char-5-shingle Jaccard docs × mutated benchmark —
+    // the LSH candidate path must reproduce it exactly (recall argument in
+    // the query comment); j_e6 is one IEEE division of two exact integers
+    "q_decontaminate_fuzzy" ->
+      ("WITH bm AS (SELECT doc_id + 5000000 AS bench_id, 'q ' || text AS btext " +
+        "FROM documents WHERE doc_id % 37 = 0 AND len(text) >= 100), " +
+        "cs AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM documents, " +
+        "UNNEST(generate_series(1, len(text) - 4)) AS u(i) WHERE len(text) >= 5), " +
+        "bs AS (SELECT DISTINCT bench_id, substr(btext, i, 5) AS g FROM bm, " +
+        "UNNEST(generate_series(1, len(btext) - 4)) AS u(i)), " +
+        "csz AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1), " +
+        "bsz AS (SELECT bench_id, count(*) AS n FROM bs GROUP BY 1), " +
+        "pr AS (SELECT cs.doc_id, bs.bench_id, count(*) AS inter FROM cs JOIN bs USING (g) GROUP BY 1, 2) " +
+        "SELECT doc_id, bench_id, CAST(round(CAST(inter AS DOUBLE) / (csz.n + bsz.n - inter) * 1000000) AS BIGINT) AS j_e6 " +
+        "FROM pr JOIN csz USING (doc_id) JOIN bsz USING (bench_id) " +
+        "WHERE CAST(inter AS DOUBLE) / (csz.n + bsz.n - inter) >= 0.9"),
 
     "q_rank_per_group" ->
       ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +

@@ -99,6 +99,73 @@ object Decontamination {
       shims.expression(xxhash64(gram))))
   }
 
+  // ------------------------------------------------------------------
+  // Near-duplicate (fuzzy) decontamination
+  // ------------------------------------------------------------------
+
+  /** Fuzzy decontamination — the near-dup complement of the exact n-gram
+    * filter: training docs whose char-`k`-shingle Jaccard with ANY
+    * benchmark doc reaches `threshold`, even when no 13-gram survives
+    * verbatim (light paraphrase, added boilerplate, whitespace drift — the
+    * GPT-3 appendix's fuzzy-overlap concern). Returns
+    * (id, benchId, jaccard) pairs.
+    *
+    * Scale shape — the cross-corpus twin of [[Dedup.nearDupPairs]]:
+    * signatures come from the native [[graft.functions.MinHashSig]] (one
+    * corpus pass, codegen'd), candidates from an LSH band-bucket join
+    * AGAINST THE BENCHMARK side only (eval-sized, broadcast by default —
+    * `broadcastBenchmark = false` is the oversized-benchmark escape hatch,
+    * as in [[contaminated]]) — never an all-pairs or within-corpus
+    * comparison. A signature-agreement prefilter drops template
+    * collisions, then exact Jaccard verifies ONLY candidate rows (the
+    * interpreted shingle HOF touches candidates, not the corpus).
+    */
+  def nearDupContaminated(corpus: DataFrame, benchmark: DataFrame,
+                          id: String = "doc_id", benchId: String = "bench_id",
+                          text: String = "text",
+                          k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.9,
+                          broadcastBenchmark: Boolean = true): DataFrame = {
+    def banded(df: DataFrame, keyCol: String, sigName: String) = {
+      val sig = graft.functions.MinHashSig.minhashSig(col(text), k, numHashes)
+      df.filter(length(col(text)) >= k)
+        .select(col(keyCol), sig.as(sigName))
+        .select(col(keyCol), col(sigName),
+          explode(Dedup.bandKeys(col(sigName), numHashes, bands)).as("__bucket"))
+    }
+    val cBand = banded(corpus, id, "__csig")
+    val bBandRaw = banded(benchmark, benchId, "__bsig")
+    val bBand = if (broadcastBenchmark) broadcast(bBandRaw) else bBandRaw
+    val cands = cBand.join(bBand, Seq("__bucket"))
+      .filter(Dedup.sigAgreement(col("__csig"), col("__bsig"), numHashes)
+        >= threshold - 0.15)
+      .select(col(id), col(benchId)).distinct()
+    val cs = corpus.join(cands.select(col(id)).distinct(), Seq(id), "left_semi")
+      .select(col(id), Dedup.shingles(col(text), k).as("__sha"))
+    val bsRaw = benchmark
+      .join(cands.select(col(benchId)).distinct(), Seq(benchId), "left_semi")
+      .select(col(benchId), Dedup.shingles(col(text), k).as("__shb"))
+    val bs = if (broadcastBenchmark) broadcast(bsRaw) else bsRaw
+    cands.join(cs, Seq(id)).join(bs, Seq(benchId))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col(id), col(benchId), col("jaccard"))
+  }
+
+  /** Corpus with near-dup-contaminated documents removed. */
+  def cleanNearDup(corpus: DataFrame, benchmark: DataFrame,
+                   id: String = "doc_id", benchId: String = "bench_id",
+                   text: String = "text",
+                   k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.9,
+                   broadcastBenchmark: Boolean = true): DataFrame =
+    corpus.join(
+      nearDupContaminated(corpus, benchmark, id, benchId, text, k, numHashes,
+        bands, threshold, broadcastBenchmark).select(id).distinct(),
+      Seq(id), "left_anti")
+
   /** [[contaminated]] for a benchmark whose exact gram set is too large to
     * broadcast: bloom-PREFILTER the corpus gram stream map-side (no corpus
     * shuffle — the sketch is a literal), then exact-verify only the

@@ -107,6 +107,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept == Set(2L))
   }
 
+  test("fuzzy decontamination: near-dup benchmark matches flagged, verbatim-free dissimilar docs kept") {
+    val session = spark
+    import session.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running through the quiet field tonight"
+    val corpus = Seq(
+      (1L, base),                                     // near-dup of bench 100
+      (2L, "a completely different document about spark physical plans and shuffles with nothing shared"),
+      (3L, base.replace("quick", "rapid")
+        .replace("lazy", "idle").replace("field", "plain")
+        .replace("fox", "cat").replace("dog", "hen")) // heavily edited → below 0.9
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "q " + base)).toDF("bench_id", "text")
+    val pairs = Decontamination.nearDupContaminated(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 100L)), pairs.toSeq.toString)
+    assert(pairs.head._3 >= 0.9 && pairs.head._3 < 1.0)
+    val kept = Decontamination.cleanNearDup(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+    // the benchmark side broadcasts: the corpus must never shuffle for
+    // the candidate join
+    val plan = Decontamination.nearDupContaminated(corpus, bench)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark join not broadcast:\n$plan")
+  }
+
   test("md5 sampling: deterministic, engine-portable bucket fraction") {
     val session = spark
     import session.implicits._
