@@ -616,6 +616,26 @@ object SparkEntry {
           TextAnalysis.stripMarkup(p).as("clean"))
     }),
 
+    // --- extended entity decode (native one-pass DecodeEntities): named
+    // table + numeric dec/hex refs; &amp;#52; pins NON-recursion; the
+    // unknown / surrogate / over-long plants must pass through unchanged.
+    // DuckDB mirrors the named table from the SAME Scala constant and the
+    // numeric plants from the construction arithmetic (corpus text is
+    // ampersand-free, checked) ---------------------------------------------
+    "q_decode_entities" -> ((s, d) => {
+      val id = col("doc_id")
+      val decCp = lit(65) + id % 26  // A..Z
+      val hexCp = lit(945) + id % 24 // greek block: multi-byte UTF-8
+      val seeded = concat(col("text"),
+        lit(" x&amp;y &lt;a&gt; &quot;q&quot; T&mdash;U&hellip; P&nbsp;Q " +
+          "&copy;&euro;&frac12; "),
+        lit("&#"), decCp.cast("string"), lit("; "),
+        lit("&#x"), lower(hex(hexCp)), lit("; "),
+        lit("&amp;#52; &unknown; &#55296; &waytoolongentityname; & done"))
+      t(s, d, "documents").select(id,
+        TextAnalysis.decodeEntitiesExtended(seeded).as("decoded"))
+    }),
+
     // --- hashing-trick quality classifier: train on the %5==0 slice with
     // the lexical-diversity label, all-integer model ----------------------
     "q_qc_model" -> ((s, d) =>
@@ -1448,6 +1468,23 @@ object SparkEntry {
         "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', chr(34), 'g'), '&#39;', chr(39), 'g'), " +
         "'&amp;', '&', 'g'), '\\s+', ' ', 'g')) AS clean FROM s"),
 
+    // extended entity decode: numeric plants decoded FIRST via plain
+    // replace of the CONSTRUCTED reference (a named decode's output never
+    // contains '#' or digits, so ordering is safe), then the named chain
+    // rendered from DecodeEntities.Named with amp last; the invalid plants
+    // (&unknown; &#55296; over-long name) have no replace — they must pass
+    // through unchanged in BOTH engines, which is exactly the contract
+    "q_decode_entities" ->
+      ("WITH s AS (SELECT doc_id, " +
+        "replace(replace(text || ' x&amp;y &lt;a&gt; &quot;q&quot; " +
+        "T&mdash;U&hellip; P&nbsp;Q &copy;&euro;&frac12; ' || " +
+        "'&#' || CAST(65 + doc_id % 26 AS VARCHAR) || '; ' || " +
+        "'&#x' || lower(hex(945 + doc_id % 24)) || '; ' || " +
+        "'&amp;#52; &unknown; &#55296; &waytoolongentityname; & done', " +
+        "'&#' || CAST(65 + doc_id % 26 AS VARCHAR) || ';', chr(CAST(65 + doc_id % 26 AS INT))), " +
+        "'&#x' || lower(hex(945 + doc_id % 24)) || ';', chr(CAST(945 + doc_id % 24 AS INT))) AS pn FROM documents) " +
+        s"SELECT doc_id, ${entityDecodeSql("pn")} AS decoded FROM s"),
+
     // hashing-trick classifier training: md5-prefix feature hash (the
     // inverted index's shard form), ±1 token votes by the diversity label —
     // all-integer, so the model is bit-identical cross-engine
@@ -1770,6 +1807,18 @@ object SparkEntry {
       s"WHEN (string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]) IN ($ps) " +
       s"THEN string_split($h, '.')[-3] || '.' || string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1] " +
       s"ELSE string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1] END"
+  }
+
+  /** [[graft.functions.DecodeEntities.Named]] as a DuckDB regexp_replace
+    * chain (amp LAST — its output '&' must never re-enter an earlier
+    * pass), wrapped around `inner`. Rendered from the same Scala constant
+    * as the native scanner, so the tables cannot drift.
+    */
+  private def entityDecodeSql(inner: String): String = {
+    val (amp, rest) = graft.functions.DecodeEntities.Named.partition(_._1 == "amp")
+    (rest ++ amp).foldLeft(inner) { case (acc, (n, cp)) =>
+      s"regexp_replace($acc, '&$n;', chr($cp), 'g')"
+    }
   }
 
   /** Shared training CTEs for the quality-classifier oracles: canonical

@@ -389,6 +389,20 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The FULL entity decode ([[graft.functions.DecodeEntities]]): ~45
+    * named entities plus decimal/hex numeric character references, in ONE
+    * native codegen'd scan (the regexp-chain form re-scans the string once
+    * per entity). Non-recursive with the same amp-last semantics as
+    * [[stripMarkup]]'s five-entity chain — `&amp;lt;` stays the literal
+    * text `&lt;` — and anything unrecognized passes through unchanged.
+    * Compose as `decodeEntitiesExtended(regexp_replace(text, MarkupTagRx,
+    * " "))` when a corpus needs more than the XML five; [[stripMarkup]]
+    * itself keeps the minimal chain (its byte-for-byte oracle contract is
+    * pinned by q_strip_markup / q_curate).
+    */
+  def decodeEntitiesExtended(text: Column): Column =
+    graft.functions.DecodeEntities.decodeEntities(text)
+
   // ------------------------------------------------------------------
   // fingerprinting
   // ------------------------------------------------------------------

@@ -80,6 +80,41 @@ class EncodingHygieneSpec extends SparkTestBase {
     assert(n == 4, s"n_tags=$n")
   }
 
+  test("decodeEntitiesExtended: named table, numeric dec/hex, non-recursion, passthrough of junk") {
+    val session = spark
+    import session.implicits._
+    def cp(i: Int) = new String(Character.toChars(i))
+    val cases = Seq(
+      // named: typography + symbols + Latin-1 letters
+      ("A&mdash;B&hellip;C", "A" + cp(0x2014) + "B" + cp(0x2026) + "C"),
+      ("caf&eacute; &copy;2026 &frac12;", "caf" + cp(0xE9) + " " + cp(0xA9) + "2026 " + cp(0xBD)),
+      ("a&nbsp;b", "a" + cp(0xA0) + "b"),
+      // numeric decimal, hex (upper/lower x and digits), astral plane
+      ("&#65;&#x42;&#X63;", "ABc"),
+      ("&#x1F600;", cp(0x1F600)),
+      // NON-recursive single pass: double-escapes decode one level
+      ("&amp;lt; stays", "&lt; stays"),
+      ("&amp;#52; stays", "&#52; stays"),
+      // junk passes through byte-for-byte
+      ("&unknown; &#xD800; &#55296; &#8; & &; &#; x &waytoolong12345;",
+        "&unknown; &#xD800; &#55296; &#8; & &; &#; x &waytoolong12345;"),
+      // every occurrence decodes, not just the first
+      ("&lt;&lt;&gt;&gt;", "<<>>"),
+      ("no entities at all", "no entities at all"))
+    val df = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.decodeEntitiesExtended(col("t")).as("d"))
+    val got = df.collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, exp), g) =>
+      assert(g == exp, s"input [$in]: got [$g] want [$exp]")
+    }
+    // null-safe + codegen (no CodegenFallback)
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.decodeEntitiesExtended(col("t")).as("d")).collect()
+    assert(n(0).isNullAt(0))
+    assert(!df.queryExecution.executedPlan.toString.contains("Fallback"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("readability: vowel groups, words, sentences, Flesch on hand-counted prose") {
     val session = spark
     import session.implicits._
