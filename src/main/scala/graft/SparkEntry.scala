@@ -492,6 +492,17 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 97 === 0,
           lit(null).cast("string")).otherwise(col("text"))))),
 
+    // --- code-point histogram witness (native CharHist): exact integers +
+    // the sorted-histogram md5 digest; the FP entropy field stays out of
+    // the oracle (cross-row FP summation) and is spec-pinned instead ------
+    "q_char_hist" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.charHist(col("text")).as("h"))
+        .select(col("doc_id"), col("h.n_chars").as("n_chars"),
+          col("h.n_distinct").as("n_distinct"),
+          col("h.top_count").as("top_count"),
+          col("h.hist_md5").as("hist_md5"))),
+
     // --- distinct-word ratio (Gopher-style repetition filter) ------------
     "q_word_diversity" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -544,6 +555,13 @@ object SparkEntry {
     // then-cut semantics, md5-bucketed cumulative sums) -------------------
     "q_pack_shards" -> ((s, d) =>
       graft.ops.Sampling.packIntoShards(t(s, d, "documents"), 1000L, 8)),
+
+    // --- packing-efficiency rollup of that SAME packing: per-(bucket,
+    // shard) doc count, exact token load, signed budget overflow ----------
+    "q_shard_fill" -> ((s, d) =>
+      graft.ops.Sampling.shardFillReport(
+        graft.ops.Sampling.packIntoShards(t(s, d, "documents"), 1000L, 8),
+        1000L)),
 
     // --- binary payload dedup: ids sharing doc_id%17 carry byte-identical
     // synthetic payloads; the min id per payload digest survives ----------
@@ -1319,6 +1337,18 @@ object SparkEntry {
         "count(*) AS df, md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS posting_md5 " +
         "FROM tc GROUP BY 1, 2"),
 
+    // histogram witness: DuckDB rebuilds the code-point counts with
+    // unicode() over per-character substrings and the digest with an
+    // ORDER BY cp string_agg — the same sorted cp:count,cp:count form
+    "q_char_hist" ->
+      ("WITH c AS (SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) AS cp " +
+        "FROM documents, UNNEST(generate_series(1, len(text))) AS u(i)), " +
+        "g AS (SELECT doc_id, cp, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars, count(*) AS n_distinct, " +
+        "CAST(max(n) AS BIGINT) AS top_count, " +
+        "md5(string_agg(CAST(cp AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY cp)) AS hist_md5 " +
+        "FROM g GROUP BY doc_id"),
+
     "q_word_diversity" ->
       ("SELECT doc_id, CAST(round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 " +
         "THEN CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) " +
@@ -1393,6 +1423,16 @@ object SparkEntry {
         "c AS (SELECT doc_id, bucket, n_tokens, " +
         "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d) " +
         "SELECT doc_id, bucket, n_tokens, CAST(start_tok // 1000 AS BIGINT) AS shard FROM c"),
+
+    // fill report: rollup of the identical packing CTEs
+    "q_shard_fill" ->
+      ("WITH d AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8 AS bucket, " +
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, bucket, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d), " +
+        "p AS (SELECT doc_id, bucket, n_tokens, CAST(start_tok // 1000 AS BIGINT) AS shard FROM c) " +
+        "SELECT bucket, shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_tokens) - 1000 AS BIGINT) AS overflow_tokens FROM p GROUP BY 1, 2"),
 
     // binary dedup: identical payloads ⇔ identical source keys, so DuckDB
     // partitions on the key digest directly — same equivalence classes,

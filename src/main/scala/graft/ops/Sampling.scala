@@ -116,6 +116,21 @@ object Sampling {
     * Shard ids are (bucket, shard_in_bucket) — globally unique without any
     * cross-bucket coordination. All-integer, hash-oracled cross-engine.
     */
+  /** Packing-efficiency report over a [[packIntoShards]] result: per
+    * (bucket, shard) — docs packed, exact token load, and the token
+    * OVERFLOW past the budget (docs straddle cuts by design, so a shard's
+    * load exceeds the budget by up to one doc's tail; systematic overflow
+    * means the budget is small relative to doc length and padding waste
+    * follows). One exchange (the groupBy), all-integer, so the whole
+    * report hash-oracles cross-engine. `n_tokens - budget` is signed:
+    * the LAST shard of a bucket typically under-fills.
+    */
+  def shardFillReport(packed: DataFrame, tokensPerShard: Long): DataFrame =
+    packed.groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (sum(col("n_tokens")) - tokensPerShard).as("overflow_tokens"))
+
   def packIntoShards(docs: DataFrame, tokensPerShard: Long, nBuckets: Int,
                      id: String = "doc_id",
                      text: String = "text"): DataFrame = {

@@ -403,6 +403,16 @@ object TextAnalysis {
   def decodeEntitiesExtended(text: Column): Column =
     graft.functions.DecodeEntities.decodeEntities(text)
 
+  /** Code-point histogram signals + Shannon entropy in one native pass
+    * ([[graft.functions.CharHist]]): struct(n_chars, n_distinct,
+    * top_count, hist_md5, entropy). The character-level quality family —
+    * threshold `entropy` to drop binary-ish / repetitive-glyph docs; the
+    * integer fields and the sorted-histogram digest are the exact
+    * cross-engine witnesses (q_char_hist), entropy is spec-pinned against
+    * a driver reference.
+    */
+  def charHist(text: Column): Column = graft.functions.CharHist.charHist(text)
+
   // ------------------------------------------------------------------
   // fingerprinting
   // ------------------------------------------------------------------

@@ -344,6 +344,29 @@ object StreamingValidator {
     least(greatest(floor((v.cast("double") - lo) / width), lit(0L)),
       lit(buckets - 1L)).cast("bigint")
 
+  /** Streaming per-source corpus accounting — the windowed twin of
+    * [[graft.ops.CorpusReport.bySource]]'s VOLUME counters: per event-time
+    * window and source, exact doc / token / char counts, emitted once the
+    * watermark closes the window. The batch report's distinct aggregates
+    * (n_langs, duplicate fingerprints) intentionally stay batch-side:
+    * streaming them append-legally needs per-key distinct state, and the
+    * ingest monitor this feeds only needs the volume counters live.
+    * Batch≡stream count parity asserted in StreamingValidatorSpec.
+    */
+  def sourceReportStream(docs: DataFrame, eventTime: String = "ts",
+                         window: String = "1 minute",
+                         lateness: String = "2 minutes",
+                         source: String = "source",
+                         text: String = "text"): DataFrame =
+    docs
+      .withWatermark(eventTime, lateness)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(eventTime), window),
+        col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.ops.TextAnalysis.tokenCount(col(text)).cast("long")).as("n_tokens"),
+        sum(length(col(text)).cast("long")).as("n_chars"))
+
   /** Stateful per-kind violation monitor: running violation totals per
     * check kind across micro-batches via flatMapGroupsWithState — emits a
     * row whenever a kind's cumulative count changes (the streaming

@@ -115,6 +115,40 @@ class EncodingHygieneSpec extends SparkTestBase {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("charHist: exact counts, sorted-histogram digest, entropy vs a driver reference") {
+    val session = spark
+    import session.implicits._
+    def cp(i: Int) = new String(Character.toChars(i))
+    val astral = cp(0x1F600)
+    val rows = Seq("aab", "aaaa", "ab" + astral + astral + "b", "")
+      .toDF("t").select(TextAnalysis.charHist(col("t")).as("h"))
+      .select(col("h.n_chars"), col("h.n_distinct"), col("h.top_count"),
+        col("h.hist_md5"), col("h.entropy"))
+    val got = rows.collect()
+    // "aab": histogram a:2,b:1 — md5 of "97:2,98:1"
+    assert(got(0).getLong(0) == 3L && got(0).getLong(1) == 2L && got(0).getLong(2) == 2L)
+    def ref(pairs: (Int, Long)*): String = {
+      val s = pairs.sortBy(_._1).map(p => s"${p._1}:${p._2}").mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(got(0).getString(3) == ref(97 -> 2L, 98 -> 1L))
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2)
+    assert(math.abs(got(0).getDouble(4) - h3) < 1e-12, got(0).getDouble(4).toString)
+    // uniform single char: entropy exactly 0
+    assert(got(1).getLong(1) == 1L && got(1).getDouble(4) == 0.0)
+    // astral chars count as ONE code point each (never split surrogates)
+    assert(got(2).getLong(0) == 5L && got(2).getLong(1) == 3L)
+    assert(got(2).getString(3) == ref(97 -> 1L, 98 -> 2L, 0x1F600 -> 2L))
+    // empty text: zeros, entropy 0, digest of the empty histogram string
+    assert(got(3).getLong(0) == 0L && got(3).getDouble(4) == 0.0)
+    // null-safe + codegen
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.charHist(col("t")).as("h")).collect()
+    assert(n(0).isNullAt(0))
+    assert(!rows.queryExecution.executedPlan.toString.contains("Fallback"))
+  }
+
   test("readability: vowel groups, words, sentences, Flesch on hand-counted prose") {
     val session = spark
     import session.implicits._

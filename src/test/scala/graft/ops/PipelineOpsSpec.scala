@@ -360,6 +360,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept == (0L until 10L).toSet, s"bad-weight rows leaked: $kept")
   }
 
+  test("shardFillReport: exact rollup of the packing, signed overflow") {
+    val session = spark
+    import session.implicits._
+    val docs = (0L until 200L).map(i => (i, ("tok " * ((i % 17) + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val packed = Sampling.packIntoShards(docs, tokensPerShard = 40L, nBuckets = 4)
+    val ref = packed.collect()
+      .map(r => (r.getLong(1), r.getLong(3)) -> r.getLong(2)).toSeq
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> ((vs.size.toLong, vs.map(_._2).sum, vs.map(_._2).sum - 40L)) }
+    val got = Sampling.shardFillReport(packed, 40L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    assert(got.values.map(_._1).sum == 200L) // every doc accounted for
+  }
+
   test("packIntoShards: start-offset shard assignment vs an independent per-bucket reference") {
     val session = spark
     import session.implicits._

@@ -216,6 +216,47 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sourceReportStream: per-window volume counters match the batch rollup") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:05"), "web", "one two three"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:20"), "web", "four five"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:30"), "books", "six"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:01:10"), "web", "seven eight nine ten"))
+    val stream = MemoryStream[(java.sql.Timestamp, String, String)]
+    val docs = stream.toDF().toDF("ts", "source", "text")
+    val out = StreamingValidator.sourceReportStream(docs,
+      window = "1 minute", lateness = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("sv_srcrep")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture.take(3))
+      q.processAllAvailable()
+      stream.addData(fixture.drop(3)) // advances the watermark past window 1
+      q.processAllAvailable()
+      // a far-future event closes window 2 so the full comparison is stable
+      stream.addData((java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), "web", "x"))
+      q.processAllAvailable()
+      val got = spark.table("sv_srcrep")
+        .select(col("window.start").cast("string").as("w"), col("source"),
+          col("n_docs"), col("n_tokens"), col("n_chars"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val batch = fixture.toDF("ts", "source", "text")
+        .groupBy(window(col("ts"), "1 minute").getField("start")
+          .cast("string").as("w"), col("source"))
+        .agg(count(lit(1)), sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")),
+          sum(length(col("text")).cast("long")))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      batch.foreach { case (k, v) =>
+        assert(got.get(k).contains(v), s"window/source $k: got ${got.get(k)}, want $v")
+      }
+    } finally q.stop()
+  }
+
   test("streaming sessionization: session_window merges within-gap events, emits on close") {
     val session = spark
     import session.implicits._
