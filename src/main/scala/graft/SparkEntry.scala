@@ -503,6 +503,30 @@ object SparkEntry {
           col("h.top_count").as("top_count"),
           col("h.hist_md5").as("hist_md5"))),
 
+    // --- script-mix profile over seeded multi-script chars (code-point
+    // constructed — raw literals are one editor-save from recomposition):
+    // every doc gets a few Cyrillic + Han chars, slices add Arabic/Greek,
+    // and the %10==7 slice gets a 500-char Cyrillic flood so `dominant`
+    // actually flips (the mixed-script spam tell) ------------------------
+    "q_script_profile" -> ((s, d) => {
+      val id = col("doc_id")
+      def pick(base: Int, n: Int, mod: Int) = element_at(
+        typedLit((0 until n).map(i => new String(Character.toChars(base + i)))),
+        (id % mod + 1).cast("int"))
+      val seeded = concat(col("text"), lit(" "),
+        repeat(pick(0x430, 5, 5), (id % 3 + 1).cast("int")),
+        when(id % 10 === 7, repeat(pick(0x430, 5, 5), 500)).otherwise(lit("")),
+        repeat(pick(0x4E00, 7, 7), (id % 2 + 1).cast("int")),
+        when(id % 4 === 0, pick(0x627, 3, 3)).otherwise(lit("")),
+        when(id % 6 === 1, pick(0x3B1, 4, 4)).otherwise(lit("")))
+      t(s, d, "documents").select(id,
+          TextAnalysis.scriptCounts(seeded).as("sc"),
+          TextAnalysis.dominantScript(seeded).as("dominant"))
+        .select(id, col("sc.n_latin"), col("sc.n_cyrillic"), col("sc.n_han"),
+          col("sc.n_arabic"), col("sc.n_greek"), col("sc.n_digit"),
+          col("sc.n_total"), col("dominant"))
+    }),
+
     // --- distinct-word ratio (Gopher-style repetition filter) ------------
     "q_word_diversity" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -979,6 +1003,20 @@ object SparkEntry {
         size(qv.getField("q")).cast("bigint").as("q_len"))
     }),
 
+    // --- matryoshka truncation witness: int8-quantize the FIRST-4-dims
+    // slice — exact integers (scale is one float round-trip; q/normSq are
+    // per-element round+int sums), pinning the truncation the FP
+    // matryoshka() normalizer serves (its values are spec-pinned) --------
+    "q_matryoshka" -> ((s, d) => {
+      val qv = Similarity.quantizeInt8(slice(col("embedding"), 1, 4))
+      t(s, d, "embeddings").select(col("vec_id"),
+        round(qv.getField("scale").cast("double") * 1e6).cast("bigint").as("scale_e6"),
+        aggregate(qv.getField("q"), lit(0L), (a, x) => a + x.cast("bigint")).as("q_sum"),
+        aggregate(qv.getField("q"), lit(0L),
+          (a, x) => a + x.cast("bigint") * x.cast("bigint")).as("norm_sq"),
+        size(qv.getField("q")).cast("bigint").as("q_len"))
+    }),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -1349,6 +1387,30 @@ object SparkEntry {
         "md5(string_agg(CAST(cp AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY cp)) AS hist_md5 " +
         "FROM g GROUP BY doc_id"),
 
+    // script classes rendered from the SAME Scripts table (RE2 spelling);
+    // the CASE chain mirrors dominantScript's fold order exactly
+    "q_script_profile" -> {
+      val counts = TextAnalysis.Scripts.map { case (k, _, r) =>
+        s"CAST(len(regexp_extract_all(p, '$r')) AS BIGINT) AS n_$k"
+      }.mkString(", ")
+      val caseArms = TextAnalysis.Scripts.map { case (k, _, _) =>
+        s"WHEN n_$k = m AND m > 0 THEN '$k'"
+      }.mkString(" ")
+      val maxOf = TextAnalysis.Scripts.map(s => "n_" + s._1).mkString(", ")
+      "WITH s AS (SELECT doc_id, text || ' ' || " +
+        "repeat(chr(CAST(1072 + doc_id % 5 AS INT)), CAST(doc_id % 3 + 1 AS INT)) || " +
+        "CASE WHEN doc_id % 10 = 7 THEN repeat(chr(CAST(1072 + doc_id % 5 AS INT)), 500) ELSE '' END || " +
+        "repeat(chr(CAST(19968 + doc_id % 7 AS INT)), CAST(doc_id % 2 + 1 AS INT)) || " +
+        "CASE WHEN doc_id % 4 = 0 THEN chr(CAST(1575 + doc_id % 3 AS INT)) ELSE '' END || " +
+        "CASE WHEN doc_id % 6 = 1 THEN chr(CAST(945 + doc_id % 4 AS INT)) ELSE '' END AS p FROM documents), " +
+        s"c AS (SELECT doc_id, $counts, " +
+        "CAST(len(regexp_extract_all(p, '[0-9]')) AS BIGINT) AS n_digit, " +
+        "CAST(len(p) AS BIGINT) AS n_total FROM s) " +
+        "SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_greek, n_digit, n_total, " +
+        s"CASE $caseArms ELSE 'none' END AS dominant " +
+        s"FROM (SELECT *, greatest($maxOf) AS m FROM c)"
+    },
+
     "q_word_diversity" ->
       ("SELECT doc_id, CAST(round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 " +
         "THEN CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) " +
@@ -1618,6 +1680,17 @@ object SparkEntry {
         "SELECT vec_id, CAST(round(CAST(CAST(s AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS scale_e6, " +
         "CAST(list_sum(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / (CASE WHEN s = 0 THEN 1 ELSE s END)) AS BIGINT))) AS BIGINT) AS q_sum, " +
         "len(embedding) AS q_len FROM e"),
+
+    // matryoshka: the q_quantize_int8 math over the first-4-dims slice,
+    // plus the exact integer norm Σq²
+    "q_matryoshka" ->
+      ("WITH e AS (SELECT vec_id, embedding[1:4] AS emb4 FROM embeddings), " +
+        "f AS (SELECT vec_id, emb4, list_max(list_transform(emb4, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s FROM e), " +
+        "g AS (SELECT vec_id, s, list_transform(emb4, x -> CAST(round(CAST(x AS DOUBLE) / (CASE WHEN s = 0 THEN 1 ELSE s END)) AS BIGINT)) AS q FROM f) " +
+        "SELECT vec_id, CAST(round(CAST(CAST(s AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS scale_e6, " +
+        "CAST(list_sum(q) AS BIGINT) AS q_sum, " +
+        "CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm_sq, " +
+        "len(q) AS q_len FROM g"),
 
     // all-pairs exact char-5-shingle Jaccard (the MinHash pipeline's
     // verification metric), computed exactly in DuckDB at fixture scale

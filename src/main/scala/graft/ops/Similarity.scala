@@ -171,6 +171,22 @@ object Similarity {
     transform(qv.getField("q"), x =>
       x.cast("double") * qv.getField("scale").cast("double"))
 
+  /** Matryoshka truncation (Kusupati et al. 2022): the first `d`
+    * dimensions, L2-renormalized — the MRL serving trick: coarse ANN at
+    * d ≪ D over 1/Dth of the bytes, exact rescoring of survivors on the
+    * full vector. Row-local built-ins (codegen'd), zero-vector-safe. The
+    * norm is a per-row FP fold, so the ORACLE pins the int8-quantized twin
+    * of the same truncation (q_matryoshka: exact integer scale/q/normSq,
+    * the q_quantize_int8 discipline) and the spec pins these values
+    * against a driver reference.
+    */
+  def matryoshka(vec: Column, d: Int): Column = {
+    val s = slice(vec, 1, d)
+    val n = sqrt(aggregate(s, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(s, x => when(n > 0.0d, x.cast("double") / n).otherwise(lit(0.0d)))
+  }
+
   /** Embedding-cosine near-duplicate pairs: RHP-LSH bucket join +
     * exact-cosine verification — the embedding analogue of
     * [[Dedup.nearDupPairs]].

@@ -57,6 +57,48 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // script profile (mixed-script signal)
+  // ------------------------------------------------------------------
+
+  /** (script key, Java regex class, RE2 regex class): same character
+    * class, two spellings — Java wants the `Is` prefix for Unicode
+    * scripts, RE2 (DuckDB) the bare script name. Kept as ONE table so the
+    * two engines' classes can never drift.
+    */
+  val Scripts: Seq[(String, String, String)] = Seq(
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("greek", "\\p{IsGreek}", "\\p{Greek}"))
+
+  /** Per-script character counts + digits + total length, all exact
+    * integers — the mixed-script signal (Cyrillic lookalikes inside Latin
+    * prose, CJK boilerplate in an "English" crawl slice are classic spam /
+    * mislabel tells). Row-local, codegen'd, oracle q_script_profile.
+    */
+  def scriptCounts(text: Column): Column = struct(
+    Scripts.map { case (k, j, _) =>
+      size(regexp_extract_all(text, lit(j), lit(0))).cast("long").as("n_" + k)
+    } ++ Seq(
+      size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("long").as("n_digit"),
+      length(text).cast("long").as("n_total")): _*)
+
+  /** Argmax script by character count; ties break in [[Scripts]] order
+    * (latin first), "none" when no script character occurs — the same
+    * deterministic tie discipline as [[langId]].
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = Scripts.map { case (k, j, _) =>
+      (k, size(regexp_extract_all(text, lit(j), lit(0))))
+    }
+    val maxN = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("none")) { case ((k, n), acc) =>
+      when(n === maxN && maxN > 0, lit(k)).otherwise(acc)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // quality scoring
   // ------------------------------------------------------------------
 

@@ -8,6 +8,30 @@ import graft.SparkTestBase
   */
 class AnnIndexSpec extends SparkTestBase {
 
+  test("matryoshka: first-d slice renormalized to unit length, zero-vector safe, reference parity") {
+    val session = spark
+    import session.implicits._
+    val vecs = Seq(
+      (1L, Seq(3.0f, 4.0f, 100.0f, -7.0f, 9.0f)),
+      (2L, Seq(-1.0f, 2.0f, -3.0f, 4.0f, 5.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f, 0.0f))) // zero vector → all zeros
+      .toDF("vec_id", "embedding")
+    val got = vecs.select($"vec_id",
+        Similarity.matryoshka($"embedding", 2).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def ref(xs: Seq[Float], d: Int): Seq[Double] = {
+      val s = xs.take(d).map(_.toDouble)
+      val n = math.sqrt(s.map(x => x * x).sum)
+      if (n == 0.0) s.map(_ => 0.0) else s.map(_ / n)
+    }
+    assert(got(1L).zip(ref(Seq(3.0f, 4.0f), 2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(math.abs(got(1L)(0) - 0.6) < 1e-9 && math.abs(got(1L)(1) - 0.8) < 1e-9)
+    assert(got(2L).zip(ref(Seq(-1.0f, 2.0f), 2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(got(3L) == Seq(0.0, 0.0))
+    // unit norm for non-zero inputs
+    assert(math.abs(got(1L).map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
   test("RHP index: probe partition-prunes to the query's band buckets, exact rescore") {
     val session = spark
     import session.implicits._

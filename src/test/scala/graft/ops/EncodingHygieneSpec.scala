@@ -149,6 +149,32 @@ class EncodingHygieneSpec extends SparkTestBase {
     assert(!rows.queryExecution.executedPlan.toString.contains("Fallback"))
   }
 
+  test("scriptCounts + dominantScript: per-script exact counts, flood flips dominance, ties break latin-first") {
+    val session = spark
+    import session.implicits._
+    def cp(i: Int) = new String(Character.toChars(i))
+    val cyr = cp(0x430) // а
+    val han = cp(0x4E00)
+    val cases = Seq(
+      "plain latin words 123",
+      "mix " + cyr * 10,          // latin 3 < cyrillic 10
+      cyr * 4 + han * 4,          // tie cyr/han → cyrillic (Scripts order)
+      "abc" + cyr * 3,            // tie latin/cyr → latin first
+      "12345 .,!?")               // no script chars at all
+    val got = cases.toDF("t").select(
+        TextAnalysis.scriptCounts(col("t")).as("sc"),
+        TextAnalysis.dominantScript(col("t")).as("d"))
+      .select(col("sc.n_latin"), col("sc.n_cyrillic"), col("sc.n_han"),
+        col("sc.n_digit"), col("sc.n_total"), col("d")).collect()
+    assert(got(0).getLong(0) == 15L && got(0).getLong(3) == 3L &&
+      got(0).getString(5) == "latin")
+    assert(got(1).getLong(1) == 10L && got(1).getString(5) == "cyrillic")
+    assert(got(2).getLong(1) == 4L && got(2).getLong(2) == 4L &&
+      got(2).getString(5) == "cyrillic")
+    assert(got(3).getString(5) == "latin")
+    assert(got(4).getString(5) == "none" && got(4).getLong(4) == 10L)
+  }
+
   test("readability: vowel groups, words, sentences, Flesch on hand-counted prose") {
     val session = spark
     import session.implicits._
