@@ -459,6 +459,12 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
+    // --- exact heavy-hitter terms via Misra-Gries prefilter + exact-count
+    // verify: provably exact at minCount=500 ≫ N/(k+1)≈106 (27k tokens,
+    // k=256), so the oracle is the plain full group-count ----------------
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.ops.Ranking.heavyHitterTerms(t(s, d, "documents"), minCount = 500L)),
+
     // sharded inverted index: per-(term, shard) posting-list digest — the
     // md5-derived shard key and the lexicographic posting order are both
     // reproducible in DuckDB, so content AND order of every posting shard
@@ -1366,6 +1372,14 @@ object SparkEntry {
         "count(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_dup_docs, " +
         "count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text " +
         "FROM v GROUP BY 1"),
+
+    // heavy hitters: the MG prefilter provably passes every term at
+    // n >= 500 through to the exact verify, so the result IS the plain
+    // group-count at the threshold
+    "q_heavy_hitters" ->
+      ("WITH t AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c FROM documents), " +
+        "tok AS (SELECT unnest(string_split(c, ' ')) AS term FROM t) " +
+        "SELECT term, count(*) AS n FROM tok WHERE term <> '' GROUP BY 1 HAVING count(*) >= 500"),
 
     "q_inverted_index" ->
       ("WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c FROM documents), " +

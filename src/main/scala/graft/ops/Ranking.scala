@@ -121,6 +121,39 @@ object Ranking {
           sort_array(collect_list(col(id).cast("string"))))).as("posting_md5"))
   }
 
+  /** Exact heavy-hitter terms WITHOUT a corpus-wide term groupBy — the
+    * one-pass top-terms design for 10^12-doc corpora where even the
+    * term-keyed exchange of [[docFrequencies]] is unwelcome:
+    *
+    *  1. Misra–Gries sketch pass ([[graft.functions.HeavyHittersAgg]]):
+    *     bounded ≤k-entry state per task, map-side combined, ONE exchange
+    *     of k-entry summaries;
+    *  2. candidate collect — ≤k rows to the driver (the same bounded
+    *     scalar-collect budget as BPE's per-round argmax);
+    *  3. exact-count verify restricted to the candidates: a map-side
+    *     `isin` filter (k string literals), then a ≤k-group aggregation.
+    *
+    * PROVABLY exact for `minCount > N/(k+1)` (the Misra–Gries
+    * completeness bound, which survives merging — Agarwal et al.,
+    * "Mergeable Summaries"): every term at that frequency is guaranteed
+    * into the candidate set, and the verify pass reports true counts —
+    * the Bloom-decontamination discipline (approximate prefilter, exact
+    * verify, exact result, hash-oracled as q_heavy_hitters).
+    */
+  def heavyHitterTerms(docs: DataFrame, minCount: Long, k: Int = 256,
+                       text: String = "text"): DataFrame = {
+    val terms = docs.select(
+        explode(split(TextAnalysis.canonicalText(col(text)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val sketch = terms.agg(
+        graft.functions.HeavyHittersAgg.heavyHitters(col("term"), k).as("hh"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val cands = sketch.map(_.getString(0))
+    terms.filter(col("term").isin(cands: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Top-k terms per document by TF-IDF, deterministically tie-broken by
     * term — the "characteristic keywords" projection (one window on the
     * already-term-partitioned frame; re-keyed on doc).
