@@ -367,6 +367,32 @@ object StreamingValidator {
         sum(graft.ops.TextAnalysis.tokenCount(col(text)).cast("long")).as("n_tokens"),
         sum(length(col(text)).cast("long")).as("n_chars"))
 
+  /** Windowed domain-mention monitor — the streaming face of
+    * [[graft.ops.UrlOps.domainProfile]] for ingestion: per event-time
+    * window and registrable domain (the SAME PSL-backed
+    * [[graft.ops.UrlOps.registrableDomain]] rule as every batch consumer),
+    * exact mention counts, emitted when the watermark closes the window —
+    * the live feed a crawl-frontier throttle or domain-flood alarm reads.
+    * The batch profile's distinct-doc count stays batch-side (streaming
+    * COUNT DISTINCT needs per-key state); mention extraction is row-local,
+    * so the only state is the windowed aggregation itself. Batch≡stream
+    * count parity asserted in StreamingValidatorSpec.
+    */
+  def domainMentionsStream(docs: DataFrame, eventTime: String = "ts",
+                           window: String = "1 minute",
+                           lateness: String = "2 minutes",
+                           text: String = "text"): DataFrame = {
+    import graft.ops.UrlOps
+    docs
+      .withWatermark(eventTime, lateness)
+      .select(col(eventTime), explode(UrlOps.extractUrls(col(text))).as("url"))
+      .withColumn("domain", UrlOps.registrableDomain(UrlOps.hostOf(col("url"))))
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(eventTime), window),
+        col("domain"))
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+
   /** Stateful per-kind violation monitor: running violation totals per
     * check kind across micro-batches via flatMapGroupsWithState — emits a
     * row whenever a kind's cumulative count changes (the streaming

@@ -257,6 +257,40 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("domainMentionsStream: per-window PSL-domain mention counts match the batch rollup") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:05"),
+        "see https://a.bbc.co.uk/1 and https://b.bbc.co.uk/2"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:20"),
+        "spam http://x.spam.co.uk/p"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:01:10"),
+        "late window https://c.bbc.co.uk/3 no more"))
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = stream.toDF().toDF("ts", "text")
+    val out = StreamingValidator.domainMentionsStream(docs,
+      window = "1 minute", lateness = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("sv_dom")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture)
+      q.processAllAvailable()
+      stream.addData((java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), "x"))
+      q.processAllAvailable()
+      val got = spark.table("sv_dom")
+        .select(col("window.start").cast("string").as("w"), col("domain"),
+          col("n_mentions"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // PSL rule: bbc.co.uk and spam.co.uk are DISTINCT domains
+      assert(got == Map(
+        ("2026-01-01 10:00:00", "bbc.co.uk") -> 2L,
+        ("2026-01-01 10:00:00", "spam.co.uk") -> 1L,
+        ("2026-01-01 10:01:00", "bbc.co.uk") -> 1L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: session_window merges within-gap events, emits on close") {
     val session = spark
     import session.implicits._
