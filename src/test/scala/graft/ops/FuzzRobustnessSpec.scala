@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Adversarial-input robustness for the native parsers and bounded
+  * aggregates — a validation engine's binary walkers run over UNTRUSTED
+  * crawl bytes, so "never throws, nulls the garbage" is part of their
+  * contract, not just the happy path the format oracles pin. Generator
+  * style per CurationPropertySpec (scalacheck Gen driven directly).
+  */
+class FuzzRobustnessSpec extends SparkTestBase {
+
+  private def genCases[A](g: Gen[A], n: Int, seed: Long = 600L): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed + i)))
+
+  private val ftyp16 = "00000010" + "66747970" + "69736F6D" + "00000000"
+  private val mvhdTail = "00000074" + "6D6F6F76" + "0000006C" + "6D766864" +
+    "00" + "000000" + "00000000" + "00000000" + "000003E8" + "00002710"
+  private val jpegHdr = "FFD8FF" + "E000104A46494600" + "0" * 18 + // APP0
+    "FFC0" + "0011" + "08" + "0100" + "0200" + "0" * 20 // SOF0 256x512-ish
+
+  test("binary walkers: random bytes, truncations, and bit flips never throw; garbage nulls") {
+    val session = spark
+    import session.implicits._
+    val hexChar = Gen.oneOf("0123456789ABCDEF".toSeq)
+    val randHex = Gen.chooseNum(0, 60)
+      .flatMap(n => Gen.listOfN(n * 2, hexChar).map(_.mkString))
+    val valid = Gen.oneOf(ftyp16 + mvhdTail, jpegHdr)
+    val truncated = for {
+      v <- valid; cut <- Gen.chooseNum(0, v.length / 2)
+    } yield v.dropRight(cut * 2)
+    val flipped = for {
+      v <- valid
+      pos <- Gen.chooseNum(0, v.length - 1)
+      c <- hexChar
+    } yield v.updated(pos, c)
+    val payloads = genCases(Gen.oneOf(randHex, truncated, flipped), 600)
+      .filter(_.length % 2 == 0)
+    // one batched evaluation of EVERY walker over every payload — an
+    // exception anywhere fails the job
+    val rows = payloads.toDF("hx").select(unhex(col("hx")).as("b"))
+      .select(
+        Multimodal.sniffFormat(col("b")).as("fmt"),
+        Multimodal.imageDims(col("b")).as("dims"),
+        Multimodal.mp4Meta(col("b")).as("mp4"),
+        Multimodal.mp3Meta(col("b")).as("mp3"),
+        Multimodal.wavSampleRate(col("b")).as("wav"))
+      .collect()
+    assert(rows.length == payloads.length)
+    // parsed values, when present, are sane (never negative/garbage)
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) {
+        val d = r.getStruct(1)
+        if (!d.isNullAt(0)) assert(d.getLong(0) >= 0 && d.getLong(0) <= 0xFFFFFFFFL)
+      }
+      if (!r.isNullAt(2)) {
+        val m = r.getStruct(2)
+        assert(m.getLong(1) >= 0, s"negative timescale from $r")
+      }
+      if (!r.isNullAt(4)) assert(r.getLong(4) >= 0)
+    }
+    // the untouched valid payloads still parse (the fuzz must not pass
+    // vacuously because everything nulls)
+    val ok = Seq(ftyp16 + mvhdTail, jpegHdr).toDF("hx")
+      .select(unhex(col("hx")).as("b"))
+      .select(Multimodal.mp4Meta(col("b")).as("mp4"),
+        Multimodal.imageDims(col("b")).as("dims")).collect()
+    assert(!ok(0).isNullAt(0) && ok(0).getStruct(0).getLong(1) == 1000L)
+    assert(!ok(1).isNullAt(1) && ok(1).getStruct(1).getLong(0) == 512L)
+  }
+
+  test("DecodeEntities: never throws on entity soup; '&'-free identity; never grows the string") {
+    val session = spark
+    import session.implicits._
+    val soupChar = Gen.frequency(
+      6 -> Gen.alphaNumChar, 3 -> Gen.oneOf('&', ';', '#'),
+      1 -> Gen.oneOf('x', '<', '>', ' '))
+    val soup = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, soupChar).map(_.mkString))
+    val cases = genCases(soup, 800)
+    val got = cases.toDF("t")
+      .select(col("t"), TextAnalysis.decodeEntitiesExtended(col("t")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (in, out) =>
+      // every named/numeric decode replaces >= 4 chars with <= 2 UTF-16
+      // units, so output never exceeds input
+      assert(out.length <= in.length, s"[$in] grew to [$out]")
+      if (!in.contains('&')) assert(out == in, s"'&'-free [$in] changed to [$out]")
+    }
+  }
+
+  test("CharHist: structural invariants over random unicode strings") {
+    val session = spark
+    import session.implicits._
+    // code-point constructed (raw non-ASCII literals are fragile in this
+    // toolchain): é, б, a CJK char, space, and a LONE HIGH SURROGATE —
+    // the last must not crash the code-point walk
+    val anyChar = Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(0xE9.toChar, 0x431.toChar, 0x4E8C.toChar, ' '),
+      1 -> Gen.const(0xD83D.toChar))
+    val strs = genCases(
+      Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, anyChar).map(_.mkString)), 500)
+    val got = strs.toDF("t").select(col("t"),
+        TextAnalysis.charHist(col("t")).as("h"))
+      .select(col("t"), col("h.n_chars"), col("h.n_distinct"),
+        col("h.top_count"), col("h.entropy")).collect()
+    got.foreach { r =>
+      val (s, n, d, top, ent) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(n == s.codePointCount(0, s.length).toLong, s"n_chars for [$s]")
+      assert(d <= n && top <= n)
+      assert(ent >= -1e-12, s"negative entropy for [$s]")
+      if (d > 0) assert(ent <= math.log(d.toDouble) / math.log(2.0) + 1e-9,
+        s"entropy above log2(distinct) for [$s]")
+    }
+  }
+
+  test("KSmallestLongsAgg: equals sorted.take(k) per group over random multisets and partitionings") {
+    val session = spark
+    import session.implicits._
+    val rows = genCases(for {
+      g <- Gen.chooseNum(0, 5)
+      v <- Gen.chooseNum(-1000L, 1000L)
+    } yield (g, v), 900)
+    val got = rows.toDF("g", "v").repartition(17)
+      .groupBy("g")
+      .agg(graft.functions.KSmallestLongsAgg.kSmallest(col("v"), 7).as("ks"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val exp = vs.map(_._2).sorted.take(7)
+      assert(got(g) == exp, s"group $g: ${got(g)} != $exp")
+    }
+  }
+
+  test("HeavyHittersAgg: MG guarantee holds over random skewed streams and partitionings") {
+    val session = spark
+    import session.implicits._
+    val k = 8
+    val items = genCases(Gen.frequency(
+      5 -> Gen.const("heavy0"), 3 -> Gen.const("heavy1"),
+      4 -> Gen.chooseNum(0, 400).map(i => s"tail$i")), 1200)
+    val hh = items.toDF("term").repartition(11)
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("term"), k).as("h"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.size <= k)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = items.size.toLong / (k + 1)
+    truth.filter(_._2 > bound).foreach { case (item, n) =>
+      assert(hh.contains(item), s"$item (n=$n > bound=$bound) missing from $hh")
+      assert(hh(item) <= n && hh(item) >= n - bound,
+        s"$item est ${hh(item)} outside [${n - bound}, $n]")
+    }
+  }
+}
