@@ -701,6 +701,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 1), model, 64)
     }),
 
+    // --- calibration bins of the held-out scores vs the diversity label:
+    // floor(score/5) bins, exact integer counts (scores are integer
+    // weight sums, so the whole reliability diagram hash-oracles) ---------
+    "q_qc_calibration" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.ops.QualityClassifier.train(
+        docs.filter(col("doc_id") % 5 === 0),
+        graft.ops.QualityClassifier.diversityLabel(col("text")), 64)
+      val scored = graft.ops.QualityClassifier.score(
+        docs.filter(col("doc_id") % 5 === 1), model, 64)
+      val labels = docs.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          graft.ops.QualityClassifier.diversityLabel(col("text")).as("lbl"))
+      graft.ops.QualityClassifier.calibration(
+        scored.join(labels, Seq("doc_id")), col("lbl"), 5L)
+    }),
+
     // --- encoding hygiene: NFC compose + control/replacement-char scrub
     // over deterministically seeded damage (decomposed e+U+0301, a C0
     // control, a U+FFFD) — both engines normalize independently -----------
@@ -1084,6 +1101,16 @@ object SparkEntry {
       val docs = t(s, d, "documents")
         .withColumn("text", regexp_replace(col("text"), "e ", "e. "))
       graft.ops.TextAnalysis.sentenceDedup(docs, minDocFreq = 12)
+    }),
+
+    // --- INTRA-doc repeated-sentence removal over a planted repeat: the
+    // duplicated "Repeat me k." survives once, first-occurrence order ----
+    "q_sentence_dedup_doc" -> ((s, d) => {
+      val id = col("doc_id")
+      val p = concat(col("text"), lit(". Repeat me "), (id % 3).cast("string"),
+        lit(". Repeat me "), (id % 3).cast("string"), lit(". Tail ok."))
+      t(s, d, "documents").select(id,
+        TextAnalysis.dedupSentencesInDoc(p).as("deduped"))
     }),
 
     // exact percentile profile per language (the non-sketch twin of the
@@ -1619,6 +1646,20 @@ object SparkEntry {
         "CAST(sum(COALESCE(model.weight, 0)) AS BIGINT) > 0 AS pred " +
         "FROM sb LEFT JOIN model USING (bucket) GROUP BY 1"),
 
+    // calibration: same train/score/label CTEs as q_qc_scores/confusion,
+    // floor-division bins (DuckDB // floors, matching Spark's floor())
+    "q_qc_calibration" ->
+      (s"WITH $QcTrainSql, " +
+        "model AS (SELECT bucket, CAST(sum(w) AS BIGINT) AS weight FROM b GROUP BY 1), " +
+        "sctok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS term FROM t WHERE doc_id % 5 = 1), " +
+        "sb AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 64 AS bucket FROM sctok WHERE term <> ''), " +
+        "sc AS (SELECT sb.doc_id, CAST(sum(COALESCE(model.weight, 0)) AS BIGINT) AS score " +
+        "FROM sb LEFT JOIN model USING (bucket) GROUP BY 1), " +
+        "lb AS (SELECT doc_id, len(list_distinct(toks)) * 2 >= len(toks) AS label " +
+        "FROM (SELECT doc_id, list_filter(string_split(c, ' '), x -> x <> '') AS toks FROM t WHERE doc_id % 5 = 1)) " +
+        "SELECT CAST(floor(CAST(score AS DOUBLE) / 5) AS BIGINT) AS bin, lb.label, count(*) AS n " +
+        "FROM sc JOIN lb USING (doc_id) GROUP BY 1, 2"),
+
     // NFC via utf8proc vs java.text.Normalizer — same Unicode canonical
     // composition; chr(769)=U+0301 combining acute, chr(8)=C0 control,
     // chr(65533)=U+FFFD replacement char
@@ -1840,6 +1881,16 @@ object SparkEntry {
         "SELECT doc_id, string_agg(sent, ' ' ORDER BY si) AS text, " +
         "CAST(count(*) AS BIGINT) AS n_sentences " +
         "FROM s WHERE fp NOT IN (SELECT fp FROM b) GROUP BY doc_id"),
+
+    // intra-doc dedup: first-occurrence order rebuilt via min-position
+    // re-aggregation (list_distinct's order is not contractual in DuckDB)
+    "q_sentence_dedup_doc" ->
+      ("WITH s AS (SELECT doc_id, text || '. Repeat me ' || CAST(doc_id % 3 AS VARCHAR) || " +
+        "'. Repeat me ' || CAST(doc_id % 3 AS VARCHAR) || '. Tail ok.' AS p FROM documents), " +
+        s"x AS (SELECT doc_id, list_filter(list_transform(regexp_extract_all(p, '${TextAnalysis.SentenceRx}'), y -> trim(y)), y -> len(y) > 0) AS sents FROM s), " +
+        "e AS (SELECT doc_id, sents[CAST(i AS INT)] AS sent, i FROM x, UNNEST(generate_series(1, len(sents))) AS u(i)), " +
+        "m AS (SELECT doc_id, sent, min(i) AS fi FROM e GROUP BY 1, 2) " +
+        "SELECT doc_id, string_agg(sent, ' ' ORDER BY fi) AS deduped FROM m GROUP BY doc_id"),
 
     "q_percentiles" ->
       ("SELECT lang, " +

@@ -121,6 +121,22 @@ object QualityClassifier {
     scored.groupBy(col("pred"), label.as("label"))
       .agg(count(lit(1)).as("n"))
 
+  /** Calibration report: integer score bins × label → exact counts — the
+    * reliability-diagram input that decides where to put the keep/drop
+    * threshold (a classifier can have a fine confusion matrix at `> 0` and
+    * still be uncalibrated in the tails). `bin = floor(score/binWidth)`
+    * (scores are exact integer weight sums, and floor-division agrees
+    * across engines for negative scores too). ONE groupBy; hash-oracled
+    * as q_qc_calibration.
+    */
+  def calibration(scored: DataFrame, label: Column, binWidth: Long = 10L): DataFrame = {
+    require(binWidth > 0)
+    scored.groupBy(
+        floor(col("score").cast("double") / binWidth).cast("bigint").as("bin"),
+        label.as("label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** The deterministic zero-external-data training label: lexical
     * diversity — a doc is "good" when at least half its tokens are
     * distinct (`2·n_distinct ≥ n_tokens`). Integer compare, exactly

@@ -238,6 +238,17 @@ object TextAnalysis {
     docs.select(col(idCol),
       posexplode(sentenceArray(col(textCol))).as(Seq("sent_idx", "sentence")))
 
+  /** INTRA-document repeated-sentence removal: keep each sentence's FIRST
+    * occurrence within the doc, in order, rejoined with single spaces —
+    * the row-local boilerplate cleaner (nav crumbs, repeated CTAs) that
+    * complements the corpus-global [[sentenceDedup]] (which drops
+    * sentences repeated ACROSS ≥ minDocFreq docs). `array_distinct`
+    * preserves first-occurrence order; the q_sentence_dedup_doc oracle
+    * rebuilds that order in DuckDB via min-position re-aggregation.
+    */
+  def dedupSentencesInDoc(text: Column): Column =
+    concat_ws(" ", array_distinct(sentenceArray(text)))
+
   /** Greedy sentence-packed chunking: pack consecutive sentences into
     * chunks of ≤ `maxTokens` whitespace tokens, never splitting a sentence
     * (an over-long sentence gets its own chunk) — the boundary-respecting

@@ -133,6 +133,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark join not broadcast:\n$plan")
   }
 
+  test("dedupSentencesInDoc: first occurrence kept in order; distinct sentences untouched") {
+    val session = spark
+    import session.implicits._
+    val got = Seq(
+      "Buy now! Great deal. Buy now! The end.",
+      "One. Two. Three.",
+      "Same. Same. Same.",
+      "").toDF("t")
+      .select(TextAnalysis.dedupSentencesInDoc(col("t")).as("d"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "Buy now! Great deal. The end.")
+    assert(got(1) == "One. Two. Three.")
+    assert(got(2) == "Same.")
+    assert(got(3) == "")
+  }
+
+  test("QualityClassifier.calibration: exact bin x label counts, negative scores floor correctly") {
+    val session = spark
+    import session.implicits._
+    val scored = Seq((1L, 12L, true), (2L, 7L, true), (3L, -3L, false),
+      (4L, -11L, false), (5L, 0L, true)).toDF("doc_id", "score", "lbl")
+    val got = QualityClassifier.calibration(scored, col("lbl"), binWidth = 5L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // floor semantics: 12→2, 7→1, 0→0, -3→-1, -11→-3
+    assert(got == Map((2L, true) -> 1L, (1L, true) -> 1L, (0L, true) -> 1L,
+      (-1L, false) -> 1L, (-3L, false) -> 1L), s"got $got")
+  }
+
   test("md5 sampling: deterministic, engine-portable bucket fraction") {
     val session = spark
     import session.implicits._
