@@ -136,10 +136,18 @@ object Decontamination {
     val cBand = banded(corpus, id, "__csig")
     val bBandRaw = banded(benchmark, benchId, "__bsig")
     val bBand = if (broadcastBenchmark) broadcast(bBandRaw) else bBandRaw
+    // localCheckpoint: the candidate frame is referenced three times below
+    // (pair join + two semi-join prunes) and without materialization each
+    // reference re-evaluates the WHOLE candidate subtree — three corpus
+    // scans and three signature passes (seen in the executed plan; the
+    // identical-subtree broadcasts were NOT reuse-deduped). Candidates are
+    // pair-count-sized, so materializing them is the cheap side of that
+    // trade by orders of magnitude.
     val cands = cBand.join(bBand, Seq("__bucket"))
       .filter(Dedup.sigAgreement(col("__csig"), col("__bsig"), numHashes)
         >= threshold - 0.15)
       .select(col(id), col(benchId)).distinct()
+      .localCheckpoint()
     val cs = corpus.join(cands.select(col(id)).distinct(), Seq(id), "left_semi")
       .select(col(id), Dedup.shingles(col(text), k).as("__sha"))
     val bsRaw = benchmark
