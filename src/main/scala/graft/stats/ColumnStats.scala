@@ -100,12 +100,18 @@ object DriftStats {
     val counts = u.groupBy("v").agg(
       count(when(col("side") === "a", 1)).as("ca"),
       count(when(col("side") === "b", 1)).as("cb"))
-    val totals = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals as FRAME-WIDE windows over the same sorted counts — a separate
+    // totals aggregate would re-evaluate the whole counts subtree (plan
+    // audit: TWO extra corpus scans; the per-call observe-free subtree was
+    // still not reuse-deduped), and these windows share the one sort
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts
       .withColumn("cum_a", sum("ca").over(w))
       .withColumn("cum_b", sum("cb").over(w))
-      .crossJoin(broadcast(totals))
+      .withColumn("na", sum("ca").over(wAll))
+      .withColumn("nb", sum("cb").over(wAll))
       .agg(
         max(abs(col("cum_a").cast("double") / col("na").cast("double") -
           col("cum_b").cast("double") / col("nb").cast("double"))).as("ks"),
@@ -121,21 +127,36 @@ object DriftStats {
     */
   def psiExact(a: DataFrame, b: DataFrame, valueCol: String,
                buckets: Int = 10, eps: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val u = a.select(col(valueCol).cast("double").as("v"), lit("a").as("side"))
       .unionByName(b.select(col(valueCol).cast("double").as("v"), lit("b").as("side")))
       .filter(col("v").isNotNull)
-    val range = u.agg(min("v").as("lo"), max("v").as("hi"))
-    val width = (col("hi") - col("lo")) / lit(buckets.toDouble)
-    val binned = u.crossJoin(broadcast(range))
-      .withColumn("bin",
-        when(col("hi") === col("lo"), lit(0L))
-          .otherwise(least(floor((col("v") - col("lo")) / width),
-            lit(buckets - 1L))).cast("bigint"))
-    val counts = binned.groupBy("bin").agg(
+    // lo/hi as DRIVER scalars (the pageRank dangling-mass budget: two
+    // doubles) instead of a crossJoin'd range subquery: the range subtree
+    // was re-evaluated inside every reference to the binned counts — the
+    // plan audit counted EIGHT corpus scans for one psiExact call. Two
+    // passes remain (range, counts): the inherent minimum for exact
+    // equal-width bins over an unknown range. NOTE: this makes the
+    // operator eager at construction.
+    val rangeRow = u.agg(min("v").as("lo"), max("v").as("hi")).collect()(0)
+    val (lo, hi) =
+      if (rangeRow.isNullAt(0)) (0.0, 0.0)
+      else (rangeRow.getDouble(0), rangeRow.getDouble(1))
+    val width = (hi - lo) / buckets.toDouble
+    val bin =
+      if (hi == lo) lit(0L)
+      else least(floor((col("v") - lit(lo)) / lit(width)),
+        lit(buckets - 1L)).cast("bigint")
+    val counts = u.groupBy(bin.as("bin")).agg(
       count(when(col("side") === "a", 1)).as("cnt_a"),
       count(when(col("side") === "b", 1)).as("cnt_b"))
-    val totals = counts.agg(sum("cnt_a").as("na"), sum("cnt_b").as("nb"))
-    counts.crossJoin(broadcast(totals))
+    // totals as frame-wide windows over the ≤buckets-row counts frame
+    // (see ksExact) — a totals aggregate re-evaluated the counts subtree
+    val wAll = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("na", sum("cnt_a").over(wAll))
+      .withColumn("nb", sum("cnt_b").over(wAll))
       .withColumn("p", greatest(col("cnt_a").cast("double") / col("na").cast("double"), lit(eps)))
       .withColumn("q", greatest(col("cnt_b").cast("double") / col("nb").cast("double"), lit(eps)))
       .select(col("bin"), col("cnt_a"), col("cnt_b"),
