@@ -1073,6 +1073,16 @@ object SparkEntry {
       graft.ops.Sampling.weightedTopK(docs, "doc_id", "w", 100).select("doc_id")
     }),
 
+    // --- per-stratum A-ES sample via the bounded top-k heap aggregate:
+    // same keys as q_weighted_sample, partitioned by lang, k=20; the
+    // oracle ranks with the window form — agg ≡ window by construction ----
+    "q_weighted_stratified" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("w", greatest(col("n_chars").cast("double"), lit(1.0)))
+      graft.ops.Sampling.weightedTopKPerStratum(docs, "doc_id", "w", "lang", 20)
+        .select(col("lang"), col("doc_id"))
+    }),
+
     // sentence-packed context windows: the corpus has no terminators, so
     // both engines first synthesize them identically (words ending in 'e'
     // end a sentence), then the greedy packer runs — the DuckDB twin is a
@@ -1847,6 +1857,14 @@ object SparkEntry {
       ("SELECT doc_id FROM (SELECT doc_id FROM documents ORDER BY " +
         "pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0, " +
         "1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) DESC, doc_id LIMIT 100)"),
+
+    // stratified: the window-rank form of the same selection per lang
+    "q_weighted_stratified" ->
+      ("SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() OVER (" +
+        "PARTITION BY lang ORDER BY " +
+        "pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0, " +
+        "1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) DESC, doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 20"),
 
     // greedy sentence packing as a recursive CTE: one sentence advanced per
     // iteration, carrying (chunk idx, token accumulator) exactly like the

@@ -103,6 +103,28 @@ object Sampling {
       .filter(col("ares_key").isNotNull)
       .orderBy(col("ares_key").desc, col(key)).limit(k)
 
+  /** Per-stratum weighted top-k sample: the A-ES sample of [[weightedTopK]]
+    * computed INDEPENDENTLY per stratum (per-language / per-source
+    * training-mix curation) with bounded state — a
+    * `row_number() OVER (PARTITION BY stratum ORDER BY key DESC)` window
+    * would sort a hot stratum's whole projection in one task (the
+    * capPerDomain hazard), so the winners come from the bounded
+    * [[graft.functions.TopKByScoreAgg]] heap (≤k (id, key) pairs per
+    * state, map-side combined). Deterministic: A-ES keys are pure
+    * functions of (key, weight), ties break on the smaller id. Rows with
+    * non-positive weight are dropped (null A-ES key), as in
+    * [[weightedTopK]]. Requires a long-castable key.
+    */
+  def weightedTopKPerStratum(df: DataFrame, key: String, weight: String,
+                             stratum: String, k: Int): DataFrame =
+    df.withColumn("ares_key", aresKey(col(key), col(weight)))
+      .filter(col("ares_key").isNotNull)
+      .groupBy(col(stratum))
+      .agg(graft.functions.TopKByScoreAgg
+        .topKByScore(col("ares_key"), col(key), k).as("__top"))
+      .select(col(stratum), explode(col("__top")).as("__r"))
+      .select(col(stratum), col("__r.id").as(key), col("__r.score").as("ares_key"))
+
   /** Sequence packing: assign docs to fixed-token-budget training shards —
     * the concatenate-then-cut convention (a doc's shard is where its FIRST
     * token lands in the bucket's running token stream; a doc may straddle

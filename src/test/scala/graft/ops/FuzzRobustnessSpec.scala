@@ -134,6 +134,52 @@ class FuzzRobustnessSpec extends SparkTestBase {
     }
   }
 
+  test("TopKByScoreAgg: equals the (score desc, id asc) window top-k per group over random data") {
+    val session = spark
+    import session.implicits._
+    val rows = genCases(for {
+      g <- Gen.chooseNum(0, 4)
+      id <- Gen.chooseNum(0L, 500L)
+      s <- Gen.oneOf(Gen.chooseNum(-5.0, 5.0), Gen.oneOf(1.0, 2.0)) // ties!
+    } yield (g, id, s), 800).distinct
+    val got = rows.toDF("g", "id", "s").repartition(13)
+      .groupBy("g")
+      .agg(graft.functions.TopKByScoreAgg.topKByScore(col("s"), col("id"), 6).as("t"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getDouble(1)))).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val exp = vs.map(v => (v._2, v._3)).distinct
+        .sortBy { case (id, s) => (-s, id) }.take(6)
+      assert(got(g) == exp, s"group $g: ${got(g)} != $exp")
+    }
+  }
+
+  test("weightedTopKPerStratum: agg path equals the window-rank selection per stratum") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = genCases(for {
+      lang <- Gen.oneOf("en", "fr", "de")
+      w <- Gen.chooseNum(1.0, 50.0)
+    } yield (lang, w), 600).zipWithIndex
+      .map { case ((l, w), i) => (i.toLong, l, w) }
+      .toDF("doc_id", "lang", "w").repartition(9)
+    val viaAgg = Sampling.weightedTopKPerStratum(docs, "doc_id", "w", "lang", 11)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaWin = docs.withColumn("k", Sampling.aresKey(col("doc_id"), col("w")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("k").desc, col("doc_id"))))
+      .filter(col("rk") <= 11).select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaAgg == viaWin, s"agg=$viaAgg\nwin=$viaWin")
+    // no window in the agg plan (the skew guarantee is structural)
+    val plan = Sampling.weightedTopKPerStratum(docs, "doc_id", "w", "lang", 11)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked:\n$plan")
+    assert(plan.contains("top_k_by_score"), plan)
+  }
+
   test("HeavyHittersAgg: MG guarantee holds over random skewed streams and partitionings") {
     val session = spark
     import session.implicits._
