@@ -1063,6 +1063,25 @@ object SparkEntry {
           round(col("term") * 1e6).cast("bigint").as("term_e6"))
     }),
 
+    // per-SOURCE PSI (the operational drift form — sources drift one at a
+    // time): sides split on an md5 bit, NOT parity — source assignment is
+    // doc_id % 20, so every modulus dividing 20 is CONSTANT within a
+    // source and a parity split would leave each group one-sided
+    "q_psi_by_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val h2 = substring(md5(col("doc_id").cast("string")), 2, 1)
+      val a = docs.filter(h1 < "8")
+        .select(col("source"), col("n_chars").cast("double").as("v"))
+      val b = docs.filter(h1 >= "8")
+        .select(col("source"), (col("n_chars") +
+          when(h2 < "8", lit(150L)).otherwise(lit(0L)))
+          .cast("double").as("v"))
+      graft.stats.DriftStats.psiExactByGroup(a, b, "v", "source")
+        .select(col("source"), col("bin"), col("cnt_a"), col("cnt_b"),
+          round(col("term") * 1e6).cast("bigint").as("term_e6"))
+    }),
+
     // Efraimidis-Spirakis weighted sample without replacement: top-k by
     // u^(1/w) with the md5-derived uniform — deterministic, so the SAME
     // 100-doc sample falls out of both engines (keys are ~1e-9 apart at
@@ -1851,6 +1870,20 @@ object SparkEntry {
         ", t AS (SELECT CAST(sum(cnt_a) AS DOUBLE) AS na, CAST(sum(cnt_b) AS DOUBLE) AS nb FROM c) " +
         "SELECT bin, cnt_a, cnt_b, CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS term_e6 FROM " +
         "(SELECT bin, cnt_a, cnt_b, greatest(CAST(cnt_a AS DOUBLE) / na, 0.0001) AS p, greatest(CAST(cnt_b AS DOUBLE) / nb, 0.0001) AS q FROM c CROSS JOIN t)"),
+
+    // grouped PSI: per-source ranges/bins/totals, same term arithmetic;
+    // sides split on md5 (source = doc_id % 20 makes parity degenerate)
+    "q_psi_by_source" ->
+      ("WITH u AS (" +
+        "SELECT source, CAST(n_chars AS DOUBLE) AS v, 'a' AS side FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' " +
+        "UNION ALL " +
+        "SELECT source, CAST(n_chars + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '8' THEN 150 ELSE 0 END AS DOUBLE) AS v, 'b' AS side FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8')" +
+        ", r AS (SELECT source, min(v) AS lo, max(v) AS hi FROM u GROUP BY source)" +
+        ", bn AS (SELECT u.source, CASE WHEN r.hi = r.lo THEN 0 ELSE CAST(least(floor((u.v - r.lo) / ((r.hi - r.lo) / 10)), 9) AS BIGINT) END AS bin, u.side FROM u JOIN r ON u.source = r.source)" +
+        ", c AS (SELECT source, bin, count(CASE WHEN side='a' THEN 1 END) AS cnt_a, count(CASE WHEN side='b' THEN 1 END) AS cnt_b FROM bn GROUP BY 1, 2)" +
+        ", t AS (SELECT source, CAST(sum(cnt_a) AS DOUBLE) AS na, CAST(sum(cnt_b) AS DOUBLE) AS nb FROM c GROUP BY source) " +
+        "SELECT source, bin, cnt_a, cnt_b, CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS term_e6 FROM " +
+        "(SELECT c.source, bin, cnt_a, cnt_b, greatest(CAST(cnt_a AS DOUBLE) / na, 0.0001) AS p, greatest(CAST(cnt_b AS DOUBLE) / nb, 0.0001) AS q FROM c JOIN t ON c.source = t.source)"),
 
     // A-ES weighted sample: same md5-uniform, same pow/ordering arithmetic
     "q_weighted_sample" ->

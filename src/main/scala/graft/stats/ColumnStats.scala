@@ -163,6 +163,57 @@ object DriftStats {
         ((col("p") - col("q")) * log(col("p") / col("q"))).as("term"))
   }
 
+  /** [[psiExact]] computed independently PER GROUP (per-source / per-lang
+    * drift — the operational form: a 10^12-doc corpus never drifts
+    * uniformly, it drifts one crawl/source at a time). Per-group equal-width
+    * bins over each group's own combined [min, max]: the range pass is one
+    * group-count-sized aggregate broadcast back onto the stream (never a
+    * driver collect — groups may be many), the bin counts one exchange with
+    * map-side combine, and per-group totals come from a `partitionBy(group)`
+    * frame-wide window over the ≤buckets-row count frames (no re-evaluated
+    * totals subtree — see [[psiExact]]'s plan-audit note). Two corpus
+    * passes total, the exact minimum for unknown ranges. Returns
+    * (group, bin, cnt_a, cnt_b, term); per-group PSI = Σ term over the
+    * group's rows.
+    */
+  def psiExactByGroup(a: DataFrame, b: DataFrame, valueCol: String,
+                      groupCol: String, buckets: Int = 10,
+                      eps: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = a.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
+        lit("a").as("side"))
+      .unionByName(b.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"), lit("b").as("side")))
+      .filter(col("v").isNotNull)
+    val range = u.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"))
+    val width = (col("hi") - col("lo")) / lit(buckets.toDouble)
+    val binned = u.join(broadcast(range), Seq("g"))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("v") - col("lo")) / width),
+            lit(buckets - 1L))).cast("bigint"))
+    val counts = binned.groupBy("g", "bin").agg(
+      count(when(col("side") === "a", 1)).as("cnt_a"),
+      count(when(col("side") === "b", 1)).as("cnt_b"))
+    val wg = Window.partitionBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // one-sided groups (a source present in only ONE snapshot) must not
+    // crash on 0/0 under ANSI: the absent side's mass floors at eps in
+    // every bin — the standard "new/vanished category" PSI convention,
+    // which correctly reports such a group as maximally drifted
+    counts
+      .withColumn("na", sum("cnt_a").over(wg))
+      .withColumn("nb", sum("cnt_b").over(wg))
+      .withColumn("p", greatest(when(col("na") > 0,
+        col("cnt_a").cast("double") / col("na").cast("double"))
+        .otherwise(lit(0.0)), lit(eps)))
+      .withColumn("q", greatest(when(col("nb") > 0,
+        col("cnt_b").cast("double") / col("nb").cast("double"))
+        .otherwise(lit(0.0)), lit(eps)))
+      .select(col("g").as(groupCol), col("bin"), col("cnt_a"), col("cnt_b"),
+        ((col("p") - col("q")) * log(col("p") / col("q"))).as("term"))
+  }
+
   /** Population-stability index over `buckets` equal-width bins spanning the
     * combined range. Zero-mass bins are floored at eps (standard practice).
     */

@@ -62,6 +62,38 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(same) < 1e-12)
   }
 
+  test("drift: psiExactByGroup == per-group psiExact; one-sided groups flag max drift, never crash") {
+    val session = spark
+    import session.implicits._
+    val a = ((0 until 2000).map(i => ("g1", (i % 100).toDouble)) ++
+      (0 until 1500).map(i => ("g2", (i % 40).toDouble)) ++
+      (0 until 300).map(i => ("gone", (i % 10).toDouble))) // absent from b
+      .toDF("src", "v")
+    val b = ((0 until 2000).map(i => ("g1", (i % 100 + 50).toDouble)) ++ // drifted
+      (0 until 1500).map(i => ("g2", (i % 40).toDouble)) ++              // same dist
+      (0 until 200).map(i => ("new", (i % 10).toDouble)))                // absent from a
+      .toDF("src", "v")
+    val grouped = DriftStats.psiExactByGroup(a, b, "v", "src").collect()
+      .groupBy(_.getString(0))
+    // per-group rows equal the ungrouped op run on that group's slices
+    for (g <- Seq("g1", "g2")) {
+      val exp = DriftStats.psiExact(
+          a.filter($"src" === g), b.filter($"src" === g), "v").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val got = grouped(g)
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(got == exp, s"group $g: $got != $exp")
+    }
+    // drifted group's PSI large, stable group's ~0
+    def psiOf(g: String) = grouped(g).map(_.getDouble(4)).sum
+    assert(psiOf("g1") > 0.5, s"g1=${psiOf("g1")}")
+    assert(math.abs(psiOf("g2")) < 1e-12, s"g2=${psiOf("g2")}")
+    // one-sided groups: absent side floors at eps per bin → large positive
+    // PSI (the new/vanished-category convention), and no ANSI 0/0 crash
+    assert(psiOf("gone") > 1.0 && psiOf("new") > 1.0,
+      s"gone=${psiOf("gone")} new=${psiOf("new")}")
+  }
+
   test("drift: KS and PSI detect a distribution shift, stay ~0 on same dist") {
     val a = spark.range(50000).select((col("id") % 100).cast("double").as("v"))
     val b = spark.range(50000).select((col("id") % 100 + 50).cast("double").as("v"))
