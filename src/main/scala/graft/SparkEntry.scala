@@ -1063,6 +1063,23 @@ object SparkEntry {
           round(col("term") * 1e6).cast("bigint").as("term_e6"))
     }),
 
+    // per-SOURCE KS (grouped twin; the cumulative window partitions by
+    // source — no global sort anywhere)
+    "q_ks_by_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val h2 = substring(md5(col("doc_id").cast("string")), 2, 1)
+      val a = docs.filter(h1 < "8")
+        .select(col("source"), col("n_chars").cast("double").as("v"))
+      val b = docs.filter(h1 >= "8")
+        .select(col("source"), (col("n_chars") +
+          when(h2 < "8", lit(150L)).otherwise(lit(0L)))
+          .cast("double").as("v"))
+      graft.stats.DriftStats.ksExactByGroup(a, b, "v", "source")
+        .select(col("source"), round(col("ks") * 1e6).cast("bigint").as("ks_e6"),
+          col("n_a"), col("n_b"))
+    }),
+
     // per-SOURCE PSI (the operational drift form — sources drift one at a
     // time): sides split on an md5 bit, NOT parity — source assignment is
     // doc_id % 20, so every modulus dividing 20 is CONSTANT within a
@@ -1870,6 +1887,22 @@ object SparkEntry {
         ", t AS (SELECT CAST(sum(cnt_a) AS DOUBLE) AS na, CAST(sum(cnt_b) AS DOUBLE) AS nb FROM c) " +
         "SELECT bin, cnt_a, cnt_b, CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS term_e6 FROM " +
         "(SELECT bin, cnt_a, cnt_b, greatest(CAST(cnt_a AS DOUBLE) / na, 0.0001) AS p, greatest(CAST(cnt_b AS DOUBLE) / nb, 0.0001) AS q FROM c CROSS JOIN t)"),
+
+    // grouped KS: per-source cumulative window, same md5 side split
+    "q_ks_by_source" ->
+      ("WITH u AS (" +
+        "SELECT source, CAST(n_chars AS DOUBLE) AS v, 'a' AS side FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' " +
+        "UNION ALL " +
+        "SELECT source, CAST(n_chars + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '8' THEN 150 ELSE 0 END AS DOUBLE) AS v, 'b' AS side FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8')" +
+        ", c AS (SELECT source, v, count(CASE WHEN side='a' THEN 1 END) AS ca, count(CASE WHEN side='b' THEN 1 END) AS cb FROM u GROUP BY 1, 2)" +
+        ", cc AS (SELECT source, " +
+        "CAST(sum(ca) OVER (PARTITION BY source ORDER BY v) AS DOUBLE) AS cum_a, " +
+        "CAST(sum(cb) OVER (PARTITION BY source ORDER BY v) AS DOUBLE) AS cum_b, " +
+        "CAST(sum(ca) OVER (PARTITION BY source) AS DOUBLE) AS na, " +
+        "CAST(sum(cb) OVER (PARTITION BY source) AS DOUBLE) AS nb FROM c) " +
+        "SELECT source, CAST(round(max(abs(" +
+        "CASE WHEN na > 0 THEN cum_a / na ELSE 0 END - CASE WHEN nb > 0 THEN cum_b / nb ELSE 0 END)) * 1000000) AS BIGINT) AS ks_e6, " +
+        "CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b FROM cc GROUP BY source"),
 
     // grouped PSI: per-source ranges/bins/totals, same term arithmetic;
     // sides split on md5 (source = doc_id % 20 makes parity degenerate)

@@ -163,6 +163,42 @@ object DriftStats {
         ((col("p") - col("q")) * log(col("p") / col("q"))).as("term"))
   }
 
+  /** [[ksExact]] computed independently PER GROUP — and, unlike the global
+    * form, the cumulative window here partitions BY GROUP, so no
+    * single-task global sort exists at all: each group's distinct values
+    * sort within their own partition. One-sided groups (na or nb = 0)
+    * report ks = 1.0 (the absent side's CDF is identically 0 — maximal
+    * drift) instead of crashing on ANSI 0/0. Returns (group, ks, n_a,
+    * n_b).
+    */
+  def ksExactByGroup(a: DataFrame, b: DataFrame, valueCol: String,
+                     groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = a.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
+        lit("a").as("side"))
+      .unionByName(b.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"), lit("b").as("side")))
+      .filter(col("v").isNotNull)
+    val counts = u.groupBy("g", "v").agg(
+      count(when(col("side") === "a", 1)).as("ca"),
+      count(when(col("side") === "b", 1)).as("cb"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def cdf(cum: Column, n: Column): Column =
+      when(n > 0, cum.cast("double") / n.cast("double")).otherwise(lit(0.0))
+    counts
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(wAll))
+      .withColumn("nb", sum("cb").over(wAll))
+      .groupBy("g")
+      .agg(max(abs(cdf(col("cum_a"), col("na")) - cdf(col("cum_b"), col("nb")))).as("ks"),
+        first(col("na")).as("n_a"), first(col("nb")).as("n_b"))
+      .select(col("g").as(groupCol), col("ks"), col("n_a"), col("n_b"))
+  }
+
   /** [[psiExact]] computed independently PER GROUP (per-source / per-lang
     * drift — the operational form: a 10^12-doc corpus never drifts
     * uniformly, it drifts one crawl/source at a time). Per-group equal-width

@@ -94,6 +94,28 @@ class StatsSpec extends SparkTestBase {
       s"gone=${psiOf("gone")} new=${psiOf("new")}")
   }
 
+  test("drift: ksExactByGroup == per-group ksExact; one-sided groups read ks = 1") {
+    val session = spark
+    import session.implicits._
+    val a = ((0 until 2000).map(i => ("g1", (i % 100).toDouble)) ++
+      (0 until 1500).map(i => ("g2", (i % 40).toDouble)) ++
+      (0 until 300).map(i => ("gone", (i % 10).toDouble))).toDF("src", "v")
+    val b = ((0 until 2000).map(i => ("g1", (i % 100 + 50).toDouble)) ++
+      (0 until 1500).map(i => ("g2", (i % 40).toDouble)) ++
+      (0 until 200).map(i => ("new", (i % 10).toDouble))).toDF("src", "v")
+    val got = DriftStats.ksExactByGroup(a, b, "v", "src").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    for (g <- Seq("g1", "g2")) {
+      val exp = DriftStats.ksExact(
+        a.filter($"src" === g), b.filter($"src" === g), "v").collect()(0)
+      assert(got(g)._1 == exp.getDouble(0), s"group $g ks")
+      assert(got(g)._2 == exp.getLong(1) && got(g)._3 == exp.getLong(2))
+    }
+    assert(got("g1")._1 > 0.4 && got("g2")._1 == 0.0)
+    assert(got("gone")._1 == 1.0 && got("new")._1 == 1.0,
+      s"one-sided groups must read maximal drift: $got")
+  }
+
   test("drift: KS and PSI detect a distribution shift, stay ~0 on same dist") {
     val a = spark.range(50000).select((col("id") % 100).cast("double").as("v"))
     val b = spark.range(50000).select((col("id") % 100 + 50).cast("double").as("v"))
