@@ -367,6 +367,35 @@ object StreamingValidator {
         sum(graft.ops.TextAnalysis.tokenCount(col(text)).cast("long")).as("n_tokens"),
         sum(length(col(text)).cast("long")).as("n_chars"))
 
+  /** Windowed trending-terms monitor: per event-time window, canonical
+    * term counts at or above `minCount` — the live "what vocabulary is
+    * flooding in" feed (a burst of one template's tokens is the earliest
+    * symptom of a boilerplate/spam ingestion leak). Same canonical token
+    * stream as [[graft.ops.Ranking.termCounts]] so the live view and the
+    * batch term tables can never disagree on tokenization; emission on
+    * watermark close keeps it append-legal. The threshold bounds the sink,
+    * not the state (state is the windowed aggregation); for corpus-scale
+    * streams pick windows short enough that a window's distinct-term set
+    * fits the store, exactly as the batch side shards its posting lists.
+    * Batch≡stream count parity asserted in StreamingValidatorSpec.
+    */
+  def trendingTermsStream(docs: DataFrame, minCount: Long = 2L,
+                          eventTime: String = "ts",
+                          window: String = "1 minute",
+                          lateness: String = "2 minutes",
+                          text: String = "text"): DataFrame =
+    docs
+      .withWatermark(eventTime, lateness)
+      .select(col(eventTime),
+        explode(split(graft.ops.TextAnalysis.canonicalText(col(text)), " "))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(eventTime), window),
+        col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
   /** Windowed domain-mention monitor — the streaming face of
     * [[graft.ops.UrlOps.domainProfile]] for ingestion: per event-time
     * window and registrable domain (the SAME PSL-backed

@@ -257,6 +257,36 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("trendingTermsStream: per-window term counts at the threshold match the batch rollup") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:05"), "buy now buy now"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:20"), "BUY also now"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:01:10"), "quiet window text"))
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = stream.toDF().toDF("ts", "text")
+    val out = StreamingValidator.trendingTermsStream(docs, minCount = 3L,
+      window = "1 minute", lateness = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("sv_trend")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture)
+      q.processAllAvailable()
+      stream.addData((java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), "x"))
+      q.processAllAvailable()
+      val got = spark.table("sv_trend")
+        .select(col("window.start").cast("string").as("w"), col("term"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // canonical tokens: "buy"×3 (case-folded) and "now"×3 trend; "also"
+      // (1) and everything in the quiet window stay under the threshold
+      assert(got == Map(
+        ("2026-01-01 10:00:00", "buy") -> 3L,
+        ("2026-01-01 10:00:00", "now") -> 3L), s"got $got")
+    } finally q.stop()
+  }
+
   test("domainMentionsStream: per-window PSL-domain mention counts match the batch rollup") {
     val session = spark
     import session.implicits._
