@@ -1045,6 +1045,13 @@ object SparkEntry {
     "q_stats_profile" -> ((s, d) =>
       ColumnStats.profile(t(s, d, "lineitem")).drop("kll", "approxDistinct")),
 
+    // per-SOURCE profile (the grouped drift baseline): one groupBy, melt
+    // over the materialized group-count-sized wide frame
+    "q_stats_by_source" -> ((s, d) =>
+      graft.stats.ColumnStats.profileByGroup(
+          t(s, d, "documents"), "source", Seq("doc_id", "n_chars", "lang"))
+        .drop("approxDistinct")),
+
     // distribution-drift checks (north star: "histogram sketches for KS/PSI
     // distribution-drift checks") — the EXACT distributed twins of the KLL
     // sketch path, oracle-checked end to end: two-sample KS sup-statistic
@@ -1867,6 +1874,12 @@ object SparkEntry {
     "q_stats_profile" ->
       LineitemCols.map(c =>
         s"""SELECT '$c' AS "column", count($c) AS "count", count(CASE WHEN $c IS NULL THEN 1 END) AS nulls, CAST(min($c) AS VARCHAR) AS "min", CAST(max($c) AS VARCHAR) AS "max" FROM lineitem""")
+        .mkString(" UNION ALL "),
+
+    // grouped profile: one UNION arm per column, each a per-source rollup
+    "q_stats_by_source" ->
+      Seq("doc_id", "n_chars", "lang").map(c =>
+        s"""SELECT source, '$c' AS "column", count($c) AS "count", count(CASE WHEN $c IS NULL THEN 1 END) AS nulls, CAST(min($c) AS VARCHAR) AS "min", CAST(max($c) AS VARCHAR) AS "max" FROM documents GROUP BY source""")
         .mkString(" UNION ALL "),
 
     // drift checks: same side construction, same grouping, same IEEE

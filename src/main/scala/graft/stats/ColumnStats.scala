@@ -18,6 +18,39 @@ import org.apache.spark.sql.types.NumericType
   */
 object ColumnStats {
 
+  /** Per-GROUP long-format profile: (group, column, count, nulls,
+    * approxDistinct, min, max) — the per-source baseline the grouped
+    * drift checks ([[DriftStats.psiExactByGroup]]) compare against, and
+    * the per-source slice of the north-star stats stage. ONE
+    * groupBy(group) computes every statistic for every column (map-side
+    * combined, one exchange); the wide result is group-count-sized and is
+    * localCheckpoint-materialized BEFORE the per-column melt — the melt
+    * union references it once per column, which would otherwise
+    * re-evaluate the whole corpus aggregation per column (the
+    * re-evaluated-subtree trap, see jaccardVerify).
+    */
+  def profileByGroup(df: DataFrame, groupCol: String,
+                     statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty)
+    val aggs: Seq[Column] = statCols.flatMap { n =>
+      val c = col(n)
+      Seq(
+        count(c).as(s"${n}__count"),
+        count(when(c.isNull, 1)).as(s"${n}__nulls"),
+        approx_count_distinct(c).as(s"${n}__distinct"),
+        min(c).cast("string").as(s"${n}__min"),
+        max(c).cast("string").as(s"${n}__max"))
+    }
+    val wide = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    statCols.map { n =>
+      wide.select(col(groupCol), lit(n).as("column"),
+        col(s"${n}__count").as("count"), col(s"${n}__nulls").as("nulls"),
+        col(s"${n}__distinct").as("approxDistinct"),
+        col(s"${n}__min").as("min"), col(s"${n}__max").as("max"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Long-format profile: one row per column with
     * (column, count, nulls, approxDistinct, min, max, sketch?).
     * Numeric columns also get a serialized KLL sketch for drift checks.

@@ -94,6 +94,27 @@ class StatsSpec extends SparkTestBase {
       s"gone=${psiOf("gone")} new=${psiOf("new")}")
   }
 
+  test("profileByGroup: exact per-group stats over nulls; melt reads the materialized agg, not the corpus") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      ("s1", Some(5L), "en"), ("s1", None, "fr"), ("s1", Some(9L), "en"),
+      ("s2", Some(2L), null.asInstanceOf[String]))
+      .toDF("src", "n", "lang")
+    val out = ColumnStats.profileByGroup(df, "src", Seq("n", "lang"))
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(5), r.getString(6)))).toMap
+    assert(got(("s1", "n")) == ((2L, 1L, "5", "9")))
+    assert(got(("s1", "lang")) == ((3L, 0L, "en", "fr")))
+    assert(got(("s2", "n")) == ((1L, 0L, "2", "2")))
+    assert(got(("s2", "lang")) == ((0L, 1L, null, null))) // count() skips nulls
+    // the melt union must NOT re-run the corpus aggregation per column:
+    // the plan's leaves are the checkpointed RDD, not repeated scans/aggs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"melt re-aggregates:\n$plan")
+  }
+
   test("drift: ksExactByGroup == per-group ksExact; one-sided groups read ks = 1") {
     val session = spark
     import session.implicits._
