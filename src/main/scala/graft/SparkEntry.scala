@@ -912,6 +912,15 @@ object SparkEntry {
           threshold = 0.6))
         .select(col("id").as("doc_id"), col("component"))),
 
+    // the packaged DROP over the SAME pair graph: survivors = everyone
+    // except non-representative component members
+    "q_neardup_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.nearDupKeep(docs,
+          Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6))
+        .select(col("doc_id"))
+    }),
+
     // winnowed rolling-hash fingerprints: the duplicated slice appends a
     // distinct tail, so pairs surface through SHARED PASSAGES, not
     // equality (k=16/minShared=12 tuned for this template-heavy corpus:
@@ -1823,6 +1832,15 @@ object SparkEntry {
         "e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p), " +
         "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a) " +
         "SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a"),
+
+    // keep = all docs minus non-representative members of the closure
+    "q_neardup_keep" ->
+      (s"WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($NgramJaccardSql)), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+        "(SELECT doc_id FROM comp WHERE doc_id <> component)"),
 
     // stopword-vote language id in pure SQL (distinct-hit counts, argmax
     // with the same en>fr>de>es tie order as TextAnalysis.langId)

@@ -343,6 +343,25 @@ object Dedup {
     * rounds 1..N-1 (an unbounded iterative-join lineage is the classic
     * driver OOM).
     */
+  /** The end-to-end near-dup DROP: corpus with every near-duplicate group
+    * collapsed to its min-id representative — the composition every
+    * curation pipeline writes by hand around [[dupGroups]] (pairs →
+    * connected components → losers → anti-join), packaged so the closure
+    * step can't be forgotten (pairwise pruning keeps b AND c of a~b, b~c).
+    * `pairs` comes from any miner ([[nearDupPairs]],
+    * [[ngramJaccardPairs]], [[simhashPairs]], …). Scale shape: components
+    * run on the dup-node-only graph; losers (non-representative members)
+    * anti-join the corpus on the unique id — both corpus-side joins are
+    * skew-free by construction.
+    */
+  def nearDupKeep(df: DataFrame, pairs: DataFrame, id: String = "doc_id",
+                  idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = dupGroups(pairs, idA, idB)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
   def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                 maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))

@@ -346,6 +346,19 @@ class OpsSpec extends SparkTestBase {
       s"malformed must be null: ${Seq(3, 6, 7, 8).map(meta)}")
   }
 
+  test("nearDupKeep: transitive chains collapse to one representative; untouched docs survive") {
+    val session = spark
+    import session.implicits._
+    import graft.ops.Dedup
+    val docs = (1L to 8L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // chain 2~5, 5~7 (one component, keep 2) + pair 3~8 (keep 3)
+    val pairs = Seq((2L, 5L), (5L, 7L), (3L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDupKeep(docs, pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // pairwise pruning would WRONGLY keep 7 (5~7's min is 5, not 2)
+    assert(kept == Seq(1L, 2L, 3L, 4L, 6L), s"got $kept")
+  }
+
   test("binary payload dedup: byte-identical payloads collapse to the min id; distinct bytes survive") {
     val session = spark
     import session.implicits._
