@@ -63,13 +63,14 @@ object CharHist {
   /** Referenced from generated code — must stay public. */
   def compute(s: UTF8String): InternalRow = {
     val str = s.toString
-    val counts = new java.util.TreeMap[Integer, Long]()
+    // java.lang.Long values so a missing key is an honest null check, not
+    // a scala.Long null-unboxing accident (BoxesRunTime.unboxToLong(null)==0).
+    val counts = new java.util.TreeMap[Integer, java.lang.Long]()
     var i = 0
     var n = 0L
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      val c = counts.get(cp)
-      counts.put(cp, if (c == null) 1L else c + 1L)
+      counts.put(cp, counts.getOrDefault(cp, 0L) + 1L)
       n += 1
       i += Character.charCount(cp)
     }
@@ -79,7 +80,7 @@ object CharHist {
     val it = counts.entrySet().iterator()
     while (it.hasNext) { // TreeMap: ascending cp — deterministic everywhere
       val e = it.next()
-      val c = e.getValue
+      val c = e.getValue.longValue
       if (sb.length > 0) sb.append(',')
       sb.append(e.getKey.intValue).append(':').append(c)
       if (c > top) top = c

@@ -80,13 +80,32 @@ object DecodeEntities {
     m
   }
 
+  // HTML numeric character references are digits-only: Integer.parseInt
+  // would also accept a leading '+' (`&#+65;` → 'A'), silently diverging
+  // from any oracle that treats the reference as unrecognized. Validate
+  // the body strictly before parsing; unrecognized input passes through.
+  private def allIn(s: String, from: Int, lo: Char, hi: Char,
+                    lo2: Char = 'z', hi2: Char = 'a', lo3: Char = 'z', hi3: Char = 'a'): Boolean = {
+    if (from >= s.length) return false
+    var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!((c >= lo && c <= hi) || (c >= lo2 && c <= hi2) || (c >= lo3 && c <= hi3))) return false
+      i += 1
+    }
+    true
+  }
+
   private def codePointOf(body: String): Int = {
     try {
       val cp =
-        if (body.length > 2 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
-          Integer.parseInt(body.substring(2), 16)
-        else if (body.length > 1) Integer.parseInt(body.substring(1))
-        else -1
+        if (body.length > 2 && (body.charAt(1) == 'x' || body.charAt(1) == 'X')) {
+          if (!allIn(body, 2, '0', '9', 'a', 'f', 'A', 'F')) -1
+          else Integer.parseInt(body.substring(2), 16)
+        } else if (body.length > 1) {
+          if (!allIn(body, 1, '0', '9')) -1
+          else Integer.parseInt(body.substring(1))
+        } else -1
       // refuse controls (incl. TAB/LF — entity-decoding a control into
       // curated text would undo the hygiene scrub) and surrogates
       if (cp >= 0x20 && Character.isValidCodePoint(cp) &&

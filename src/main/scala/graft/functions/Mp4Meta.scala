@@ -100,7 +100,11 @@ object Mp4Meta {
       if (typeIs(b, off.toInt + 4, "moov")) moov = off
       else {
         val hop = hopOf(b, off.toInt)
-        if (hop <= 0L) return null // malformed, or to-EOF box that isn't moov
+        // hop > len - off rejects extents past the payload BEFORE advancing:
+        // a crafted largesize near 2^63 would otherwise wrap `off` negative,
+        // bypass the `off + 8 > len` guard, and index negatively after toInt.
+        // (len - off is overflow-free: 0 <= off <= len always holds here.)
+        if (hop <= 0L || hop > len - off) return null // malformed, or to-EOF box that isn't moov
         off += hop
       }
       seg += 1
@@ -115,7 +119,7 @@ object Mp4Meta {
       if (typeIs(b, c.toInt + 4, "mvhd")) mvhd = c
       else {
         val hop = hopOf(b, c.toInt)
-        if (hop <= 0L) return null
+        if (hop <= 0L || hop > len - c) return null // same overflow guard as above
         c += hop
       }
       seg += 1

@@ -39,8 +39,13 @@ case class TopKByScoreAgg(
   override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Double, Long)] =
     scala.collection.mutable.PriorityQueue.empty[(Double, Long)](TopKByScoreAgg.WorstFirst)
 
+  // Total order consistent with WorstFirst (java.lang.Double.compare
+  // throughout): `>`/`==` are always false vs NaN, so a NaN admitted while
+  // the buffer was under k could never be displaced by a valid pair —
+  // results would turn arrival-order dependent. NaN is also rejected at
+  // update() so it never enters the buffer at all.
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    TopKByScoreAgg.WorstFirst.compare(b, a) > 0
 
   private def offer(buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
                     p: (Double, Long)): Unit =
@@ -51,7 +56,7 @@ case class TopKByScoreAgg(
                       input: InternalRow): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
     val s = left.eval(input)
     val i = right.eval(input)
-    if (s != null && i != null)
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       offer(buffer, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
     buffer
   }

@@ -71,6 +71,58 @@ class FuzzRobustnessSpec extends SparkTestBase {
     assert(!ok(1).isNullAt(1) && ok(1).getStruct(1).getLong(0) == 512L)
   }
 
+  test("Mp4Meta: crafted largesize near 2^63 cannot wrap the offset negative (r6 ADVICE)") {
+    val session = spark
+    import session.implicits._
+    // ftyp, then a size==1 box whose largesize is 2^63-16: `off += hop`
+    // used to wrap negative, bypass the `off + 8 > len` guard, and index
+    // the array at a negative position after toInt. Also plant the same
+    // shape as a moov CHILD for the second walk, and a largesize chosen so
+    // two hops land exactly at Long.MinValue.
+    val evil1 = ftyp16 + "00000001" + "66726565" + "7FFFFFFFFFFFFFF0" + "00" * 24
+    val evil2 = ftyp16 + "00000018" + "6D6F6F76" + // moov size 24
+      "00000001" + "66726565" + "7FFFFFFFFFFFFFF0" + "00" * 8 // evil child
+    val evil3 = ftyp16 + "00000001" + "66726565" + "4000000000000000" +
+      "00000001" + "66726565" + "4000000000000000" + "00" * 16
+    val rows = Seq(evil1, evil2, evil3).toDF("hx")
+      .select(Multimodal.mp4Meta(unhex(col("hx"))).as("m")).collect()
+    rows.foreach(r => assert(r.isNullAt(0), s"adversarial payload parsed: $r"))
+  }
+
+  test("TopKByScoreAgg: NaN scores never occupy a slot and never perturb the result") {
+    val session = spark
+    import session.implicits._
+    // NaN rows FIRST in arrival order — pre-fix they were admitted while
+    // the buffer was under k and could never be displaced (`>` vs NaN is
+    // always false), stealing top-k slots arrival-order-dependently.
+    val rows = Seq.tabulate(5)(i => (0, 1000L + i, Double.NaN)) ++
+      Seq.tabulate(20)(i => (0, i.toLong, i.toDouble))
+    val got = rows.toDF("g", "id", "s").repartition(1) // arrival order preserved
+      .groupBy("g")
+      .agg(graft.functions.TopKByScoreAgg.topKByScore(col("s"), col("id"), 6).as("t"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    assert(got == Seq.tabulate(20)(i => (i.toLong, i.toDouble))
+      .sortBy { case (id, s) => (-s, id) }.take(6), got.toString)
+    assert(!got.exists(p => p._2.isNaN))
+  }
+
+  test("DecodeEntities: numeric references are digits-only — leading '+' passes through (r6 ADVICE)") {
+    val session = spark
+    import session.implicits._
+    val cases = Seq(
+      "&#+65;" -> "&#+65;",   // '+' accepted by parseInt but not by HTML
+      "&#x+41;" -> "&#x+41;", // same in hex
+      "&#-65;" -> "&#-65;",
+      "&# 65;" -> "&# 65;",
+      "&#65;" -> "A",         // the honest decode still works
+      "&#x41;" -> "A",
+      "&#X41;" -> "A")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.decodeEntitiesExtended(col("t"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (exp, g) => assert(g == exp, s"got [$g] want [$exp]") }
+  }
+
   test("DecodeEntities: never throws on entity soup; '&'-free identity; never grows the string") {
     val session = spark
     import session.implicits._
