@@ -921,6 +921,17 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // exact duplicated-PASSAGE removal: every duplicated 12-token gram is
+    // cut from all but its first (doc_id, pos) occurrence and survivors
+    // rejoin — the oracle mirrors the WHOLE algorithm in SQL (gram
+    // explode → dup directory → keeper → position-set cut → rebuild), so
+    // the testdata's naturally shared passages are all exercised, not just
+    // a plant. cut_tokens as BIGINT for the cross-engine hash.
+    "q_passage_dedup" -> ((s, d) =>
+      Dedup.passageDedup(t(s, d, "documents"), k = 12)
+        .select(col("doc_id"), col("text"),
+          col("cut_tokens").cast("bigint").as("cut_tokens"))),
+
     // winnowed rolling-hash fingerprints: the duplicated slice appends a
     // distinct tail, so pairs surface through SHARED PASSAGES, not
     // equality (k=16/minShared=12 tuned for this template-heavy corpus:
@@ -1841,6 +1852,30 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
         "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
         "(SELECT doc_id FROM comp WHERE doc_id <> component)"),
+
+    // full-algorithm mirror of passageDedup (k=12, keepOne): grams as
+    // STRINGS stand in for the engine's 64-bit gram hashes (equal modulo a
+    // ~1e-9 collision chance on this corpus), keeper = min(doc_id, pos)
+    // encoded as one BIGINT, the cut is the position-set union of
+    // duplicated windows, and string_agg over surviving tokens rebuilds
+    // the text. Docs that never enter the cut path keep text verbatim.
+    "q_passage_dedup" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, i, list_aggregate(t[i:i+11], 'string_agg', ' ') AS g " +
+        "FROM toks, unnest(range(1, len(t) - 10)) AS r(i) WHERE len(t) >= 12), " +
+        "dup AS (SELECT g, min(doc_id * 1000000000 + i) AS keeper FROM grams GROUP BY g HAVING count(*) >= 2), " +
+        "cuts AS (SELECT gr.doc_id, gr.i AS s FROM grams gr JOIN dup d ON gr.g = d.g " +
+        "WHERE gr.doc_id * 1000000000 + gr.i <> d.keeper), " +
+        "cutpos AS (SELECT DISTINCT doc_id, p FROM cuts, unnest(range(s, s + 12)) AS u(p)), " +
+        "pos AS (SELECT doc_id, i, t[i] AS tok FROM toks, unnest(range(1, len(t) + 1)) AS r(i)), " +
+        "rebuilt AS (SELECT p.doc_id, " +
+        "coalesce(string_agg(CASE WHEN cp.p IS NULL THEN p.tok END, ' ' ORDER BY p.i), '') AS text, " +
+        "count(cp.p) AS cut_tokens " +
+        "FROM pos p LEFT JOIN cutpos cp ON p.doc_id = cp.doc_id AND p.i = cp.p " +
+        "GROUP BY p.doc_id HAVING count(cp.p) > 0) " +
+        "SELECT d.doc_id, CASE WHEN r.doc_id IS NOT NULL THEN r.text ELSE d.text END AS text, " +
+        "CAST(coalesce(r.cut_tokens, 0) AS BIGINT) AS cut_tokens " +
+        "FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"),
 
     // stopword-vote language id in pure SQL (distinct-hit counts, argmax
     // with the same en>fr>de>es tie order as TextAnalysis.langId)

@@ -285,6 +285,69 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Exact duplicated-PASSAGE removal
+  // ------------------------------------------------------------------
+
+  /** Exact duplicated-passage REMOVAL (the Lee et al. exact-substring-dedup
+    * idea, re-expressed as relational passes instead of a corpus suffix
+    * array): every k-token gram occurring ≥2 times in the corpus is cut
+    * from every holder EXCEPT the first occurrence (smallest (id, pos) —
+    * set `keepOne=false` for the C4-style cut-everywhere variant), and the
+    * surviving tokens are reassembled. Where [[nearDupKeep]] drops WHOLE
+    * documents, this cuts just the shared boilerplate span (headers,
+    * footers, license blocks shared by millions of pages) and keeps the
+    * unique remainder of every page — the highest-value distinction in a
+    * crawl pipeline. The reference's fix path removes the single offending
+    * triple rather than the whole record
+    * (`checks/CheckURIExistence.php:408-417`); this is that surgical idea
+    * at passage granularity.
+    *
+    * Exactness: a shared passage of L ≥ k tokens is covered by exactly its
+    * L-k+1 internal grams, so the union of duplicated gram windows is the
+    * full passage, while grams crossing the passage boundary mix in
+    * differing context and stay unique — boundaries come out token-exact,
+    * no winnow/LSH approximation. Overlapping windows need no pre-merge:
+    * the cut is the position-set union ([[graft.functions.CutTokenSpans]]).
+    * Intra-document repetition dedups the same way (2nd+ occurrences cut).
+    *
+    * Output: `df` with `text` rewritten (surviving tokens joined by single
+    * spaces; untouched documents keep their text VERBATIM — they never
+    * enter the cut path) plus a `cut_tokens` column.
+    *
+    * Scale shape: grams are generated row-local by a native codegen'd
+    * expression and exploded; the dup-gram directory is one map-side-
+    * combinable groupBy on the 64-bit gram hash; occurrences join the
+    * directory hash-partitioned (never broadcast — the directory is
+    * corpus-sized in the worst case); cut windows regroup per doc (bounded
+    * by that doc's duplicated grams); the final join touches each corpus
+    * row once on the unique id, skew-free by construction. Two gram passes
+    * + one corpus join — no all-pairs stage anywhere.
+    */
+  def passageDedup(df: DataFrame, id: String = "doc_id", text: String = "text",
+                   k: Int = 12, keepOne: Boolean = true): DataFrame = {
+    val grams = df.select(col(id).as("__id"),
+        explode(graft.functions.TokenGramHashes.tokenGramHashes(col(text), k)).as("__g"))
+      .select(col("__id"), col("__g.hash").as("__h"), col("__g.pos").as("__p"))
+    val dups = grams.groupBy("__h")
+      .agg(count(lit(1)).as("__n"), min(struct(col("__id"), col("__p"))).as("__keep"))
+      .filter(col("__n") >= 2)
+      .select(col("__h"), col("__keep.__id").as("__kid"), col("__keep.__p").as("__kp"))
+    val occurrences = grams.join(dups, Seq("__h"))
+    val cutOcc =
+      if (keepOne) occurrences.filter(!(col("__id") === col("__kid") && col("__p") === col("__kp")))
+      else occurrences
+    val spans = cutOcc.groupBy("__id")
+      .agg(collect_list(struct(col("__p").as("start"), (col("__p") + k).as("fin"))).as("__spans"))
+    val joined = df.join(spans, df(id) === spans("__id"), "left")
+    val res = graft.functions.CutTokenSpans.cutTokenSpans(col(text), col("__spans"))
+    joined
+      .withColumn("__res", res) // null-safe: no spans → null → coalesce keeps text
+      .withColumn(text, coalesce(col("__res.text"), col(text)))
+      .withColumn("cut_tokens", coalesce(col("__res.cut_tokens"), lit(0)))
+      .drop("__id", "__spans", "__res")
+  }
+
+  // ------------------------------------------------------------------
   // shared bucket-pair machinery
   // ------------------------------------------------------------------
 
