@@ -208,6 +208,18 @@ object SparkEntry {
           "lang", Map("en" -> 64, "fr" -> 26), defaultBuckets256 = 13)
         .select("doc_id", "lang")),
 
+    // --- mixture-target token-budget sampling: per-source inclusion rates
+    // from one totals agg (all-Long floor arithmetic), applied through the
+    // md5 bucket contract. src3 is deficit at this budget (keeps all),
+    // src1/src2 surplus (downsample), every other source drops ------------
+    "q_mixture_plan" -> ((s, d) =>
+      graft.ops.Sampling.mixturePlan(t(s, d, "documents"), "source", "text",
+        Map("src1" -> 1L, "src2" -> 1L, "src3" -> 4L), 3000L)),
+    "q_mixture_sample" -> ((s, d) =>
+      graft.ops.Sampling.mixtureSample(t(s, d, "documents"), "doc_id", "source",
+          "text", Map("src1" -> 1L, "src2" -> 1L, "src3" -> 4L), 3000L)
+        .select("doc_id", "source")),
+
     // --- benchmark decontamination: corpus docs sharing word n-grams with
     // an eval slice (GPT-3-style overlap filter; broadcast benchmark side).
     // n=4 on this template-heavy fixture → a non-trivial contaminated set
@@ -1762,6 +1774,23 @@ object SparkEntry {
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +
         "CASE lang WHEN 'en' THEN '40' WHEN 'fr' THEN '1a' ELSE '0d' END"),
+
+    // mixture plan: same Long floor arithmetic (// is floor division; all
+    // operands non-negative so it equals Scala's Long truncation)
+    "q_mixture_plan" ->
+      ("WITH tc AS (SELECT source, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt FROM documents), " +
+        "tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS total_tokens FROM tc GROUP BY source), " +
+        "tgt AS (SELECT source, total_tokens, (3000 * CASE source WHEN 'src1' THEN 1 WHEN 'src2' THEN 1 WHEN 'src3' THEN 4 ELSE 0 END) // 6 AS target_tokens FROM tot) " +
+        "SELECT source, total_tokens, CAST(target_tokens AS BIGINT) AS target_tokens, " +
+        "CAST(CASE WHEN total_tokens <= 0 THEN 0 ELSE least(256, (target_tokens * 256) // total_tokens) END AS BIGINT) AS buckets256 FROM tgt"),
+
+    "q_mixture_sample" ->
+      ("WITH tc AS (SELECT source, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt FROM documents), " +
+        "tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS total_tokens FROM tc GROUP BY source), " +
+        "tgt AS (SELECT source, total_tokens, (3000 * CASE source WHEN 'src1' THEN 1 WHEN 'src2' THEN 1 WHEN 'src3' THEN 4 ELSE 0 END) // 6 AS target_tokens FROM tot), " +
+        "pl AS (SELECT source, least(256, (target_tokens * 256) // total_tokens) AS b FROM tgt WHERE total_tokens > 0) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN pl USING (source) " +
+        "WHERE b = 256 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < lpad(lower(hex(b)), 2, '0')"),
 
     "q_decontaminate" ->
       ("WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +

@@ -125,6 +125,69 @@ object Sampling {
       .select(col(stratum), explode(col("__top")).as("__r"))
       .select(col(stratum), col("__r.id").as(key), col("__r.score").as("ares_key"))
 
+  /** Per-source inclusion plan to hit a TARGET token mixture under a total
+    * token budget — the op between "per-source stats" and "packed shards"
+    * in a pretraining run ("30% web, 30% code, 20% books…" of N tokens).
+    * `targetParts` are integer mixture weights (parts, e.g. percents);
+    * sources absent from the map get rate 0 (dropped). ALL arithmetic is
+    * Long (floor division), so the plan is bit-identical cross-engine:
+    *
+    *   target_tokens(s) = tokenBudget * parts(s) / Σparts
+    *   buckets256(s)    = min(256, target_tokens(s) * 256 / total_tokens(s))
+    *
+    * Deficit sources (total ≤ target) keep everything (256); surplus
+    * sources downsample to the nearest 1/256 BELOW the target rate (floor —
+    * the plan never overshoots the budget in expectation). Returns one row
+    * per source present in the corpus:
+    * `(source, total_tokens, target_tokens, buckets256)`.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the corpus; the
+    * plan itself is #sources rows (collected — bounded like the repo's
+    * other scalar/model collects).
+    */
+  def mixturePlan(df: DataFrame, source: String = "source", text: String = "text",
+                  targetParts: Map[String, Long] = Map.empty,
+                  tokenBudget: Long = 0L): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    planRows(df, source, text, targetParts, tokenBudget)
+      .toDF("source", "total_tokens", "target_tokens", "buckets256")
+  }
+
+  private def planRows(df: DataFrame, source: String, text: String,
+                       targetParts: Map[String, Long],
+                       tokenBudget: Long): Seq[(String, Long, Long, Long)] = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    require(targetParts.nonEmpty && targetParts.values.forall(_ >= 0) &&
+      targetParts.values.sum > 0,
+      s"targetParts must be non-empty, non-negative, positive-sum: $targetParts")
+    val sumParts = targetParts.values.sum
+    df.groupBy(col(source))
+      .agg(sum(TextAnalysis.tokenCount(col(text)).cast("long")).as("__t"))
+      .collect() // #sources rows — the driver does exact Long arithmetic
+      .toSeq.map { r =>
+        val (src, total) = (r.getString(0), r.getLong(1))
+        val target = tokenBudget * targetParts.getOrElse(src, 0L) / sumParts
+        val b = if (total <= 0) 0L else math.min(256L, target * 256 / total)
+        (src, total, target, b)
+      }.sortBy(_._1)
+  }
+
+  /** The corpus downsampled to the [[mixturePlan]] rates via the
+    * [[md5SampleStratified]] contract (engine-portable, rerun-stable,
+    * row-local) — deficit sources pass through whole, surplus sources keep
+    * their first `buckets256/256` md5 buckets, unlisted sources drop.
+    * Two corpus passes (the totals agg + the filter scan), zero joins.
+    */
+  def mixtureSample(df: DataFrame, key: String = "doc_id",
+                    source: String = "source", text: String = "text",
+                    targetParts: Map[String, Long] = Map.empty,
+                    tokenBudget: Long = 0L): DataFrame = {
+    val plan = planRows(df, source, text, targetParts, tokenBudget)
+      .map { case (src, _, _, b) => src -> b.toInt }.toMap
+    md5SampleStratified(df, key, source, plan, defaultBuckets256 = 0)
+  }
+
   /** Sequence packing: assign docs to fixed-token-budget training shards —
     * the concatenate-then-cut convention (a doc's shard is where its FIRST
     * token lands in the bucket's running token stream; a doc may straddle

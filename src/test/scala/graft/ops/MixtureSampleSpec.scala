@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Mixture-target token-budget sampler: hand-verified plan arithmetic,
+  * structural parity with the md5 stratified contract, and achieved-mixture
+  * tolerance on a corpus large enough for the law of large numbers.
+  */
+class MixtureSampleSpec extends SparkTestBase {
+
+  // 10 whitespace tokens per doc, ids disjoint across sources
+  private def corpus(counts: Map[String, Int]) = {
+    val session = spark
+    import session.implicits._
+    counts.toSeq.sortBy(_._1).zipWithIndex.flatMap { case ((src, n), si) =>
+      (0 until n).map(i => (si * 1000000L + i, src, s"w$i a b c d e f g h i"))
+    }.toDF("doc_id", "source", "text")
+  }
+
+  test("plan arithmetic: floor targets, floor rates, deficit keeps all, unlisted drops") {
+    val df = corpus(Map("A" -> 100, "B" -> 50, "C" -> 10, "D" -> 7))
+    val plan = Sampling.mixturePlan(df, "source", "text",
+        Map("A" -> 50L, "B" -> 30L, "C" -> 20L), 600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // totals 1000/500/100/70; targets 600*{50,30,20}/100 = 300/180/120
+    assert(plan("A") == ((1000L, 300L, 76L)))  // 300*256/1000 = 76.8 → 76
+    assert(plan("B") == ((500L, 180L, 92L)))   // 180*256/500 = 92.16 → 92
+    assert(plan("C") == ((100L, 120L, 256L)))  // deficit → keep everything
+    assert(plan("D") == ((70L, 0L, 0L)))       // unlisted → rate 0
+  }
+
+  test("sample equals md5SampleStratified under the computed plan; C whole, D dropped") {
+    val df = corpus(Map("A" -> 100, "B" -> 50, "C" -> 10, "D" -> 7))
+    val got = Sampling.mixtureSample(df, "doc_id", "source", "text",
+        Map("A" -> 50L, "B" -> 30L, "C" -> 20L), 600L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exp = Sampling.md5SampleStratified(df, "doc_id", "source",
+        Map("A" -> 76, "B" -> 92, "C" -> 256), defaultBuckets256 = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == exp)
+    val bySrc = df.filter(col("doc_id").isin(got.toSeq: _*))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("C") == 10L, s"deficit source must keep all: $bySrc")
+    assert(!bySrc.contains("D"), s"unlisted source must drop: $bySrc")
+  }
+
+  test("achieved mixture is within quantization + sampling error of the target") {
+    val df = corpus(Map("A" -> 2000, "B" -> 2000, "C" -> 300))
+    val parts = Map("A" -> 40L, "B" -> 40L, "C" -> 20L)
+    val budget = 20000L
+    val plan = Sampling.mixturePlan(df, "source", "text", parts, budget)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val kept = Sampling.mixtureSample(df, "doc_id", "source", "text", parts, budget)
+      .groupBy("source").agg(sum(TextAnalysis.tokenCount(col("text"))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach { case (src, (total, target)) =>
+      if (total <= target) assert(kept(src) == total, s"$src deficit must keep all")
+      else {
+        val rate = target.toDouble / total
+        val nDocs = total / 10.0
+        // 1/256 rate quantization + 4σ of the md5 "coin flips", in tokens
+        val tol = total / 256.0 + 4 * math.sqrt(nDocs * rate * (1 - rate)) * 10
+        assert(math.abs(kept(src) - target) <= tol,
+          s"$src kept ${kept(src)} vs target $target (tol $tol)")
+      }
+    }
+  }
+}
