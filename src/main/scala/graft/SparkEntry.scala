@@ -1102,6 +1102,23 @@ object SparkEntry {
           round(col("term") * 1e6).cast("bigint").as("term_e6"))
     }),
 
+    // mergeable drift baselines: per-source KLL sketch blobs merged into a
+    // corpus baseline WITHOUT rescanning rows. The merged sketch's n / min
+    // / max are EXACT under merge — equal to the whole-corpus values DuckDB
+    // computes directly — so the rescan-free merge path itself is oracled
+    // (quantile agreement is KllMergeSpec's job; quantiles are
+    // sketch-internal and not hash-comparable)
+    "q_kll_merge" -> ((s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "documents").groupBy("source")
+        .agg(graft.stats.KllSketchAgg.kll_sketch(col("n_chars")).as("kll"))
+      val bytes = daily.agg(graft.stats.KllMergeAgg.kll_merge(col("kll")))
+        .collect()(0).getAs[Array[Byte]](0) // ONE blob — scalar collect
+      val sk = graft.stats.DriftStats.sketchOf(bytes)
+      Seq((sk.getN, sk.getMinItem.toLong, sk.getMaxItem.toLong))
+        .toDF("n", "min_v", "max_v")
+    }),
+
     // per-SOURCE KS (grouped twin; the cumulative window partitions by
     // source — no global sort anywhere)
     "q_ks_by_source" -> ((s, d) => {
@@ -1963,6 +1980,12 @@ object SparkEntry {
       Seq("doc_id", "n_chars", "lang").map(c =>
         s"""SELECT source, '$c' AS "column", count($c) AS "count", count(CASE WHEN $c IS NULL THEN 1 END) AS nulls, CAST(min($c) AS VARCHAR) AS "min", CAST(max($c) AS VARCHAR) AS "max" FROM documents GROUP BY source""")
         .mkString(" UNION ALL "),
+
+    // merged-sketch exactness: n/min/max survive KLL merge exactly, so the
+    // rescan-free baseline path is pinned against the direct corpus scan
+    "q_kll_merge" ->
+      ("SELECT count(n_chars) AS n, CAST(min(n_chars) AS BIGINT) AS min_v, " +
+        "CAST(max(n_chars) AS BIGINT) AS max_v FROM documents"),
 
     // drift checks: same side construction, same grouping, same IEEE
     // arithmetic tree as the Spark builders (cast-to-double before every

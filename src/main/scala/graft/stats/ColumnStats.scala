@@ -101,6 +101,16 @@ object DriftStats {
   def sketchOf(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
 
+  /** Driver-side merge of serialized sketch blobs (a handful of stored
+    * baselines) — the distributed form is [[KllMergeAgg.kll_merge]] over a
+    * profile table's sketch column. Null/empty blobs are skipped.
+    */
+  def mergeSketches(blobs: Seq[Array[Byte]], k: Int = 200): Array[Byte] = {
+    val acc = KllDoublesSketch.newHeapInstance(k)
+    blobs.foreach(b => if (b != null && b.nonEmpty) acc.merge(sketchOf(b)))
+    acc.toByteArray
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic: sup |F1(x) - F2(x)| evaluated
     * on the union of both sketches' quantile grids.
     */
@@ -114,25 +124,58 @@ object DriftStats {
 
   /** EXACT two-sample KS computed distributively — the oracle twin of the
     * sketch-based [[ksStatistic]]. The only corpus-scale work is ONE
-    * side-tagged group-count on the value (map-side combined); the
-    * cumulative pass then runs over the V distinct values, which post-agg
-    * is tiny (a profiled drift column is bounded-domain or pre-binned), so
-    * the unpartitioned window sort is over V rows, never the corpus. At
-    * 10^12 rows with an unbounded-domain column, bin first (see
-    * [[psiExact]]'s binning) or use the KLL path.
+    * side-tagged group-count on the value (map-side combined); the counts
+    * frame (V = distinct-value rows) is localCheckpoint-materialized, so
+    * the cumulative pass, the totals windows, AND the guard below all read
+    * the materialized V rows — the corpus is scanned exactly once
+    * (formerly twice; this also makes the operator eager at construction,
+    * like [[psiExact]]).
+    *
+    * The one documented scale caveat — the cumulative window sorts all V
+    * distinct values in ONE unpartitioned task — is now guarded instead of
+    * advisory: when V > `maxDistinct`, the distinct values auto-bin into
+    * `maxDistinct` equal-width buckets FIRST (a group-count over the
+    * materialized V rows — still no corpus re-scan) and the KS runs over
+    * bin right-edges. Binned KS is exact for the binned distributions and
+    * within the largest bin's combined mass of the unbinned statistic; a
+    * warning records the degradation. Set `maxDistinct = Int.MaxValue` to
+    * force the exact path regardless.
     *
     * Returns ONE row (ks: double, n_a: long, n_b: long); ks = sup over the
     * merged value grid of |F_a(x) − F_b(x)| with F right-continuous
     * (cumulative counts / total — the textbook discrete two-sample KS).
     */
-  def ksExact(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+  def ksExact(a: DataFrame, b: DataFrame, valueCol: String,
+              maxDistinct: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxDistinct > 0, s"maxDistinct must be positive, got $maxDistinct")
     val u = a.select(col(valueCol).cast("double").as("v"), lit("a").as("side"))
       .unionByName(b.select(col(valueCol).cast("double").as("v"), lit("b").as("side")))
       .filter(col("v").isNotNull)
-    val counts = u.groupBy("v").agg(
+    val counts0 = u.groupBy("v").agg(
       count(when(col("side") === "a", 1)).as("ca"),
       count(when(col("side") === "b", 1)).as("cb"))
+      .localCheckpoint()
+    val v = counts0.count() // V rows, already materialized — no corpus pass
+    val counts = if (v <= maxDistinct) counts0 else {
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"ksExact: $v distinct values exceed maxDistinct=$maxDistinct — " +
+          s"auto-binning to $maxDistinct equal-width buckets (KS becomes " +
+          "exact-for-binned; error bounded by the largest bin's mass)")
+      val r = counts0.agg(min("v").as("lo"), max("v").as("hi")).collect()(0)
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val width = (hi - lo) / maxDistinct.toDouble
+      val bin =
+        if (hi == lo) lit(0L)
+        else least(floor((col("v") - lit(lo)) / lit(width)), lit(maxDistinct - 1L))
+          .cast("bigint")
+      // KS compares CDFs at bin RIGHT edges: all of a bin's mass sits at
+      // or before its right edge in both the binned and true CDFs
+      counts0.groupBy(bin.as("b"))
+        .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+        .select((lit(lo) + (col("b") + 1) * lit(width)).as("v"),
+          col("ca"), col("cb"))
+    }
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // totals as FRAME-WIDE windows over the same sorted counts — a separate
     // totals aggregate would re-evaluate the whole counts subtree (plan
