@@ -344,6 +344,49 @@ object StreamingValidator {
     least(greatest(floor((v.cast("double") - lo) / width), lit(0L)),
       lit(buckets - 1L)).cast("bigint")
 
+  /** PER-SOURCE streaming drift monitor — the streaming face of
+    * [[graft.stats.DriftStats.psiExactByGroup]] and the grouped twin of
+    * [[driftBinCounts]]: a 10^12-doc corpus never drifts uniformly, it
+    * drifts one crawl/source at a time, and a poisoned source hides
+    * inside the global histogram. Bins each source's metric against that
+    * source's OWN offline reference edges (`refEdges`: a static
+    * `(source, lo, width)` frame from the reference profile — the
+    * stream-static join is append-legal and broadcasts the tiny edge
+    * table) and emits exact integer (window, source, bin, n) counts when
+    * the watermark closes. Sources WITHOUT reference edges surface as
+    * `bin = -1` rather than vanishing — a brand-new source is itself the
+    * alarm condition. The consumer folds per-source PSI terms from these
+    * counts; integers stream, FP stays at the edge.
+    * Batch≡stream count parity asserted in StreamingValidatorSpec.
+    */
+  def driftBinCountsBySource(events: DataFrame, refEdges: DataFrame,
+                             valueCol: String, buckets: Int,
+                             eventTime: String = "ts",
+                             window: String = "1 minute",
+                             lateness: String = "2 minutes",
+                             source: String = "source"): DataFrame = {
+    require(buckets > 0)
+    events
+      .withWatermark(eventTime, lateness)
+      .join(broadcast(refEdges.select(col(source), col("lo"), col("width"))),
+        Seq(source), "left")
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(eventTime), window),
+        col(source),
+        sourceDriftBin(col(valueCol), col("lo"), col("width"), buckets).as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-source binning against joined edge columns; no-reference sources
+    * (null lo/width) land in the sentinel bin −1. Shared by the batch twin
+    * so the two sides cannot fork.
+    */
+  def sourceDriftBin(v: Column, lo: Column, width: Column, buckets: Int): Column =
+    when(lo.isNull || width.isNull, lit(-1L))
+      .otherwise(least(greatest(floor((v.cast("double") - lo) / width), lit(0L)),
+        lit(buckets - 1L)))
+      .cast("bigint")
+
   /** Streaming per-source corpus accounting — the windowed twin of
     * [[graft.ops.CorpusReport.bySource]]'s VOLUME counters: per event-time
     * window and source, exact doc / token / char counts, emitted once the

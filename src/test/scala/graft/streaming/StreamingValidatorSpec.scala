@@ -525,4 +525,49 @@ class StreamingValidatorSpec extends SparkTestBase {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("per-source streaming drift: counts match the batch twin per (window, source, bin); unknown source surfaces as bin -1") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // per-source reference edges: s1 lo=0 width=10; s2 lo=100 width=5;
+    // s3 streams WITHOUT a reference — must surface, not vanish
+    val refEdges = Seq(("s1", 0.0, 10.0), ("s2", 100.0, 5.0))
+      .toDF("source", "lo", "width")
+    val fixture = Seq(
+      ("2026-01-01 10:00:05", 3.0, "s1"),   // w1 s1 bin 0
+      ("2026-01-01 10:00:15", 12.0, "s1"),  // w1 s1 bin 1
+      ("2026-01-01 10:00:20", 12.0, "s2"),  // w1 s2 bin 0 (clamped below)
+      ("2026-01-01 10:00:25", 107.0, "s2"), // w1 s2 bin 1
+      ("2026-01-01 10:00:35", 999.0, "s2"), // w1 s2 bin 3 (clamped outlier)
+      ("2026-01-01 10:00:45", 50.0, "s3"),  // w1 s3 bin -1 (no reference)
+      ("2026-01-01 10:01:10", 27.0, "s1"))  // w2 s1 bin 2
+      .map { case (t, v, s0) => (java.sql.Timestamp.valueOf(t), v, s0) }
+
+    val stream = MemoryStream[(java.sql.Timestamp, Double, String)]
+    val out = StreamingValidator.driftBinCountsBySource(
+      stream.toDF().toDF("ts", "v", "source"), refEdges, "v", buckets = 4)
+    val q = out.writeStream.format("memory").queryName("sv_drift_src")
+      .outputMode("complete").start()
+    try {
+      stream.addData(fixture.take(4): _*)
+      q.processAllAvailable()
+      stream.addData(fixture.drop(4): _*) // second micro-batch
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getStruct(0).getTimestamp(0).toString, r.getString(1), r.getLong(2))
+      val streamed = spark.table("sv_drift_src").collect()
+        .map(r => key(r) -> r.getLong(3)).toMap
+      val batch = fixture.toDF("ts", "v", "source")
+        .join(refEdges, Seq("source"), "left")
+        .groupBy(window(col("ts"), "1 minute"), col("source"),
+          StreamingValidator.sourceDriftBin(col("v"), col("lo"), col("width"), 4).as("bin"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => key(r) -> r.getLong(3)).toMap
+      assert(batch.values.sum == 7L, s"fixture broken: $batch")
+      assert(batch.keys.exists(_._3 == -1L), s"no-reference sentinel missing: $batch")
+      assert(batch.keys.exists(_._3 == 3L), s"clamped outlier missing: $batch")
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
