@@ -1593,7 +1593,7 @@ object SparkEntry {
         s"x AS (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), " +
         "m AS (SELECT doc_id, CAST(i AS INT) - 1 AS url_idx, urls[CAST(i AS INT)] AS url " +
         "FROM x, UNNEST(generate_series(1, len(urls))) AS u(i)), " +
-        "h AS (SELECT doc_id, url_idx, url, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.$', '') AS host FROM m) " +
+        "h AS (SELECT doc_id, url_idx, url, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.+$', '') AS host FROM m) " +
         s"SELECT doc_id, url_idx, url, host, ${domainSql("host")} AS domain FROM h"),
 
     // domain-blocklist filter: docs survive iff NO extracted mention's
@@ -1602,7 +1602,7 @@ object SparkEntry {
     "q_domain_filter" ->
       (s"WITH s AS ($UrlSeedSql), " +
         s"m AS (SELECT doc_id, u.url FROM (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), UNNEST(urls) AS u(url)), " +
-        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.$', '') AS host FROM m), " +
+        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.+$', '') AS host FROM m), " +
         s"dm AS (SELECT doc_id, ${domainSql("host")} AS domain FROM h) " +
         "SELECT doc_id FROM s WHERE doc_id NOT IN " +
         "(SELECT DISTINCT doc_id FROM dm WHERE domain IN ('bad-ads.net', 'evil.example', 'tracker.io', 'shop3.co.uk'))"),
@@ -1615,7 +1615,7 @@ object SparkEntry {
       (s"WITH s AS ($UrlSeedSql), " +
         s"x AS (SELECT doc_id, regexp_extract_all(seeded, '${graft.ops.UrlOps.UrlRx}') AS urls FROM s), " +
         "f AS (SELECT doc_id, urls[1] AS url FROM x WHERE len(urls) >= 1), " +
-        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.$', '') AS host FROM f), " +
+        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/\\s:?#]+)', 1)), '\\.+$', '') AS host FROM f), " +
         s"dm AS (SELECT doc_id, ${domainSql("host")} AS domain FROM h), " +
         "r AS (SELECT doc_id, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk FROM dm) " +
         "SELECT s.doc_id FROM s LEFT JOIN r USING (doc_id) WHERE r.rk IS NULL OR r.rk <= 100"),
@@ -1688,11 +1688,11 @@ object SparkEntry {
         "WHEN doc_id % 4 = 2 THEN 'HTTPS://Host' || CAST(doc_id % 7 AS VARCHAR) || '.NET:443/x/Y#z' " +
         "ELSE 'http://plain' || CAST(doc_id % 7 AS VARCHAR) || '.io' END AS url FROM documents), " +
         "x AS (SELECT doc_id, url, lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme, " +
-        "regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)), '\\.$', '') AS host, " +
+        "regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)), '\\.+$', '') AS host, " +
         "regexp_extract(url, '(?i)^https?://[^/:?#]+:([0-9]+)', 1) AS port, " +
         "regexp_extract(url, '(?i)^https?://[^/?#]*([^#]*)', 1) AS pq FROM u) " +
         "SELECT doc_id, url, scheme || '://' || host || " +
-        "CASE WHEN port <> '' AND port <> (CASE WHEN scheme = 'https' THEN '443' ELSE '80' END) THEN ':' || port ELSE '' END || " +
+        "CASE WHEN host <> '' AND port <> '' AND port <> (CASE WHEN scheme = 'https' THEN '443' ELSE '80' END) THEN ':' || port ELSE '' END || " +
         "CASE WHEN pq = '/' THEN '' ELSE pq END AS canon FROM x"),
 
     // readability: exact Flesch inputs — \S+ words, SentenceRx sentences

@@ -47,7 +47,7 @@ object UrlOps {
   def hostOf(url: Column): Column =
     regexp_replace(
       lower(regexp_extract(url, "(?i)https?://([^/\\s:?#]+)", 1)),
-      "\\.$", "")
+      "\\.+$", "")
 
   /** Canonical URL form for mention-level dedup and frontier keys:
     * scheme + host lowercased (path/query case-significant, preserved),
@@ -62,10 +62,13 @@ object UrlOps {
     // DNS, and a canonical key that distinguishes them would give the same
     // page two dedup/frontier identities
     val host = regexp_replace(
-      lower(regexp_extract(url, "(?i)^https?://([^/:?#]+)", 1)), "\\.$", "")
+      lower(regexp_extract(url, "(?i)^https?://([^/:?#]+)", 1)), "\\.+$", "")
     val port = regexp_extract(url, "(?i)^https?://[^/:?#]+:([0-9]+)", 1)
     val defaultPort = when(scheme === "https", "443").otherwise("80")
-    val portPart = when(port =!= "" && port =!= defaultPort,
+    // the host =!= "" guard keeps canon IDEMPOTENT on degenerate inputs
+    // (fuzz-found: an all-dots host strips to empty, and an orphaned
+    // `:port` after an empty host would re-parse differently next pass)
+    val portPart = when(host =!= "" && port =!= "" && port =!= defaultPort,
       concat(lit(":"), port)).otherwise(lit(""))
     // path+query: from the first / or ? after the authority, fragment cut
     val pq = regexp_extract(url, "(?i)^https?://[^/?#]*([^#]*)", 1)

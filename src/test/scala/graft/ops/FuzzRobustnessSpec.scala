@@ -169,6 +169,133 @@ class FuzzRobustnessSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------------
+  // string-parser surface (round-6 verdict item 6): the URL/entity/markup
+  // parsers run over untrusted crawl text — never throw, stay idempotent
+  // where the contract says so, and degrade deterministically on inputs
+  // they don't model (userinfo, IPv6) rather than crashing
+  // ------------------------------------------------------------------
+
+  test("canonicalizeUrl: idempotent and total over adversarial URLs; host invariants hold") {
+    val session = spark
+    import session.implicits._
+    val label = Gen.oneOf("example", "EXAMPLE", "Xn--Caf", "shop3", "bad-ads", "127", "a")
+    val host = for {
+      n <- Gen.chooseNum(1, 4)
+      ls <- Gen.listOfN(n, label)
+      dot <- Gen.oneOf("", ".", "..") // multi-dot: the r7 fuzz-found fix
+    } yield ls.mkString(".") + dot
+    val adversarial = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
+      user <- Gen.oneOf("", "user@", "user:pass@", "a%40b@")
+      h <- Gen.oneOf(host, Gen.oneOf("[::1]", "[2001:db8::1]", "", "..", "%65x.com"))
+      port <- Gen.oneOf("", ":80", ":443", ":8080", ":0", ":pass", ":")
+      path <- Gen.oneOf("", "/", "/A/b%20c", "/x?q=1&r=2", "/x?q=?", "/x#f", "#f", "/#", "??", "/x;y=1")
+    } yield s"$scheme://$user$h$port$path"
+    val urls = genCases(adversarial, 700)
+    val got = urls.toDF("u").select(
+        col("u"),
+        UrlOps.canonicalizeUrl(col("u")).as("c1"),
+        UrlOps.canonicalizeUrl(UrlOps.canonicalizeUrl(col("u"))).as("c2"),
+        UrlOps.hostOf(col("u")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val (u, c1, c2, h) = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      assert(c1 == c2, s"canon not idempotent: [$u] -> [$c1] -> [$c2]")
+      assert(!c1.contains("#"), s"fragment survived canon: [$u] -> [$c1]")
+      // only the scheme's OWN default drops: :443 on http is non-default
+      val defPort = if (c1.startsWith("https://")) ":443" else ":80"
+      assert(!c1.endsWith(defPort), s"default port survived: [$u] -> [$c1]")
+      assert(h == h.toLowerCase && !h.endsWith(".") && !h.exists(_.isWhitespace),
+        s"host invariant broke: [$u] -> [$h]")
+    }
+  }
+
+  test("registrableDomain: dot-boundary suffix of its host, <= 3 labels, idempotent") {
+    val session = spark
+    import session.implicits._
+    val label = Gen.oneOf("news", "bbc", "spam", "x", "co", "uk", "com", "gov", "ac")
+    val hosts = genCases(for {
+      n <- Gen.chooseNum(1, 5)
+      ls <- Gen.listOfN(n, label)
+    } yield ls.mkString("."), 600)
+    val got = hosts.toDF("h").select(col("h"),
+        UrlOps.registrableDomain(col("h")).as("d"),
+        UrlOps.registrableDomain(UrlOps.registrableDomain(col("h"))).as("dd"))
+      .collect()
+    got.foreach { r =>
+      val (h, d, dd) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(h == d || h.endsWith("." + d), s"not a dot-boundary suffix: [$h] -> [$d]")
+      assert(d.split("\\.", -1).length <= 3, s"too many labels: [$h] -> [$d]")
+      assert(d == dd, s"not idempotent: [$h] -> [$d] -> [$dd]")
+    }
+    // the PSL pivot itself: 3 labels under a two-part suffix, 2 otherwise
+    val pivots = Seq("news.bbc.co.uk" -> "bbc.co.uk", "a.b.example.com" -> "example.com",
+      "co.uk" -> "co.uk", "x.co" -> "x.co").toDF("h", "exp")
+      .select(col("exp"), UrlOps.registrableDomain(col("h")).as("d")).collect()
+    pivots.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("extractUrls: total over URL soup; every match is schemeful, whitespace-free, in-text") {
+    val session = spark
+    import session.implicits._
+    val soup = genCases(for {
+      n <- Gen.chooseNum(0, 6)
+      parts <- Gen.listOfN(n, Gen.oneOf(
+        "see http://a.com.", "(https://b.co.uk/x)", "https://", "http:/x",
+        "text", "https://c.com/p?q=1!", "HTTPS://D.COM", "x http://e.com,y",
+        "http://f.com/" + "a" * 50, "<https://g.com>"))
+    } yield parts.mkString(" "), 500)
+    val got = soup.toDF("t")
+      .select(col("t"), UrlOps.extractUrls(col("t")).as("us")).collect()
+    got.foreach { r =>
+      val (t, us) = (r.getString(0), r.getSeq[String](1))
+      us.foreach { u =>
+        assert(t.contains(u), s"extracted [$u] not a substring of [$t]")
+        assert(u.toLowerCase.startsWith("http"), s"schemeless extract [$u]")
+        assert(!u.exists(_.isWhitespace) && !".,;:!?)]".contains(u.last),
+          s"boundary leak [$u]")
+      }
+    }
+  }
+
+  test("DecodeEntities: strictly ONE layer — double-escaped entities decode to the inner escape") {
+    val session = spark
+    import session.implicits._
+    val cases = Seq(
+      "&amp;lt;" -> "&lt;",     // NOT "<": non-recursive by contract
+      "&amp;amp;" -> "&amp;",
+      "&amp;#65;" -> "&#65;",
+      "&amp;&lt;" -> "&<",      // distinct entities each decode once
+      "&lt;&amp;gt;" -> "<&gt;")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.decodeEntitiesExtended(col("t"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (exp, g) => assert(g == exp, s"[$g] != [$exp]") }
+  }
+
+  test("stripMarkup: total on pathological nesting; no complete tag survives; whitespace collapsed") {
+    val session = spark
+    import session.implicits._
+    val cases = Seq(
+      "<div>" * 2000 + "deep" + "</div>" * 2000,
+      "<" * 500 + "lonely",
+      "a < b > c <i>keep</i>",
+      "<!-- <b>comment</b> --> after",
+      "<a href='x>y'>link</a>",
+      "<<<>>>",
+      "<p>&amp;lt;still&amp;gt;</p>",
+      ("<script>if (a<b && c>d) {}</script>" * 100))
+    val got = cases.toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t"))).collect().map(_.getString(0))
+    got.foreach { s =>
+      assert(java.util.regex.Pattern.compile(TextAnalysis.MarkupTagRx).matcher(s).find() == false,
+        s"complete tag survived: [$s]")
+      assert(!s.contains("  ") && s == s.trim, s"whitespace not collapsed: [$s]")
+    }
+    assert(got(2) == "a < b > c keep") // bare angle prose survives
+    assert(got(6) == "&lt;still&gt;")  // amp-last chain: one decode layer
+  }
+
   test("KSmallestLongsAgg: equals sorted.take(k) per group over random multisets and partitionings") {
     val session = spark
     import session.implicits._
