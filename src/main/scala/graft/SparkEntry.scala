@@ -41,6 +41,20 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + 1000000L)
       .withColumn("text", mutate(col("text"))))
 
+  /** Documents with a planted SUBSET slice: every 10th doc reappears at
+    * id+2e6 as its own first-half token prefix — the quote/excerpt shape
+    * whose Jaccard (~0.5) sits below every near-dup threshold but whose
+    * containment is 1.0. Mirrored token-exactly by the q_containment
+    * oracle's UNION arm.
+    */
+  private def withSubsets(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+      .withColumn("text",
+        array_join(slice(w, lit(1), ((size(w) + 1) / 2).cast("int")), " ")))
+  }
+
   /** Documents with deterministically seeded URL mentions: every doc gets
     * one good URL (host varies with md5(doc_id) and doc_id % 7); every
     * third doc also gets a blocklisted `*.bad-ads.net` URL with a trailing
@@ -932,6 +946,20 @@ object SparkEntry {
           Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6))
         .select(col("doc_id"))
     }),
+
+    // asymmetric containment over distinct word 3-gram sets: the planted
+    // half-doc subsets surface at containment 1.0 where their Jaccard
+    // (~0.5) is invisible to every symmetric near-dup threshold; the
+    // inverted-index mining is exact (no LSH), so the full pair set
+    // hash-oracles
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentPairs(withSubsets(t(s, d, "documents")), n = 3,
+          minShared = 4, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("shared_grams"),
+          col("size_a").cast("bigint").as("size_a"),
+          col("size_b").cast("bigint").as("size_b"),
+          round(col("containment_a") * 1e6).cast("bigint").as("cont_a_e6"),
+          round(col("containment_b") * 1e6).cast("bigint").as("cont_b_e6"))),
 
     // exact duplicated-PASSAGE removal: every duplicated 12-token gram is
     // cut from all but its first (doc_id, pos) occurrence and survivors
@@ -1898,6 +1926,28 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
         "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
         "(SELECT doc_id FROM comp WHERE doc_id <> component)"),
+
+    // containment: the same distinct-3-gram sets, inverted-index pairs and
+    // double-division ratios, with the subset plant as a UNION arm (first
+    // ceil(len/2) tokens — Spark's (size+1)/2 double-div cast-to-int)
+    "q_containment" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000, array_to_string(w[1:(len(w)+1)//2], ' ') " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0)), " +
+        "d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM base), " +
+        "g0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g " +
+        "FROM d, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS u(i)), " +
+        "sz AS (SELECT doc_id, count(*) AS s FROM g0 GROUP BY doc_id), " +
+        "hot AS (SELECT g FROM g0 GROUP BY g HAVING count(*) BETWEEN 2 AND 1000), " +
+        "occ AS (SELECT g0.g, g0.doc_id FROM g0 JOIN hot ON g0.g = hot.g), " +
+        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_grams " +
+        "FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 4) " +
+        "SELECT id_a, id_b, shared_grams, CAST(sa.s AS BIGINT) AS size_a, CAST(sb.s AS BIGINT) AS size_b, " +
+        "CAST(round(shared_grams / CAST(sa.s AS DOUBLE) * 1000000) AS BIGINT) AS cont_a_e6, " +
+        "CAST(round(shared_grams / CAST(sb.s AS DOUBLE) * 1000000) AS BIGINT) AS cont_b_e6 " +
+        "FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id " +
+        "WHERE greatest(shared_grams / CAST(sa.s AS DOUBLE), shared_grams / CAST(sb.s AS DOUBLE)) >= 0.8"),
 
     // full-algorithm mirror of passageDedup (k=12, keepOne): grams as
     // STRINGS stand in for the engine's 64-bit gram hashes (equal modulo a

@@ -285,6 +285,67 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Asymmetric containment (subset/quote duplication)
+  // ------------------------------------------------------------------
+
+  /** Containment near-dup pairs: |Ga ∩ Gb| / |Ga| (and /|Gb|) over distinct
+    * word n-gram sets — the ASYMMETRIC twin of [[ngramJaccardPairs]]. A
+    * half-document embedded in a full document (quotes, syndicated
+    * excerpts, doc-inside-anthology) has Jaccard ≈ 0.5 — far below any
+    * near-dup threshold and mined UNRELIABLY by Jaccard-tuned MinHash
+    * bands — but containment of the small side is 1.0. Pairs keep when
+    * `greatest(containment_a, containment_b) >= threshold`.
+    *
+    * Candidate mining is EXACT, not probabilistic: distinct grams explode
+    * into an inverted index, pairs form inside each gram's (capped,
+    * audited) posting list, and the pair's multiplicity IS |Ga ∩ Gb| — so
+    * a pair with containment ≥ t and ≥ minShared/t grams can only be
+    * missed through the bucket cap, never through LSH luck, and the whole
+    * operator carries a full hash oracle (`q_containment`: DuckDB rebuilds
+    * the same gram sets, pairs and ratios). Set sizes join back from a
+    * doc-count-sized (id, |G|) frame — the texts are never re-joined.
+    *
+    * Scale shape: one explode + one groupBy(gram) shuffle (map-side
+    * distinct), pair volume bounded by cap²/2 per gram, one groupBy(pair)
+    * with map-side combine, two broadcast-or-shuffle joins against the
+    * tiny size frame. Grams group by their STRING here so the oracle is
+    * exact; at 10^12 docs key the groupBy on `xxhash64(gram)` instead to
+    * shuffle 8-byte keys (identical semantics modulo 64-bit collisions).
+    */
+  def containmentPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
+                       n: Int = 3, minShared: Int = 4, threshold: Double = 0.8,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    val grams = df.select(col(id).as("__id"),
+      explode(graft.functions.WordNgrams.wordNgrams(col(text), n)).as("g"))
+    val sizes = df.select(col(id).as("__sid"),
+      size(graft.functions.WordNgrams.wordNgrams(col(text), n)).as("__sz"))
+    val posting = grams.groupBy("g")
+      .agg(array_sort(collect_list(col("__id"))).as("members"))
+      .observe(uniqueMetricName("containment"),
+        sum(when(size(col("members")) > maxBucketSize, 1).otherwise(0))
+          .as("dropped_buckets"),
+        max(size(col("members"))).as("max_bucket_size"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    val shared = posting.select(explode(flatten(
+      transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+    shared
+      .join(sizes.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sz", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sz", "size_b"), Seq("id_b"))
+      .withColumn("containment_a",
+        col("shared_grams").cast("double") / col("size_a").cast("double"))
+      .withColumn("containment_b",
+        col("shared_grams").cast("double") / col("size_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("id_a", "id_b", "shared_grams", "size_a", "size_b",
+        "containment_a", "containment_b")
+  }
+
+  // ------------------------------------------------------------------
   // Exact duplicated-PASSAGE removal
   // ------------------------------------------------------------------
 
