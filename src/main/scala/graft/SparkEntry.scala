@@ -1117,6 +1117,19 @@ object SparkEntry {
     // sketch path, oracle-checked end to end: two-sample KS sup-statistic
     // and per-bin PSI terms over n_chars, side b carrying a planted +150
     // shift on half its docs so the drift is non-vacuous
+    // snapshot-to-snapshot profile diff: even/odd doc_id halves stand in
+    // for snapshot N / N+1; everything but the approx-distinct columns is
+    // exact and hash-oracled (null-rate shift via the same floor(x+0.5)
+    // rounding on both engines)
+    "q_profile_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.stats.ColumnStats.profileDiff(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          Seq("doc_id", "n_chars", "lang"))
+        .drop("approx_distinct_a", "approx_distinct_b")
+    }),
+
     "q_ks_drift" -> ((s, d) => {
       val (a, b) = driftSides(t(s, d, "documents"))
       graft.stats.DriftStats.ksExact(a, b, "v")
@@ -2029,6 +2042,27 @@ object SparkEntry {
     "q_stats_by_source" ->
       Seq("doc_id", "n_chars", "lang").map(c =>
         s"""SELECT source, '$c' AS "column", count($c) AS "count", count(CASE WHEN $c IS NULL THEN 1 END) AS nulls, CAST(min($c) AS VARCHAR) AS "min", CAST(max($c) AS VARCHAR) AS "max" FROM documents GROUP BY source""")
+        .mkString(" UNION ALL "),
+
+    // profile diff: per-column FILTER aggregates over the two halves; the
+    // shift mirrors Scala's math.round as floor(x*1e6 + 0.5); null-safe
+    // min/max compare via IS DISTINCT FROM
+    "q_profile_diff" ->
+      Seq("doc_id", "n_chars", "lang").map(c =>
+        s"""SELECT "column", count_a, count_b, nulls_a, nulls_b, min_a, min_b, max_a, max_b, """ +
+          "CAST(floor(((CASE WHEN count_b + nulls_b > 0 THEN CAST(nulls_b AS DOUBLE) / CAST(count_b + nulls_b AS DOUBLE) ELSE 0.0 END) - " +
+          "(CASE WHEN count_a + nulls_a > 0 THEN CAST(nulls_a AS DOUBLE) / CAST(count_a + nulls_a AS DOUBLE) ELSE 0.0 END)) * 1000000 + 0.5) AS BIGINT) AS null_rate_shift_e6, " +
+          "((min_a IS DISTINCT FROM min_b) OR (max_a IS DISTINCT FROM max_b)) AS range_changed FROM (" +
+          s"SELECT '$c' AS \"column\", " +
+          s"count($c) FILTER (WHERE doc_id % 2 = 0) AS count_a, " +
+          s"count($c) FILTER (WHERE doc_id % 2 = 1) AS count_b, " +
+          s"count(CASE WHEN $c IS NULL THEN 1 END) FILTER (WHERE doc_id % 2 = 0) AS nulls_a, " +
+          s"count(CASE WHEN $c IS NULL THEN 1 END) FILTER (WHERE doc_id % 2 = 1) AS nulls_b, " +
+          s"CAST(min($c) FILTER (WHERE doc_id % 2 = 0) AS VARCHAR) AS min_a, " +
+          s"CAST(min($c) FILTER (WHERE doc_id % 2 = 1) AS VARCHAR) AS min_b, " +
+          s"CAST(max($c) FILTER (WHERE doc_id % 2 = 0) AS VARCHAR) AS max_a, " +
+          s"CAST(max($c) FILTER (WHERE doc_id % 2 = 1) AS VARCHAR) AS max_b " +
+          "FROM documents)")
         .mkString(" UNION ALL "),
 
     // merged-sketch exactness: n/min/max survive KLL merge exactly, so the

@@ -51,6 +51,56 @@ object ColumnStats {
     }.reduce(_ unionByName _)
   }
 
+  /** Snapshot-to-snapshot profile DIFF — the audit a validation engine
+    * runs between corpus snapshot N and N+1 before anything expensive:
+    * per column, both sides' exact row/null counts and min/max, the
+    * approximate distinct counts, and two integer drift flags. One
+    * single-pass aggregation per side (map-side combined, like
+    * [[profile]]); the comparison itself is #columns rows on the driver.
+    *
+    * `null_rate_shift_e6` = round(1e6·(nulls_b/rows_b − nulls_a/rows_a)) —
+    * a sudden null-rate jump is the classic upstream-schema-break signal;
+    * `range_changed` flags min/max movement (new out-of-range values or a
+    * vanished tail). Everything except the two `approx_distinct` columns
+    * is exact integers/strings, so the diff hash-oracles cross-engine
+    * (`q_profile_diff` drops the approx columns, as q_stats_profile drops
+    * the sketches).
+    */
+  def profileDiff(a: DataFrame, b: DataFrame, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty)
+    val sp = a.sparkSession
+    import sp.implicits._
+    def side(df: DataFrame): Map[String, (Long, Long, Long, String, String)] = {
+      val aggs: Seq[Column] = statCols.flatMap { n =>
+        val c = col(n)
+        Seq(count(c).as(s"${n}__count"),
+          count(when(c.isNull, 1)).as(s"${n}__nulls"),
+          approx_count_distinct(c).as(s"${n}__distinct"),
+          min(c).cast("string").as(s"${n}__min"),
+          max(c).cast("string").as(s"${n}__max"))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0) // ONE row
+      statCols.map { n =>
+        n -> ((r.getAs[Long](s"${n}__count"), r.getAs[Long](s"${n}__nulls"),
+          r.getAs[Long](s"${n}__distinct"),
+          r.getAs[String](s"${n}__min"), r.getAs[String](s"${n}__max")))
+      }.toMap
+    }
+    val (ma, mb) = (side(a), side(b))
+    statCols.map { n =>
+      val (ca, na, da, mina, maxa) = ma(n)
+      val (cb, nb, db, minb, maxb) = mb(n)
+      val (rowsA, rowsB) = (ca + na, cb + nb)
+      val shift =
+        (if (rowsB > 0) nb.toDouble / rowsB else 0.0) -
+          (if (rowsA > 0) na.toDouble / rowsA else 0.0)
+      (n, ca, cb, na, nb, da, db, mina, minb, maxa, maxb,
+        math.round(shift * 1e6), mina != minb || maxa != maxb)
+    }.toDF("column", "count_a", "count_b", "nulls_a", "nulls_b",
+      "approx_distinct_a", "approx_distinct_b",
+      "min_a", "min_b", "max_a", "max_b", "null_rate_shift_e6", "range_changed")
+  }
+
   /** Long-format profile: one row per column with
     * (column, count, nulls, approxDistinct, min, max, sketch?).
     * Numeric columns also get a serialized KLL sketch for drift checks.
