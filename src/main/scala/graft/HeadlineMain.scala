@@ -122,6 +122,9 @@ object HeadlineMain {
     bench("dedup_exact") { Dedup.exactGroups(tbl("documents")).count() }
     bench("dedup_minhash") { Dedup.nearDupPairs(tbl("documents")).count() }
     bench("dedup_simhash") { Dedup.simhashPairs(tbl("documents")).count() }
+    bench("passage_dedup") { // round-7 flagship: exact shared-span surgery
+      Dedup.passageDedup(tbl("documents")).agg(sum(col("cut_tokens"))).collect()
+    }
     bench("langid_quality") {
       tbl("documents").select(
         TextAnalysis.langId(col("text")).as("lid"),

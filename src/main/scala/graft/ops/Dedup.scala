@@ -308,15 +308,18 @@ object Dedup {
     * Scale shape: one explode + one groupBy(gram) shuffle (map-side
     * distinct), pair volume bounded by cap²/2 per gram, one groupBy(pair)
     * with map-side combine, two broadcast-or-shuffle joins against the
-    * tiny size frame. Grams group by their STRING here so the oracle is
-    * exact; at 10^12 docs key the groupBy on `xxhash64(gram)` instead to
-    * shuffle 8-byte keys (identical semantics modulo 64-bit collisions).
+    * tiny size frame. The posting-list groupBy keys on `xxhash64(gram)` —
+    * the gram string is never needed downstream, so the shuffle moves
+    * 8-byte keys; semantics equal the string-keyed form (and the
+    * string-keyed DuckDB oracle) modulo a ~1e-10 64-bit collision chance,
+    * and a collision merely over-counts one pair's shared grams.
     */
   def containmentPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
                        n: Int = 3, minShared: Int = 4, threshold: Double = 0.8,
                        maxBucketSize: Int = 1000): DataFrame = {
     val grams = df.select(col(id).as("__id"),
-      explode(graft.functions.WordNgrams.wordNgrams(col(text), n)).as("g"))
+        explode(graft.functions.WordNgrams.wordNgrams(col(text), n)).as("__g"))
+      .select(col("__id"), xxhash64(col("__g")).as("g"))
     val sizes = df.select(col(id).as("__sid"),
       size(graft.functions.WordNgrams.wordNgrams(col(text), n)).as("__sz"))
     val posting = grams.groupBy("g")
