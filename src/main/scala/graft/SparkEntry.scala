@@ -1117,6 +1117,19 @@ object SparkEntry {
     // sketch path, oracle-checked end to end: two-sample KS sup-statistic
     // and per-bin PSI terms over n_chars, side b carrying a planted +150
     // shift on half its docs so the drift is non-vacuous
+    // embedding-space drift: PSI of each label-parity side's cosine to the
+    // even side's EXACT integer centroid (LongVecSumAgg over round(x*1024)
+    // longs — order-independent, so the centroid and every downstream
+    // double is cross-engine bit-stable; terms quantized at 1e6)
+    "q_embedding_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ops.Similarity.embeddingDrift(
+          emb.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 === 1), dim = 64)
+        .select(col("bin"), col("cnt_a"), col("cnt_b"),
+          round(col("term") * 1e6).cast("bigint").as("term_e6"))
+    }),
+
     // snapshot-to-snapshot profile diff: even/odd doc_id halves stand in
     // for snapshot N / N+1; everything but the approx-distinct columns is
     // exact and hash-oracled (null-rate shift via the same floor(x+0.5)
@@ -2043,6 +2056,25 @@ object SparkEntry {
       Seq("doc_id", "n_chars", "lang").map(c =>
         s"""SELECT source, '$c' AS "column", count($c) AS "count", count(CASE WHEN $c IS NULL THEN 1 END) AS nulls, CAST(min($c) AS VARCHAR) AS "min", CAST(max($c) AS VARCHAR) AS "max" FROM documents GROUP BY source""")
         .mkString(" UNION ALL "),
+
+    // embedding drift: exact BIGINT per-dim centroid sums over the even
+    // side, the same zip/cast-double cosine tree as q_cosine_dup, then the
+    // q_psi_drift bin/term arithmetic verbatim
+    "q_embedding_drift" ->
+      ("WITH cent AS (SELECT u.i AS i, CAST(sum(CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1024) AS BIGINT)) AS BIGINT) AS s " +
+        "FROM embeddings, unnest(range(1, 65)) u(i) WHERE label % 2 = 0 GROUP BY u.i), " +
+        "cvec AS (SELECT list(s ORDER BY i) AS c FROM cent), " +
+        "u AS (SELECT CASE WHEN label % 2 = 0 THEN 'a' ELSE 'b' END AS side, " +
+        "list_sum(list_transform(list_zip(embedding, (SELECT c FROM cvec)), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform((SELECT c FROM cvec), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS v " +
+        "FROM embeddings), " +
+        "r AS (SELECT min(v) AS lo, max(v) AS hi FROM u), " +
+        "bn AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(floor((v - lo) / ((hi - lo) / 10)), 9) AS BIGINT) END AS bin, side FROM u CROSS JOIN r), " +
+        "c AS (SELECT bin, count(CASE WHEN side='a' THEN 1 END) AS cnt_a, count(CASE WHEN side='b' THEN 1 END) AS cnt_b FROM bn GROUP BY bin), " +
+        "t AS (SELECT CAST(sum(cnt_a) AS DOUBLE) AS na, CAST(sum(cnt_b) AS DOUBLE) AS nb FROM c) " +
+        "SELECT bin, cnt_a, cnt_b, CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS term_e6 FROM " +
+        "(SELECT bin, cnt_a, cnt_b, greatest(CAST(cnt_a AS DOUBLE) / na, 0.0001) AS p, greatest(CAST(cnt_b AS DOUBLE) / nb, 0.0001) AS q FROM c CROSS JOIN t)"),
 
     // profile diff: per-column FILTER aggregates over the two halves; the
     // shift mirrors Scala's math.round as floor(x*1e6 + 0.5); null-safe

@@ -187,6 +187,48 @@ object Similarity {
     transform(s, x => when(n > 0.0d, x.cast("double") / n).otherwise(lit(0.0d)))
   }
 
+  /** Quantize a float vector to exact longs (`round(x·scale)`), the
+    * cross-engine-reproducible on-ramp to [[intCentroid]]: IEEE
+    * round-half-away is bit-identical in Spark and DuckDB, so the longs —
+    * and every sum of them — hash-oracle.
+    */
+  def quantizeLongs(vec: Column, scale: Int = 1024): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("bigint"))
+
+  /** EXACT integer centroid (unnormalized): per-dimension Long sums of the
+    * [[quantizeLongs]] vectors via [[graft.functions.LongVecSumAgg]] (one
+    * map-side-combined pass; Long addition is order-independent, unlike
+    * the FP mean every built-in offers). Cosine is scale-invariant, so
+    * callers use the SUM vector directly as the centroid — no division,
+    * no FP until the row-local cosine.
+    */
+  def intCentroid(emb: DataFrame, vec: String = "embedding",
+                  dim: Int, scale: Int = 1024): Array[Long] =
+    emb.agg(graft.functions.LongVecSumAgg
+        .longVecSum(quantizeLongs(col(vec), scale), dim))
+      .collect()(0).getSeq[Long](0).toArray // ONE dim-sized row
+
+  /** Embedding-space drift between two snapshots: the PSI of each side's
+    * cosine-to-BASELINE-centroid distribution — embeddings drift when a
+    * new crawl/model-version shifts where mass sits relative to the
+    * reference center, which per-dimension stats can't see. The centroid
+    * is side `a`'s exact integer sum vector ([[intCentroid]] — baseline-
+    * relative, deterministic, cross-engine); per-row cosines are row-local
+    * fixed-order folds; the comparison is [[graft.stats.DriftStats.psiExact]]
+    * verbatim (per-bin integer counts + terms). Three corpus-scale passes
+    * (centroid, range, bin counts), all map-side combined.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vec: String = "embedding",
+                     dim: Int, scale: Int = 1024,
+                     buckets: Int = 10): DataFrame = {
+    val c = intCentroid(a, vec, dim, scale)
+    val cLit = typedLit(c.toSeq)
+    def cos(df: DataFrame): DataFrame =
+      df.select(cosine(transform(col(vec), _.cast("double")),
+        transform(cLit, _.cast("double"))).as("cos_c"))
+    graft.stats.DriftStats.psiExact(cos(a), cos(b), "cos_c", buckets)
+  }
+
   /** Embedding-cosine near-duplicate pairs: RHP-LSH bucket join +
     * exact-cosine verification — the embedding analogue of
     * [[Dedup.nearDupPairs]].
