@@ -804,6 +804,27 @@ object SparkEntry {
         .select("checkId", "docId", "kind", "value")
     }),
 
+    // snapshot diff over the SAME deterministic corpus: cur = prev minus
+    // (id%97==3) docs, with (id%91==5) docs' span texts suffixed '!', plus
+    // 200 fresh ids. Statuses are id-derivable, so the oracle pins the
+    // whole digest mechanism end-to-end (an always-equal or order-unstable
+    // digest would mis-classify and hash-mismatch)
+    "q_snapshot_diff" -> ((s, _) => {
+      val prev = DocGen.documents(s, VerifyDocs).toDF()
+      val num = substring(col("doc_id"), 5, 12).cast("long")
+      val changedSpans = transform(col("spans"), sp => struct(
+        sp.getField("kind").as("kind"),
+        concat(coalesce(sp.getField("text"), lit("")), lit("!")).as("text"),
+        sp.getField("media_ref").as("media_ref"),
+        sp.getField("offset").as("offset")))
+      val cur = prev.filter(num % 97 =!= 3)
+        .withColumn("spans",
+          when(num % 91 === 5, changedSpans).otherwise(col("spans")))
+        .unionByName(DocGen.documentsRange(s, VerifyDocs, VerifyDocs + 200,
+          VerifyDocs + 200).toDF())
+      Pipeline.snapshotDiff(prev, cur)
+    }),
+
     // --- link-graph degrees over the corpus med:link graph (corpus-
     // curation signal family; oracle = group-counts + full join in SQL) ---
     "q_link_degrees" -> ((s, _) =>
@@ -2056,6 +2077,16 @@ object SparkEntry {
       Seq("doc_id", "n_chars", "lang").map(c =>
         s"""SELECT source, '$c' AS "column", count($c) AS "count", count(CASE WHEN $c IS NULL THEN 1 END) AS nulls, CAST(min($c) AS VARCHAR) AS "min", CAST(max($c) AS VARCHAR) AS "max" FROM documents GROUP BY source""")
         .mkString(" UNION ALL "),
+
+    // snapshot diff: statuses from the plant's id arithmetic over the
+    // fixture corpus's doc ids + the 200 added urns
+    "q_snapshot_diff" ->
+      ("WITH ids AS (SELECT DISTINCT doc_id, CAST(substr(doc_id, 5, 12) AS BIGINT) AS n " +
+        "FROM read_parquet('__OUT__/fixtures/docs_spans/*.parquet')) " +
+        "SELECT doc_id, CASE WHEN n % 97 = 3 THEN 'removed' " +
+        "WHEN n % 91 = 5 THEN 'changed' ELSE 'unchanged' END AS status FROM ids " +
+        "UNION ALL SELECT 'doc:' || lpad(CAST(r.n AS VARCHAR), 12, '0'), 'added' " +
+        "FROM range(20000, 20200) r(n)"),
 
     // embedding drift: exact BIGINT per-dim centroid sums over the even
     // side, the same zip/cast-double cosine tree as q_cosine_dup, then the

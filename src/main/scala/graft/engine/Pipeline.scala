@@ -51,8 +51,26 @@ object Pipeline {
     val fusedFrames: Seq[DataFrame] =
       if (rowLocal.isEmpty) Nil
       else {
-        val one =
-          if (native) {
+        val one = fusedCoreFrame(ctx, rowLocal, native, docs, schema)
+        val extras = rowLocal.flatMap(c =>
+          c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
+            .map(_.withColumn("check", lit(c.id))))
+        one +: extras
+      }
+
+    val otherFrames = others.map(c => c.run(ctx).withColumn("check", lit(c.id)))
+    (fusedFrames ++ otherFrames).reduce(_ unionByName _)
+  }
+
+  /** The fused row-local pass itself (no extras, no corpus checks) —
+    * extracted so [[violationsDelta]] can run it over the dirty slice
+    * alone. Its rows are PURE per-document functions of (spans, schema):
+    * exactly the property that makes digest-based carry-forward sound.
+    */
+  private def fusedCoreFrame(ctx: CheckContext, rowLocal: Seq[ConstraintCheck],
+                             native: Boolean, docs: DataFrame,
+                             schema: SchemaDef): DataFrame = {
+        if (native) {
             // the native single-pass expression: compiled validators,
             // primitive counters, one output array — codegen'd end to end.
             // Strictness and the optional span-datatype layout flow in from
@@ -86,14 +104,104 @@ object Pipeline {
                 col("v.value").as("value"), col("v.expected").as("expected"),
                 col("v.check").as("check"))
           }
-        val extras = rowLocal.flatMap(c =>
-          c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
-            .map(_.withColumn("check", lit(c.id))))
-        one +: extras
-      }
+  }
 
+  /** Canonical span-sequence digest: md5 of the offset-ordered
+    * (kind, text, media_ref, offset) serialization — the per-row invariant
+    * itself (BASELINE input_hint: span-sequence equality on
+    * (kind, text, media_ref, order)) as one comparable value. Control-char
+    * separators (0x00 null marker, 0x01 field, 0x02 span) keep distinct
+    * sequences from colliding through concatenation; row-local, codegen'd.
+    */
+  def spanDigest(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ordered = array_sort(spans, (l, r) =>
+      when(l.getField("offset") < r.getField("offset"), -1)
+        .when(l.getField("offset") > r.getField("offset"), 1)
+        .otherwise(0))
+    md5(concat_ws("\u0002", transform(ordered, s => concat_ws("\u0001",
+      coalesce(s.getField("kind"), lit("\u0000")),
+      coalesce(s.getField("text"), lit("\u0000")),
+      coalesce(s.getField("media_ref"), lit("\u0000")),
+      s.getField("offset").cast("string")))))
+  }
+
+  /** Snapshot-to-snapshot document diff: `(doc_id, status)` with status ∈
+    * added | removed | changed | unchanged, change detected through
+    * [[spanDigest]] equality. ONE full-outer join on the unique doc_id
+    * (digests are row-local) — this frame is also the natural audit
+    * artifact to persist beside a snapshot's results.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), spanDigest(col("spans")).as("__dp"))
+    val c = cur.select(col("doc_id"), spanDigest(col("spans")).as("__dc"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__dp").isNull, "added")
+          .when(col("__dc").isNull, "removed")
+          .when(col("__dp") =!= col("__dc"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** The PURELY-PER-DOC violation core: the fused row-local pass alone —
+    * no extraFrames (those join other documents' classes via the
+    * ref→target resolution, or aggregate corpus-wide distincts) and no
+    * corpus checks. This is the carry-forward unit of [[violationsDelta]];
+    * persist it beside each snapshot's results.
+    */
+  def rowLocalCore(spark: SparkSession, docs: DataFrame, schema: SchemaDef,
+                   checks: Seq[ConstraintCheck] = Checks.all,
+                   native: Boolean = true): DataFrame = {
+    val ctx = CheckContext(spark, docs, schema, None)
+    val rowLocal = checks.filter(_.isInstanceOf[RowLocalCheck])
+    require(rowLocal.nonEmpty, "no row-local checks configured")
+    fusedCoreFrame(ctx, rowLocal, native, docs, schema)
+  }
+
+  /** INCREMENTAL validation between snapshots (north rule: resumable from
+    * snapshot checkpoints): the expensive fused span-validation scan runs
+    * over ONLY the added/changed documents; unchanged documents carry
+    * their prior row-local violations forward (sound because the fused
+    * pass is a pure function of (spans, schema) and [[snapshotDiff]]
+    * certifies spans unchanged); removed documents' rows drop. Everything
+    * that can SEE OTHER DOCUMENTS — vocabulary/class distincts, the
+    * referential existence join, DocIdUnique, and the row-local checks'
+    * class-qualified extraFrames — re-runs over the full current corpus:
+    * a removed referenced doc must surface as a NEW dangling-ref violation
+    * on an untouched referrer, and those passes are join/agg-shaped
+    * (cheap) rather than span-scan-shaped (expensive).
+    *
+    * `prevCore` must be the [[rowLocalCore]] of `prevDocs` under the SAME
+    * SchemaDef and check configuration (key your persisted cores by
+    * `schema.constraintHash` exactly as the resume manifest does).
+    *
+    * Returns (violations, core): `violations` ≡ a from-scratch
+    * `violations(cur)` row-for-row (PipelineDeltaSpec), `core` is what to
+    * persist for the NEXT delta. The diff frame is localCheckpoint-
+    * materialized — it is consumed twice (dirty and unchanged slices), and
+    * it is doc_id+status-sized.
+    */
+  def violationsDelta(spark: SparkSession, prevDocs: DataFrame,
+                      prevCore: DataFrame, curDocs: DataFrame,
+                      schema: SchemaDef,
+                      checks: Seq[ConstraintCheck] = Checks.all,
+                      native: Boolean = true): (DataFrame, DataFrame) = {
+    val diff = snapshotDiff(prevDocs, curDocs).localCheckpoint()
+    val dirty = curDocs.join(
+      diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val freshCore = rowLocalCore(spark, dirty, schema, checks, native)
+    val unchanged = diff.filter(col("status") === "unchanged")
+      .select(col("doc_id").cast("string").as("docId"))
+    val carried = prevCore.join(unchanged, Seq("docId"), "left_semi")
+    val core = freshCore.unionByName(carried)
+
+    val ctx = CheckContext(spark, curDocs, schema, None)
+    val (rowLocal, others) = checks.partition(_.isInstanceOf[RowLocalCheck])
+    val extraFrames = rowLocal.flatMap(c =>
+      c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
+        .map(_.withColumn("check", lit(c.id))))
     val otherFrames = others.map(c => c.run(ctx).withColumn("check", lit(c.id)))
-    (fusedFrames ++ otherFrames).reduce(_ unionByName _)
+    ((core +: (extraFrames ++ otherFrames)).reduce(_ unionByName _), core)
   }
 
   /** Per-bucket, per-check verdicts (north rule: per-partition pass/fail +
