@@ -638,6 +638,24 @@ object SparkEntry {
           concat(col("text"), lit("<p>tail"), (col("doc_id") % 4).cast("string"),
             lit("</p> cafe" + CombAcute + " x" + Ctrl + "y &amp; ok"))))),
 
+    // the funnel over the SAME seeded corpus: per-stage admit/drop counts,
+    // n_kept == q_curate's row count by construction
+    "q_curate_funnel" -> ((s, d) =>
+      graft.ops.Curation.curationFunnel(
+        withDups(t(s, d, "documents")).withColumn("text",
+          concat(col("text"), lit("<p>tail"), (col("doc_id") % 4).cast("string"),
+            lit("</p> cafe" + CombAcute + " x" + Ctrl + "y &amp; ok"))))),
+
+    // quality-aware near-dup keep: same ngram-Jaccard pair graph as
+    // q_neardup_keep, but each component keeps its LONGEST member
+    // (n_chars, ties to the smaller id) instead of the min id
+    "q_neardup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.nearDupKeepBy(docs,
+          Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6), "n_chars")
+        .select(col("doc_id"))
+    }),
+
     // --- classifier evaluation: confusion matrix of held-out predictions
     // against the diversity label — exact integer counts -----------------
     "q_qc_confusion" -> ((s, d) => {
@@ -1742,6 +1760,30 @@ object SparkEntry {
         "PARTITION BY md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rk FROM f) " +
         "SELECT doc_id, clean FROM w WHERE rk = 1"),
 
+    // funnel: same u/s/c chain, per-stage flags, distinct fingerprints
+    // among quality survivors = the kept count
+    "q_curate_funnel" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
+        "s AS (SELECT doc_id, text || '<p>tail' || CAST(doc_id % 4 AS VARCHAR) || " +
+        "'</p> cafe' || chr(769) || ' x' || chr(8) || 'y &amp; ok' AS p FROM u), " +
+        "c AS (SELECT doc_id, regexp_replace(trim(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"nfc_normalize(p), '${TextAnalysis.MarkupTagRx}', ' ', 'g'), " +
+        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', chr(34), 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g'), " +
+        s"'\\s+', ' ', 'g')), '${TextAnalysis.BadCharRx}', '', 'g') AS clean FROM s), " +
+        "q AS (SELECT doc_id, tok_ok, len(list_distinct(toks)) * 2 >= len(toks) AS div_ok, " +
+        "md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM (SELECT doc_id, clean, len(regexp_extract_all(clean, '\\S+')) >= 5 AS tok_ok, " +
+        "list_filter(string_split(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks FROM c)) " +
+        "SELECT count(*) AS n_input, " +
+        "count(CASE WHEN NOT tok_ok THEN 1 END) AS n_short, " +
+        "count(CASE WHEN tok_ok AND NOT div_ok THEN 1 END) AS n_low_diversity, " +
+        "count(CASE WHEN tok_ok AND div_ok THEN 1 END) AS n_quality, " +
+        "count(DISTINCT CASE WHEN tok_ok AND div_ok THEN fp END) AS n_kept, " +
+        "count(CASE WHEN tok_ok AND div_ok THEN 1 END) - count(DISTINCT CASE WHEN tok_ok AND div_ok THEN fp END) AS n_dup_dropped " +
+        "FROM q"),
+
     // classifier confusion matrix on the held-out slice: same train CTEs,
     // labels recomputed with the identical diversity rule
     "q_qc_confusion" ->
@@ -1973,6 +2015,18 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a) " +
         "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
         "(SELECT doc_id FROM comp WHERE doc_id <> component)"),
+
+    // quality-aware keep: same closure, winner = longest member (n_chars
+    // DESC, ties to the smaller id — NULLS LAST matches the engine's
+    // -infinity coalesce)
+    "q_neardup_keep_best" ->
+      (s"WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($NgramJaccardSql)), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a), " +
+        "w AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component " +
+        "ORDER BY d.n_chars DESC, c.doc_id) AS rk FROM comp c JOIN documents d USING (doc_id)) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM w WHERE rk > 1)"),
 
     // containment: the same distinct-3-gram sets, inverted-index pairs and
     // double-division ratios, with the subset plant as a UNION arm (first

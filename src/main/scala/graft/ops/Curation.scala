@@ -35,4 +35,33 @@ object Curation {
         QualityClassifier.diversityLabel(col("clean")))
     Dedup.fingerprintDedup(filtered, id, "clean")
   }
+
+  /** The curation FUNNEL: how many documents each [[curate]] stage admits
+    * and why the rest dropped — the observability row an ingest operator
+    * reads before anything else (a sudden n_short spike means a broken
+    * extractor upstream, a n_dup_dropped spike means a crawler loop).
+    * Built from the SAME stage Columns as [[curate]], so the funnel can
+    * never disagree with the pipeline: `n_kept` equals `curate(...).count()`
+    * by construction (distinct fingerprints among quality survivors —
+    * asserted in CurationSpec).
+    *
+    * ONE corpus scan (the hygiene chain fused in) + one distinct-aggregate
+    * exchange; all-integer, hash-oracled (`q_curate_funnel`).
+    */
+  def curationFunnel(docs: DataFrame, minTokens: Int = 5, id: String = "doc_id",
+                     text: String = "text"): DataFrame = {
+    val clean = TextAnalysis.stripControlChars(
+      TextAnalysis.stripMarkup(TextAnalysis.nfc(col(text))))
+    val cleaned = docs.select(col(id), clean.as("clean"))
+    val tokOk = TextAnalysis.tokenCount(col("clean")) >= minTokens
+    val divOk = QualityClassifier.diversityLabel(col("clean"))
+    cleaned.agg(
+        count(lit(1)).as("n_input"),
+        count(when(!tokOk, 1)).as("n_short"),
+        count(when(tokOk && !divOk, 1)).as("n_low_diversity"),
+        count(when(tokOk && divOk, 1)).as("n_quality"),
+        count_distinct(when(tokOk && divOk,
+          TextAnalysis.fingerprint(col("clean")))).as("n_kept"))
+      .withColumn("n_dup_dropped", col("n_quality") - col("n_kept"))
+  }
 }

@@ -489,6 +489,36 @@ object Dedup {
     df.join(losers, Seq(id), "left_anti")
   }
 
+  /** [[nearDupKeep]] with a QUALITY-AWARE representative: each duplicate
+    * component keeps its best-scoring member (ties → smaller id) instead
+    * of blindly the minimum id — what real pipelines want, since the
+    * min-id copy of a syndicated article is routinely the truncated or
+    * boilerplate-heavy one. `scoreCol` is any numeric column of `df`
+    * (quality score, token count, …); null scores lose to any non-null
+    * score, and an all-null component falls back to the min id — the
+    * winner is always deterministic. Same scale shape as [[nearDupKeep]]:
+    * components on the dup-node-only graph, one score join, one
+    * group-max, corpus anti-join on the unique id.
+    */
+  def nearDupKeepBy(df: DataFrame, pairs: DataFrame, scoreCol: String,
+                    id: String = "doc_id", idA: String = "id_a",
+                    idB: String = "id_b"): DataFrame = {
+    val comps = dupGroups(pairs, idA, idB)
+    val scored = comps.join(
+      df.select(col(id).as("id"),
+        coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity))
+          .as("__s")), Seq("id"))
+    // min(struct(-score, id)): the largest score wins, ties take the
+    // smaller id — one deterministic group-max, no window
+    val winners = scored.groupBy("component")
+      .agg(min(struct((-col("__s")).as("ns"), col("id").as("id"))).as("__w"))
+      .select(col("component"), col("__w.id").as("__winner"))
+    val losers = comps.join(winners, Seq("component"))
+      .filter(col("id") =!= col("__winner"))
+      .select(col("id").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
   def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                 maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
