@@ -822,6 +822,11 @@ object SparkEntry {
         .select("checkId", "docId", "kind", "value")
     }),
 
+    // multimodal span-mix balance sheet per document class (exact integer
+    // counts over the exploded fixture)
+    "q_span_mix" -> ((s, _) =>
+      graft.ops.CorpusReport.spanMix(DocGen.documents(s, VerifyDocs).toDF())),
+
     // snapshot diff over the SAME deterministic corpus: cur = prev minus
     // (id%97==3) docs, with (id%91==5) docs' span texts suffixed '!', plus
     // 200 fresh ids. Statuses are id-derivable, so the oracle pins the
@@ -2131,6 +2136,17 @@ object SparkEntry {
       Seq("doc_id", "n_chars", "lang").map(c =>
         s"""SELECT source, '$c' AS "column", count($c) AS "count", count(CASE WHEN $c IS NULL THEN 1 END) AS nulls, CAST(min($c) AS VARCHAR) AS "min", CAST(max($c) AS VARCHAR) AS "max" FROM documents GROUP BY source""")
         .mkString(" UNION ALL "),
+
+    // span mix: class = first type-span text (arg_min by offset), exact
+    // integer volumes from the exploded fixture
+    "q_span_mix" ->
+      ("WITH s AS (SELECT * FROM read_parquet('__OUT__/fixtures/docs_spans/*.parquet')), " +
+        "cls AS (SELECT doc_id, arg_min(text, \"offset\") FILTER (WHERE kind = 'type') AS cls FROM s GROUP BY doc_id) " +
+        "SELECT c.cls, count(DISTINCT s.doc_id) AS n_docs, " +
+        "count(CASE WHEN s.text IS NOT NULL THEN 1 END) AS n_text_spans, " +
+        "count(CASE WHEN s.media_ref IS NOT NULL THEN 1 END) AS n_media_spans, " +
+        "count(DISTINCT s.media_ref) AS n_media_targets " +
+        "FROM s JOIN cls c USING (doc_id) GROUP BY c.cls"),
 
     // snapshot diff: statuses from the plant's id arithmetic over the
     // fixture corpus's doc ids + the 200 added urns

@@ -35,4 +35,26 @@ object CorpusReport {
         (count(TextAnalysis.fingerprint(col(text))) -
           countDistinct(TextAnalysis.fingerprint(col(text)))).as("n_dup_docs"),
         count(when(col(text).isNull, lit(1))).as("n_null_text"))
+
+  /** Multimodal span-mix report over the spans-shaped corpus: per document
+    * CLASS (the first `type:` span's text, the native
+    * [[graft.functions.SpanClass]] rule), exact doc counts, text/media
+    * span volumes, and the distinct media-target fan-out — the balance
+    * sheet an interleaved-corpus curator reads to see whether a class's
+    * documents are drifting text-heavy or media-heavy and how concentrated
+    * their media references are. One explode + one groupBy(class) with
+    * map-side combine; all-integer (oracle `q_span_mix` over the exploded
+    * fixture).
+    */
+  def spanMix(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.SpanClass.spanClass(
+          col("spans.kind"), col("spans.text")).as("cls"),
+        explode(col("spans")).as("s"))
+      .groupBy("cls")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(when(col("s.text").isNotNull, 1)).as("n_text_spans"),
+        count(when(col("s.media_ref").isNotNull, 1)).as("n_media_spans"),
+        countDistinct(col("s.media_ref")).as("n_media_targets"))
 }
