@@ -194,14 +194,26 @@ object Pipeline {
       .select(col("doc_id").cast("string").as("docId"))
     val carried = prevCore.join(unchanged, Seq("docId"), "left_semi")
     val core = freshCore.unionByName(carried)
+    (violationsFromCore(spark, curDocs, schema, core, checks), core)
+  }
 
-    val ctx = CheckContext(spark, curDocs, schema, None)
+  /** Full violations assembled around an ALREADY-COMPUTED (typically
+    * cached or persisted) row-local core: core ∪ the row-local checks'
+    * extraFrames ∪ the corpus checks, all over `docs`. With the core
+    * cached, writing the core AND the violations costs the fused scan
+    * once — the [[ValidatorApp]] flow that makes every full run's core a
+    * free by-product for the NEXT run's [[violationsDelta]].
+    */
+  def violationsFromCore(spark: SparkSession, docs: DataFrame,
+                         schema: SchemaDef, core: DataFrame,
+                         checks: Seq[ConstraintCheck] = Checks.all): DataFrame = {
+    val ctx = CheckContext(spark, docs, schema, None)
     val (rowLocal, others) = checks.partition(_.isInstanceOf[RowLocalCheck])
     val extraFrames = rowLocal.flatMap(c =>
       c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
         .map(_.withColumn("check", lit(c.id))))
     val otherFrames = others.map(c => c.run(ctx).withColumn("check", lit(c.id)))
-    ((core +: (extraFrames ++ otherFrames)).reduce(_ unionByName _), core)
+    (core +: (extraFrames ++ otherFrames)).reduce(_ unionByName _)
   }
 
   /** Per-bucket, per-check verdicts (north rule: per-partition pass/fail +

@@ -213,8 +213,50 @@ object ValidatorApp {
     // referential checks must probe the FULL corpus even on a resume —
     // refs in remaining buckets can point at docs in completed buckets
     val universe = if (isResume) Some(all) else None
-    val violationsRaw =
-      Pipeline.violations(spark, docs, cfg.schema, checks, universe = universe).cache()
+
+    // INCREMENTAL (delta) mode: the fused span scan covers only docs that
+    // changed since delta.prevDocuments, the prior core carries forward.
+    // Mutually exclusive with bucket-resume: resume finishes an
+    // interrupted run of ONE snapshot, delta steps BETWEEN snapshots.
+    val isDelta = cfg.deltaPrevDocuments.isDefined
+    require(cfg.deltaPrevDocuments.isDefined == cfg.deltaPrevCore.isDefined,
+      "delta.prevDocuments and delta.prevCore must be set together")
+    require(!(isDelta && isResume),
+      "delta mode cannot combine with a manifest bucket-resume")
+    val hasRowLocal = checks.exists(_.isInstanceOf[graft.checks.RowLocalCheck])
+
+    // (violations, core-to-persist): every FULL run's core is a free
+    // by-product (the fused scan is cached once and feeds both writes), so
+    // the NEXT run can validate incrementally against it
+    val (violationsRaw, coreOpt) =
+      if (isDelta) {
+        require(hasRowLocal, "delta mode needs at least one row-local check")
+        val prev = spark.read.parquet(cfg.deltaPrevDocuments.get)
+        val prevCoreRaw = spark.read.parquet(cfg.deltaPrevCore.get)
+        // lineage gate: a core from a different schema or check set would
+        // carry stale verdicts forward silently
+        val lineage = prevCoreRaw.select("constraintHash", "checksHash")
+          .distinct().collect()
+        require(lineage.length == 1 &&
+          lineage(0).getString(0) == cfg.schema.constraintHash &&
+          lineage(0).getString(1) == cfg.checksHash,
+          s"delta.prevCore lineage ${lineage.toSeq} does not match this " +
+            s"config (${cfg.schema.constraintHash}, ${cfg.checksHash}) — " +
+            "the previous core must come from the same schema + check set")
+        val prevCore = prevCoreRaw.drop("constraintHash", "checksHash")
+        val (v, core) = Pipeline.violationsDelta(spark, prev, prevCore, all,
+          cfg.schema, checks)
+        val cachedCore = core.cache()
+        (Pipeline.violationsFromCore(spark, all, cfg.schema, cachedCore, checks)
+          .cache(), Some(cachedCore))
+      } else if (!isResume && hasRowLocal) {
+        val core = Pipeline.rowLocalCore(spark, docs, cfg.schema, checks).cache()
+        (Pipeline.violationsFromCore(spark, docs, cfg.schema, core, checks)
+          .cache(), Some(core))
+      } else {
+        (Pipeline.violations(spark, docs, cfg.schema, checks,
+          universe = universe).cache(), None)
+      }
     // dataset-level rows (docId null → bucket -1: vocabulary checks, the
     // -50 warning series, URI-existence) belong to the snapshot, not to a
     // bucket subset. On a resume they were fully written by the first run;
@@ -229,6 +271,13 @@ object ValidatorApp {
       .withColumn("bucket", when(col("docId").isNotNull,
         pmod(xxhash64(col("docId")), lit(cfg.nBuckets)).cast("int")).otherwise(lit(-1)))
       .write.mode("overwrite").parquet(s"$outDir/violations/$runId")
+
+    // persist the row-local core with its lineage so the NEXT snapshot can
+    // run delta against it (reads from the cache — no second fused scan)
+    coreOpt.foreach(_
+      .withColumn("constraintHash", lit(cfg.schema.constraintHash))
+      .withColumn("checksHash", lit(cfg.checksHash))
+      .write.mode("overwrite").parquet(s"$outDir/core/$runId"))
 
     // verdicts roll up the already-materialized violations (no second
     // validation pass); the partitionId = -1 dataset-level verdict row is
@@ -290,5 +339,6 @@ object ValidatorApp {
     val nWarn = snapshotViolations.filter(col("severity") === "warning").count()
     println(s"[graft] ${cfg.checkKeys.size} checks, $nErr errors, $nWarn warnings → $outDir")
     violationsRaw.unpersist()
+    coreOpt.foreach(_.unpersist())
   }
 }

@@ -45,7 +45,15 @@ final case class ValidatorConfig(
     // table (Layout.writeBucketed) instead of `data.documents` — the
     // universe side of the referential joins then scans pre-hashed buckets
     // with NO exchange (the largest shuffle in the pipeline at 10^12 docs)
-    bucketedTable: Option[String] = None
+    bucketedTable: Option[String] = None,
+    // `delta.prevDocuments` + `delta.prevCore`: INCREMENTAL validation —
+    // the fused span scan runs over only the docs that changed since the
+    // previous snapshot, carrying the prior row-local core forward
+    // (Pipeline.violationsDelta). Both must be set together; the prev core
+    // must come from a run with the SAME schema + check set (the app
+    // refuses otherwise via the core's recorded lineage columns).
+    deltaPrevDocuments: Option[String] = None,
+    deltaPrevCore: Option[String] = None
 ) {
   /** Normalized hash of the enabled check set (keys + per-check params) —
     * part of the manifest completion key alongside `schema.constraintHash`:
@@ -171,7 +179,9 @@ object ValidatorConfig {
       manifestPath = one("manifest"),
       nBuckets = one("buckets").map(_.toInt).getOrElse(Pipeline.DefaultBuckets),
       fixOut = one("fix.out"),
-      bucketedTable = one("data.bucketedTable")
+      bucketedTable = one("data.bucketedTable"),
+      deltaPrevDocuments = one("delta.prevDocuments"),
+      deltaPrevCore = one("delta.prevCore")
     )
   }
 }

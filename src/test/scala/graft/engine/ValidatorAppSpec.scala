@@ -151,4 +151,76 @@ class ValidatorAppSpec extends SparkTestBase {
       .filter(!(f("count") <=> g("count"))).count()
     assert(mismatch == 0, s"union-of-runs differs from a fresh full run on $mismatch keys")
   }
+
+  test("delta mode: app run against the prior snapshot's persisted core equals a full run") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-delta").toString
+    val prev = DocGen.documents(spark, 2000L).toDF()
+    prev.write.mode("overwrite").parquet(s"$tmp/prev")
+    // cur: remove %97==3, change %91==5 (span text suffix), add 100 fresh
+    val num = substring(col("doc_id"), 5, 12).cast("long")
+    val changedSpans = transform(col("spans"), s => struct(
+      s.getField("kind").as("kind"),
+      concat(coalesce(s.getField("text"), lit("")), lit("!")).as("text"),
+      s.getField("media_ref").as("media_ref"),
+      s.getField("offset").as("offset")))
+    prev.filter(num % 97 =!= 3)
+      .withColumn("spans",
+        when(num % 91 === 5, changedSpans).otherwise(col("spans")))
+      .unionByName(DocGen.documentsRange(spark, 2000L, 2100L, 2100L).toDF())
+      .write.mode("overwrite").parquet(s"$tmp/cur")
+
+    def conf(docs: String, out: String, extra: String = "") =
+      s"""data.documents = $docs
+         |data.snapshotId = ${new java.io.File(docs).getName}
+         |checks = kinds-defined, uri-existence, datatype, cardinality
+         |schema.kind.txt:title = datatype||http://www.w3.org/2001/XMLSchema#string
+         |schema.kind.txt:count = datatype||http://www.w3.org/2001/XMLSchema#unsignedInt
+         |schema.kind.med:link = object||class:Root
+         |schema.class = class:Article, class:Root
+         |schema.subclass = class:Article<class:Root
+         |schema.restriction = class:Article|txt:title|min|1|http://www.w3.org/2001/XMLSchema#string|
+         |buckets = 8
+         |$extra
+         |""".stripMargin
+    def runWith(c: String, out: String): Unit = {
+      val p = s"$out.properties"
+      Files.writeString(java.nio.file.Paths.get(p), c)
+      ValidatorApp.run(spark, ValidatorConfig.load(p), out)
+    }
+
+    runWith(conf(s"$tmp/prev", s"$tmp/o1"), s"$tmp/o1")      // full run, writes core
+    def coreDir(out: String): String = {
+      val d = new java.io.File(s"$out/core").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("run="))
+      assert(d.length == 1, s"expected one core run dir, got ${d.toSeq}")
+      d(0).getAbsolutePath
+    }
+    runWith(conf(s"$tmp/cur", s"$tmp/o2",
+      s"delta.prevDocuments = $tmp/prev\ndelta.prevCore = ${coreDir(s"$tmp/o1")}"),
+      s"$tmp/o2")                                            // delta run
+    runWith(conf(s"$tmp/cur", s"$tmp/o3"), s"$tmp/o3")       // full run on cur
+
+    def ms(out: String) = spark.read.parquet(s"$out/violations")
+      .na.fill("<null>", Seq("docId", "kind", "value")) // null-safe join keys
+      .groupBy("check", "checkId", "docId", "kind", "value", "bucket")
+      .count()
+    val (d, f) = (ms(s"$tmp/o2"), ms(s"$tmp/o3"))
+    val mismatch = d.join(f, Seq("check", "checkId", "docId", "kind", "value", "bucket"), "full")
+      .filter(!(d("count") <=> f("count"))).count()
+    assert(mismatch == 0, s"delta app run differs from full on $mismatch keys")
+    // the delta run wrote ITS core (for the next snapshot) with lineage
+    val core2 = spark.read.parquet(coreDir(s"$tmp/o2"))
+    assert(core2.select("constraintHash").distinct().count() == 1)
+
+    // lineage gate: a different check set must refuse the old core
+    val bad = conf(s"$tmp/cur", s"$tmp/o4",
+      s"delta.prevDocuments = $tmp/prev\ndelta.prevCore = ${coreDir(s"$tmp/o1")}")
+      .replace("checks = kinds-defined, uri-existence, datatype, cardinality",
+        "checks = kinds-defined, datatype")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/o4.properties"), bad)
+    intercept[IllegalArgumentException] {
+      ValidatorApp.run(spark, ValidatorConfig.load(s"$tmp/o4.properties"), s"$tmp/o4")
+    }
+  }
 }
