@@ -68,6 +68,35 @@ private[graft] object BenchUtil {
       Seq(s"-XX:ActiveProcessorCount=$cores", "-XX:+UseParallelGC",
         s"-Xmx$mem")
   }
+
+  /** CPU-affinity prefix for an N-core probe JVM: `taskset -c <top-N
+    * host cores>` when available, so the probe is an HONEST N-core node.
+    *
+    * `-XX:ActiveProcessorCount=N` alone only SIZES the JVM's pools — the
+    * OS scheduler still spreads the GC threads, netty event loops,
+    * Parquet reader, and the Spark driver loop across ALL host cores,
+    * running them in parallel with the task thread. A real 1-executor
+    * 1-core node time-slices all of that on one core. Measured on this
+    * sandbox (600k-doc probe corpus, same window, min-of-2): the
+    * unpinned 1-core probe reads 15,656 docs/s vs 11,772 pinned (+33%
+    * free helper-core inflation), the 4-core probe 48,792 vs 39,150
+    * (+25%) — so the unpinned ratio under-reports true 4x-core scaling
+    * (0.78 unpinned vs 0.83 pinned on the same corpus/window). Pinning
+    * to the TOP of the core range keeps the probes off core 0 (kernel
+    * housekeeping / IRQ default). No-op when the probe wants every host
+    * core, when `taskset` is absent, or when `SPARK_GRAFT_PIN_CPUS=0`.
+    */
+  def affinityPrefix(cores: Int): Seq[String] = {
+    val host = Runtime.getRuntime.availableProcessors
+    val enabled = sys.env.getOrElse("SPARK_GRAFT_PIN_CPUS", "1") != "0"
+    val taskset = new java.io.File("/usr/bin/taskset")
+    if (!enabled || cores >= host || !taskset.canExecute) Seq.empty
+    else {
+      val lo = host - cores
+      val list = if (cores == 1) s"${host - 1}" else s"$lo-${host - 1}"
+      Seq(taskset.getPath, "-c", list)
+    }
+  }
 }
 
 /** Benchmark launcher. Prints ONE JSON line:
@@ -95,8 +124,12 @@ private[graft] object BenchUtil {
   * Scaling methodology (north rule: throughput(4N)/(4·throughput(N)) ≥ 0.8
   * between two cluster sizes, evidenced at two parallelism levels):
   *  - one fresh JVM per measurement ("one spark-submit per size"), spawned
-  *    with `-XX:ActiveProcessorCount=cores` so an N-core probe is an honest
-  *    N-core node — GC/JIT/netty pools don't borrow the other host cores;
+  *    with `-XX:ActiveProcessorCount=cores` so GC/JIT/netty pools SIZE for
+  *    an N-core node, AND `taskset`-pinned to N physical cores (round 7,
+  *    [[BenchUtil.affinityPrefix]]) so those helper threads also RUN on
+  *    them — pool sizing alone left the 1-core probe's GC/netty/driver
+  *    threads executing in parallel on other host cores, inflating its
+  *    throughput by a measured 33% and under-reporting true efficiency;
   *  - probe JVMs run INTERLEAVED (n, 4n, n, 4n, …), so several rounds
   *    sample several ambient windows;
   *  - headline efficiency = max(t4n over rounds) / (4 · max(tn over
@@ -222,7 +255,8 @@ object Bench {
       // headline correctly skips it
       val effMedian = median(largestRounds.filter(p => p._1 > 0 && p._2 > 0)
         .map(p => p._2 / (4.0 * p._1)))
-      val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${capN.toLong},"docs_per_sec_4n":${cap4N.toLong},"efficiency":$capEff%.3f,"efficiency_median":$effMedian%.3f,"docs":$curScaleDocs,"docs_rounds":${roundDocs.map(_.toString).mkString("[", ",", "]")},"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"estimator":"per-size max over largest-corpus rounds"}"""
+      val pinned = BenchUtil.affinityPrefix(1).nonEmpty
+      val scaling = f"""{"n":$scaleN,"docs_per_sec_n":${capN.toLong},"docs_per_sec_4n":${cap4N.toLong},"efficiency":$capEff%.3f,"efficiency_median":$effMedian%.3f,"docs":$curScaleDocs,"docs_rounds":${roundDocs.map(_.toString).mkString("[", ",", "]")},"rounds_n":${arr(roundPairs.toSeq.map(_._1))},"rounds_4n":${arr(roundPairs.toSeq.map(_._2))},"estimator":"per-size max over largest-corpus rounds","cpu_pinned":$pinned}"""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"scaling":$scaling,"diag":$diag,"complete":$done,"elapsed_sec":${elapsedSec.toLong}}"""
     }
     def flush(done: Boolean = false): Unit =
@@ -318,7 +352,8 @@ object Bench {
       // best-of-k time rejects it symmetrically for both sizes
       val warmup = math.min(nDocsProbe / 8, 250000L)
       val mem = sys.env.getOrElse("SPARK_GRAFT_PROBE_MEM", "16g")
-      val cmd = (Seq(javaBin) ++ BenchUtil.pinnedJvmArgs(n, mem) ++ Seq(
+      val cmd = (BenchUtil.affinityPrefix(n) ++ Seq(javaBin) ++
+        BenchUtil.pinnedJvmArgs(n, mem) ++ Seq(
         "-cp", System.getProperty("java.class.path"),
         "graft.ScaleProbe", n.toString, scalePath, nDocsProbe.toString,
         warmup.toString, probeTrials.toString, kSlices.toString)).asJava

@@ -16,9 +16,13 @@ import graft.engine.Pipeline
   *
   * The spawner passes `-XX:ActiveProcessorCount=<cores>` so the JVM's GC /
   * JIT / netty thread pools size for an N-core node instead of silently
-  * borrowing all 32 host cores — without it the 1-core probe gets 32-core
-  * GC help, inflating its throughput and depressing the measured scaling
-  * efficiency (a real 1-executor node has no such helper cores).
+  * borrowing all 32 host cores, and (round 7) `taskset`-pins the process
+  * to exactly <cores> physical cores so those pools also RUN there — pool
+  * sizing alone still let the 1-core probe's GC/netty/driver threads
+  * execute in parallel on other host cores, a measured +33% throughput
+  * inflation that depressed the reported 4x-core scaling efficiency
+  * (a real 1-executor node has no such helper cores). See
+  * [[BenchUtil.affinityPrefix]] for the measured numbers.
   *
   * Warm-up runs over a `warmupDocs` prefix slice (default nDocs/8, cap
   * 250k): enough to JIT the validator regex + codegen paths and populate
