@@ -222,6 +222,12 @@ object SparkEntry {
           "lang", Map("en" -> 64, "fr" -> 26), defaultBuckets256 = 13)
         .select("doc_id", "lang")),
 
+    // --- leakage-safe split: the whole source lands on one side, so
+    // same-source near-dups can never straddle train/heldout ---------------
+    "q_leak_split" -> ((s, d) =>
+      graft.ops.Sampling.leakSafeSplit(t(s, d, "documents"), "source", 64)
+        .select("doc_id", "source", "split")),
+
     // --- mixture-target token-budget sampling: per-source inclusion rates
     // from one totals agg (all-Long floor arithmetic), applied through the
     // md5 bucket contract. src3 is deficit at this budget (keeps all),
@@ -1913,6 +1919,10 @@ object SparkEntry {
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +
         "CASE lang WHEN 'en' THEN '40' WHEN 'fr' THEN '1a' ELSE '0d' END"),
+
+    "q_leak_split" ->
+      ("SELECT doc_id, source, CASE WHEN substr(md5(CAST(source AS VARCHAR)), 1, 2) < '40' " +
+        "THEN 'heldout' ELSE 'train' END AS split FROM documents"),
 
     // mixture plan: same Long floor arithmetic (// is floor division; all
     // operands non-negative so it equals Scala's Long truncation)

@@ -59,6 +59,33 @@ object Sampling {
     df.filter(b === 256 || md5Bucket(col(key)) < format_string("%02x", b))
   }
 
+  /** Leakage-safe train/heldout split: the WHOLE group lands on one side.
+    *
+    * Splitting by document id leaks — near-duplicate pages, same-domain
+    * boilerplate, and shared passages straddle the split, so the heldout
+    * set "evaluates" text the model trained on. The standard defence is to
+    * split on the leakage UNIT — registrable domain, canonical URL, or a
+    * near-dup cluster id from [[graft.ops.Dedup.dupGroups]] — and send
+    * every member of a group to the same side. Hashing the group key with
+    * the [[md5Bucket]] contract does exactly that: rows whose group bucket
+    * is < `heldout256` become "heldout" (≈ heldout256/256 of GROUPS, not
+    * rows), everything else "train". Deterministic across reruns and
+    * engines, row-local, shuffle-free — at 100 TB the split is one
+    * projected column, no groupBy, no join against a membership table.
+    * Degenerate bounds (0, 256) produce an all-train / all-heldout column
+    * without tripping the 3-char "100" hex-format boundary.
+    */
+  def leakSafeSplit(df: DataFrame, group: String, heldout256: Int,
+                    splitCol: String = "split"): DataFrame = {
+    require(heldout256 >= 0 && heldout256 <= 256,
+      s"heldout256=$heldout256 out of [0,256]")
+    val heldout =
+      if (heldout256 == 256) lit(true)
+      else if (heldout256 == 0) lit(false)
+      else md5Bucket(col(group)) < lit(f"$heldout256%02x")
+    df.withColumn(splitCol, when(heldout, "heldout").otherwise("train"))
+  }
+
   /** xxhash64 variant: keep rows with pmod(xxhash64(key, salt), den) < num.
     * `salt` is NOT an xxhash64 seed — Spark's `xxhash64(cols...)` hashes
     * with a fixed internal seed, and the literal is simply hashed as an
