@@ -200,6 +200,32 @@ object Sampling {
       }.sortBy(_._1)
   }
 
+  /** Temperature-scaled mixture parts from observed per-source token
+    * totals: parts_i ∝ total_i^alpha, scaled so the largest source gets
+    * `scale`. alpha=1 reproduces natural proportions, alpha<1 flattens the
+    * mixture (upweights small sources — the standard multilingual-sampling
+    * trick), alpha=0 is uniform. Driver-side arithmetic on a
+    * source-count-sized map (totals come from ONE tiny agg — e.g.
+    * [[mixturePlan]]'s `total_tokens` column); the Long parts feed
+    * [[mixturePlan]]/[[mixtureSample]] unchanged, so the md5-bucket
+    * keep-set stays engine-portable and the only FP step is this
+    * deterministic driver-side pow. Sources with total ≤ 0 get 0 parts.
+    */
+  def temperatureParts(totals: Map[String, Long], alpha: Double,
+                       scale: Long = 1000000L): Map[String, Long] = {
+    require(alpha >= 0.0, s"alpha=$alpha must be >= 0")
+    require(scale > 0, s"scale=$scale must be > 0")
+    val pos = totals.filter(_._2 > 0)
+    if (pos.isEmpty) totals.map { case (k, _) => k -> 0L }
+    else {
+      val maxPow = math.pow(pos.values.max.toDouble, alpha)
+      totals.map { case (k, t) =>
+        k -> (if (t <= 0) 0L
+              else math.round(math.pow(t.toDouble, alpha) / maxPow * scale))
+      }
+    }
+  }
+
   /** The corpus downsampled to the [[mixturePlan]] rates via the
     * [[md5SampleStratified]] contract (engine-portable, rerun-stable,
     * row-local) — deficit sources pass through whole, surplus sources keep

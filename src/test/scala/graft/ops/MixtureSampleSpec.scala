@@ -68,4 +68,34 @@ class MixtureSampleSpec extends SparkTestBase {
       }
     }
   }
+
+  test("temperatureParts: alpha endpoints and the flattening midpoint") {
+    val totals = Map("A" -> 1000000L, "B" -> 10000L, "C" -> 100L)
+    // alpha=1: natural proportions, largest pinned at scale
+    assert(Sampling.temperatureParts(totals, 1.0) ==
+      Map("A" -> 1000000L, "B" -> 10000L, "C" -> 100L))
+    // alpha=0: uniform
+    assert(Sampling.temperatureParts(totals, 0.0) ==
+      Map("A" -> 1000000L, "B" -> 1000000L, "C" -> 1000000L))
+    // alpha=0.5: sqrt flattening — each decade of size becomes a half-decade
+    assert(Sampling.temperatureParts(totals, 0.5) ==
+      Map("A" -> 1000000L, "B" -> 100000L, "C" -> 10000L))
+    // zero/negative totals get zero parts; empty-positive map all zero
+    assert(Sampling.temperatureParts(Map("A" -> 100L, "B" -> 0L), 0.5)("B") == 0L)
+    assert(Sampling.temperatureParts(Map("A" -> 0L), 0.7) == Map("A" -> 0L))
+  }
+
+  test("temperatureParts feed mixturePlan: flattened mixture upweights the small source") {
+    val df = corpus(Map("A" -> 200, "B" -> 20))
+    val totals = Map("A" -> 2000L, "B" -> 200L)
+    val natural = Sampling.mixturePlan(df, "source", "text",
+        Sampling.temperatureParts(totals, 1.0), 1100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val flat = Sampling.mixturePlan(df, "source", "text",
+        Sampling.temperatureParts(totals, 0.5), 1100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // natural: targets split 10:1; flattened: sqrt ratio ~3.16:1
+    assert(natural("A") == 1000L && natural("B") == 100L)
+    assert(flat("B") > natural("B") && flat("A") < natural("A"))
+  }
 }
