@@ -25,6 +25,15 @@ object SparkEntry {
     */
   val VerifyDocs = 20000L
 
+  /** Integer centroids for `q_diversity_sample`: centroid c is 1024 on
+    * dims [16c, 16c+16) of the 64-dim embeddings, 0 elsewhere — the
+    * assignment argmax is then 1024·(block sum of the quantized vector),
+    * exact integer arithmetic in both engines. The oracle SQL is generated
+    * from THIS array, so the two sides can't drift.
+    */
+  private val DiversityCentroids: Array[Array[Double]] =
+    Array.tabulate(4, 64)((c, d) => if (d / 16 == c) 1024.0 else 0.0)
+
   /** Violation rows of the given check families over the deterministic
     * synthesized corpus — the flagship pipeline, oracle-checked per family
     * against DuckDB SQL over the exploded spans (VERDICT r01 item 2).
@@ -1150,6 +1159,19 @@ object SparkEntry {
         size(qv.getField("q")).cast("bigint").as("q_len"))
     }),
 
+    // --- cluster-balanced diversity sampling: nearest-centroid assignment
+    // over the quantized (exact-integer) vectors, then the bounded
+    // k-smallest cap per cluster — integer dots make the argmax
+    // cross-engine exact; ties break to the lowest centroid index --------
+    "q_diversity_sample" -> ((s, d) => {
+      val qv = transform(Similarity.quantizeLongs(col("embedding")),
+        x => x.cast("double"))
+      Similarity.diversitySample(
+          t(s, d, "embeddings").withColumn("qv", qv),
+          DiversityCentroids, 50, vec = "qv", id = "vec_id")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    }),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -1978,6 +2000,23 @@ object SparkEntry {
       ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
         "(SELECT lang, doc_id, n_chars, row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk FROM documents) " +
         "WHERE rk <= 3"),
+
+    // diversity sampling: full-algorithm mirror — quantize, integer-dot
+    // argmax per vector (tie → lowest centroid index, matching
+    // NearestCentroid.compute's strict >), keep the 50 smallest vec_ids
+    // per cluster; the centroid VALUES are generated from the SAME
+    // DiversityCentroids array the Spark side assigns with
+    "q_diversity_sample" -> {
+      val cents = DiversityCentroids.zipWithIndex.map { case (cv, ci) =>
+        s"($ci, [${cv.map(_.toLong).mkString(", ")}])"
+      }.mkString(", ")
+      ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv FROM embeddings), " +
+        s"cents AS (SELECT * FROM (VALUES $cents) AS t(cid, cv)), " +
+        "dots AS (SELECT q.vec_id, c.cid, list_sum(list_transform(list_zip(q.qv, c.cv), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS dot FROM q CROSS JOIN cents c), " +
+        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rk FROM dots) WHERE rk = 1) " +
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS rk FROM asg) WHERE rk <= 50")
+    },
 
     // int8 quantization: same IEEE double ops in both engines (abs-max/127,
     // per-element round), integer outputs — bit-stable cross-engine

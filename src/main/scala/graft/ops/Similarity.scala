@@ -301,4 +301,44 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(carry.map(col) ++ Seq(col("id_a"), col("id_b"), col("cosine")): _*)
   }
+
+  /** Cluster-balanced (diversity) sampling: assign every embedding to its
+    * nearest centroid and keep the `perCluster` smallest ids per cluster —
+    * the pass that caps over-represented regions of embedding space
+    * (boilerplate/template clusters) while guaranteeing every populated
+    * cluster keeps up to `perCluster` exemplars. Returns the kept rows
+    * with their `cluster` column.
+    *
+    * Scale shape: assignment is the native codegen'd
+    * [[graft.functions.NearestCentroid]] (the centroid matrix rides in the
+    * plan — KBs for any sane C×D); winner selection is the bounded
+    * k-smallest aggregate (≤ perCluster longs of map-side state per
+    * cluster, no per-cluster window sort); ONE shuffle of (cluster, id)
+    * pairs end-to-end. For an id-order-free choice pass an md5-derived
+    * long as `id`.
+    *
+    * Determinism: cosine's per-row norm is constant across centroids, so
+    * the argmax never sees the sqrt — it reduces to an integer-dot argmax
+    * whenever `vec` holds integer-valued doubles ([[quantizeLongs]] cast
+    * back to double: exact in IEEE up to 2^53). Ties break to the LOWEST
+    * centroid index in both [[graft.functions.NearestCentroid.compute]]
+    * and the oracle's `ORDER BY dot DESC, cid ASC`, so the kept set is
+    * cross-engine reproducible (oracle `q_diversity_sample`).
+    */
+  def diversitySample(df: DataFrame, centroids: Array[Array[Double]],
+                      perCluster: Int, vec: String = "embedding",
+                      id: String = "vec_id"): DataFrame = {
+    require(perCluster > 0, s"perCluster=$perCluster must be > 0")
+    val assigned = df.withColumn("cluster",
+      graft.functions.NearestCentroid.nearestCentroid(col(vec), centroids))
+    val winners = assigned
+      .select(col("cluster").as("__div_c"), col(id).cast("long").as("__div_i"))
+      .groupBy("__div_c")
+      .agg(graft.functions.KSmallestLongsAgg
+        .kSmallest(col("__div_i"), perCluster).as("keep"))
+      .select(col("__div_c"), explode(col("keep")).as("__div_i"))
+    assigned.join(winners,
+      assigned("cluster") === winners("__div_c") &&
+        assigned(id).cast("long") === winners("__div_i"), "left_semi")
+  }
 }
