@@ -1172,6 +1172,13 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
     }),
 
+    // --- constraint suggestion (profile-driven): mine the corpus for the
+    // constraints worth enforcing — exact mode for the cross-engine oracle;
+    // the approx (HLL) mode is the one-scan 100 TB default ---------------
+    "q_suggest" -> ((s, d) =>
+      graft.stats.Suggest.suggestConstraints(
+        t(s, d, "documents"), 20, approx = false)),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -2000,6 +2007,24 @@ object SparkEntry {
       ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
         "(SELECT lang, doc_id, n_chars, row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk FROM documents) " +
         "WHERE rk <= 3"),
+
+    // constraint suggestion: per-column rule mirror (not_null / unique /
+    // is_in with the sorted '|'-joined value set / numeric range) — the
+    // same exact aggregates decide both sides
+    "q_suggest" -> {
+      val cols = Seq(("doc_id", true), ("text", false), ("lang", false),
+        ("source", false), ("n_chars", true))
+      cols.map { case (c, num) =>
+        val base =
+          s"""SELECT '$c' AS "column", 'not_null' AS kind, '' AS detail WHERE (SELECT count($c) FROM documents) = (SELECT count(*) FROM documents) AND (SELECT count($c) FROM documents) > 0""" +
+            s" UNION ALL SELECT '$c', 'unique', '' WHERE (SELECT count($c) FROM documents) > 0 AND (SELECT count(DISTINCT $c) FROM documents) = (SELECT count($c) FROM documents)" +
+            s" UNION ALL SELECT '$c', 'is_in', (SELECT coalesce(string_agg(v, '|' ORDER BY v), '') FROM (SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM documents WHERE $c IS NOT NULL)) WHERE (SELECT count(DISTINCT $c) FROM documents) BETWEEN 1 AND 20"
+        val rng = if (num)
+          s" UNION ALL SELECT '$c', 'range', '[' || CAST((SELECT min($c) FROM documents) AS VARCHAR) || ',' || CAST((SELECT max($c) FROM documents) AS VARCHAR) || ']' WHERE (SELECT count($c) FROM documents) > 0"
+        else ""
+        base + rng
+      }.mkString(" UNION ALL ")
+    },
 
     // diversity sampling: full-algorithm mirror — quantize, integer-dot
     // argmax per vector (tie → lowest centroid index, matching

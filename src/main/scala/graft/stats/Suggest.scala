@@ -1,0 +1,87 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Profile-driven constraint SUGGESTION — the inverse of the validation
+  * engine's checks: instead of validating against a given schema
+  * (reference `dvt` flow: structure.ini supplies the constraints), mine a
+  * conforming-corpus sample for the constraints worth enforcing, emitting
+  * one suggestion row per (column, kind):
+  *
+  *  - `not_null`  — zero observed nulls (and at least one row);
+  *  - `unique`    — every observed non-null value distinct (the natural
+  *                  key candidates: the reference's record URI / this
+  *                  engine's `doc_id`);
+  *  - `is_in`     — ≤ `categoricalMax` distinct values: the enumerated
+  *                  value-set constraint (sorted, '|'-joined detail) —
+  *                  what the reference encodes as per-property allowed
+  *                  classes/datatypes;
+  *  - `range`     — numeric columns: observed `[min,max]` envelope.
+  *
+  * Scale shape: phase 1 is ONE wide aggregate over the corpus
+  * (count/nulls/distinct/min/max per column — with `approx = true`, the
+  * default, distinct counts come from HLL exactly like
+  * [[ColumnStats.profile]], so the pass stays a single map-side-combined
+  * scan at 100 TB; `approx = false` plans Spark's expand-based exact
+  * count-distinct, the cross-engine-reproducible form the DuckDB oracle
+  * pins). Phase 2 fetches value sets ONLY for columns phase 1 already
+  * proved categorical, so each fetch collects ≤ categoricalMax values.
+  * The suggestions frame is (columns × kinds)-sized — a report, not data.
+  *
+  * HLL caveat under `approx = true`: a truly-categorical column whose
+  * estimate lands above `categoricalMax` (or a near-unique column whose
+  * estimate collides with the exact row count) can mis-classify at the
+  * boundary; suggestions are a starting point for a human, and the exact
+  * mode exists for when the verdict must be reproducible.
+  */
+object Suggest {
+
+  def suggestConstraints(df: DataFrame, categoricalMax: Int = 20,
+                         approx: Boolean = true): DataFrame = {
+    require(categoricalMax >= 1, s"categoricalMax=$categoricalMax must be >= 1")
+    val spark = df.sparkSession
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(s"cnt_${f.name}"),
+        (if (approx) approx_count_distinct(c) else countDistinct(c))
+          .as(s"dist_${f.name}"),
+        min(c).cast("string").as(s"min_${f.name}"),
+        max(c).cast("string").as(s"max_${f.name}"))
+    }
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = df.count()
+
+    val out = fields.flatMap { f =>
+      val cnt = row.getAs[Long](s"cnt_${f.name}")
+      val dist = row.getAs[Long](s"dist_${f.name}")
+      val numeric = f.dataType match {
+        case _: NumericType => true
+        case _ => false
+      }
+      val notNull =
+        if (cnt == total && cnt > 0) Seq((f.name, "not_null", "")) else Nil
+      val unique =
+        if (cnt > 0 && dist == cnt) Seq((f.name, "unique", "")) else Nil
+      val isIn =
+        if (dist >= 1 && dist <= categoricalMax) {
+          // bounded by construction: phase 1 proved ≤ categoricalMax
+          val values = df.select(col(f.name).cast("string").as("v"))
+            .where(col(f.name).isNotNull).distinct()
+            .collect().map(_.getString(0)).sorted
+          Seq((f.name, "is_in", values.mkString("|")))
+        } else Nil
+      val range =
+        if (numeric && cnt > 0) {
+          val lo = row.getAs[String](s"min_${f.name}")
+          val hi = row.getAs[String](s"max_${f.name}")
+          Seq((f.name, "range", s"[$lo,$hi]"))
+        } else Nil
+      notNull ++ unique ++ isIn ++ range
+    }
+    import spark.implicits._
+    out.toDF("column", "kind", "detail")
+  }
+}
