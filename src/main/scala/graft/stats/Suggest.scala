@@ -43,7 +43,8 @@ object Suggest {
     require(categoricalMax >= 1, s"categoricalMax=$categoricalMax must be >= 1")
     val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
-    val aggs = fields.flatMap { f =>
+    // the row total rides in the SAME wide aggregate — phase 1 is one scan
+    val aggs = count(lit(1L)).as("__total") +: fields.flatMap { f =>
       val c = col(f.name)
       Seq(count(c).as(s"cnt_${f.name}"),
         (if (approx) approx_count_distinct(c) else countDistinct(c))
@@ -52,7 +53,7 @@ object Suggest {
         max(c).cast("string").as(s"max_${f.name}"))
     }
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val total = df.count()
+    val total = row.getAs[Long]("__total")
 
     val out = fields.flatMap { f =>
       val cnt = row.getAs[Long](s"cnt_${f.name}")
