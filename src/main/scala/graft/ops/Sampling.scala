@@ -73,7 +73,10 @@ object Sampling {
     * engines, row-local, shuffle-free — at 100 TB the split is one
     * projected column, no groupBy, no join against a membership table.
     * Degenerate bounds (0, 256) produce an all-train / all-heldout column
-    * without tripping the 3-char "100" hex-format boundary.
+    * without tripping the 3-char "100" hex-format boundary. Rows with a
+    * NULL group key land in "train": an unknown leakage unit must never
+    * contaminate the heldout side (md5(NULL) is NULL, the comparison is
+    * NULL, `when` falls through — the safe direction by construction).
     */
   def leakSafeSplit(df: DataFrame, group: String, heldout256: Int,
                     splitCol: String = "split"): DataFrame = {

@@ -324,6 +324,11 @@ object Similarity {
     * centroid index in both [[graft.functions.NearestCentroid.compute]]
     * and the oracle's `ORDER BY dot DESC, cid ASC`, so the kept set is
     * cross-engine reproducible (oracle `q_diversity_sample`).
+    *
+    * Rows with a NULL embedding or a NULL/non-castable id get a NULL join
+    * key and are DROPPED (a diversity sample has no place for rows it
+    * cannot place); `id` must be integral-valued (the same contract as
+    * [[graft.ops.UrlOps.capPerDomain]]'s bounded winner selection).
     */
   def diversitySample(df: DataFrame, centroids: Array[Array[Double]],
                       perCluster: Int, vec: String = "embedding",

@@ -34,6 +34,16 @@ class DiversitySampleSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 11L, 12L))
   }
 
+  test("NULL embeddings are dropped, not misassigned") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, Option(Seq(2.0, 0.0))), (2L, Option.empty[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.diversitySample(df, cents, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("zero vector assigns to centroid 0 (all scores zero, first index)") {
     val got = Similarity.diversitySample(emb(7L -> Seq(0.0, 0.0)), cents, 1)
       .select("cluster").collect()(0).getInt(0)

@@ -42,6 +42,16 @@ class LeakSplitSpec extends SparkTestBase {
     assert(frac > 0.18 && frac < 0.32, s"heldout group fraction $frac")
   }
 
+  test("NULL group keys land in train — never contaminate heldout") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, Option("g1")), (2L, Option.empty[String]))
+      .toDF("doc_id", "grp")
+    val nullSide = Sampling.leakSafeSplit(df, "grp", 255)
+      .filter(col("doc_id") === 2L).select("split").collect()(0).getString(0)
+    assert(nullSide == "train")
+  }
+
   test("degenerate bounds: 0 is all train, 256 all heldout") {
     val df = corpus()
     assert(Sampling.leakSafeSplit(df, "grp", 0)
