@@ -1179,6 +1179,16 @@ object SparkEntry {
       graft.stats.Suggest.suggestConstraints(
         t(s, d, "documents"), 20, approx = false)),
 
+    // --- constraint VERIFICATION (the closing half of suggest→verify):
+    // declared constraints with planted violations, one wide agg ----------
+    "q_table_verify" -> ((s, d) =>
+      graft.stats.Suggest.verifyConstraints(t(s, d, "documents"), Seq(
+        ("doc_id", "not_null", ""),
+        ("doc_id", "unique", ""),
+        ("lang", "is_in", "en|fr"),
+        ("source", "is_in", "src1|src2|src3"),
+        ("n_chars", "range", "[10,400]")))),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -2007,6 +2017,19 @@ object SparkEntry {
       ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
         "(SELECT lang, doc_id, n_chars, row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk FROM documents) " +
         "WHERE rk <= 3"),
+
+    // constraint verification: per-constraint violation sums mirrored as
+    // CASE aggregates; status derives from the same count both sides
+    "q_table_verify" -> {
+      val inner = Seq(
+        "SELECT 'doc_id' AS \"column\", 'not_null' AS kind, '' AS detail, CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM documents",
+        "SELECT 'doc_id', 'unique', '', CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) FROM documents",
+        "SELECT 'lang', 'is_in', 'en|fr', CAST(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','fr') THEN 1 ELSE 0 END) AS BIGINT) FROM documents",
+        "SELECT 'source', 'is_in', 'src1|src2|src3', CAST(sum(CASE WHEN source IS NOT NULL AND source NOT IN ('src1','src2','src3') THEN 1 ELSE 0 END) AS BIGINT) FROM documents",
+        "SELECT 'n_chars', 'range', '[10,400]', CAST(sum(CASE WHEN n_chars IS NOT NULL AND (CAST(n_chars AS DOUBLE) < 10 OR CAST(n_chars AS DOUBLE) > 400) THEN 1 ELSE 0 END) AS BIGINT) FROM documents"
+      ).mkString(" UNION ALL ")
+      s"""SELECT "column", kind, detail, violations, CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status FROM ($inner)"""
+    },
 
     // constraint suggestion: per-column rule mirror (not_null / unique /
     // is_in with the sorted '|'-joined value set / numeric range) — the

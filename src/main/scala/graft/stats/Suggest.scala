@@ -85,4 +85,62 @@ object Suggest {
     import spark.implicits._
     out.toDF("column", "kind", "detail")
   }
+
+  /** Verify declared (or [[suggestConstraints]]-suggested) constraints
+    * against a frame — the closing half of the suggest→verify loop, and
+    * the tabular twin of the span-based check engine: one suggestion-
+    * vocabulary row per constraint in, one row per constraint out with
+    * its exact violation count and pass/fail status.
+    *
+    * ONE wide aggregate over the corpus computes every count — violations
+    * are `sum(when(...))` columns side by side in the same scan, `unique`
+    * adds a count-distinct leg (plan the exact form; at 10^12 rows declare
+    * uniqueness on the key you can afford to count). No second pass, no
+    * join: the constraint list is metadata-sized and stays on the driver.
+    *
+    * Semantics per kind ([[suggestConstraints]]'s vocabulary):
+    *  - `not_null` — violations = NULL rows;
+    *  - `unique`   — violations = non-null rows in excess of distinct
+    *                 values (count − countDistinct: 0 iff no duplicates);
+    *  - `is_in`    — violations = non-null rows whose string form is not
+    *                 in the '|'-split detail set (NULLs are `not_null`'s
+    *                 business, not membership's);
+    *  - `range`    — violations = non-null rows outside the inclusive
+    *                 `[lo,hi]` detail bounds, compared as doubles.
+    * Unknown kinds fail fast rather than silently pass.
+    */
+  def verifyConstraints(df: DataFrame,
+                        constraints: Seq[(String, String, String)]): DataFrame = {
+    require(constraints.nonEmpty, "no constraints to verify")
+    val spark = df.sparkSession
+    val aggs = constraints.zipWithIndex.map { case ((name, kind, detail), i) =>
+      val c = col(name)
+      val v = kind match {
+        case "not_null" => sum(when(c.isNull, 1L).otherwise(0L))
+        case "unique"   => count(c) - countDistinct(c)
+        case "is_in"    =>
+          val allowed = detail.split('|').toSeq
+          sum(when(c.isNotNull && !c.cast("string").isin(allowed: _*), 1L)
+            .otherwise(0L))
+        case "range"    =>
+          require(detail.startsWith("[") && detail.endsWith("]") &&
+            detail.contains(","), s"range detail '$detail' is not [lo,hi]")
+          val Array(lo, hi) = detail.stripPrefix("[").stripSuffix("]")
+            .split(',').map(_.trim.toDouble)
+          sum(when(c.isNotNull &&
+            (c.cast("double") < lo || c.cast("double") > hi), 1L)
+            .otherwise(0L))
+        case other => throw new IllegalArgumentException(
+          s"unknown constraint kind '$other' for column '$name'")
+      }
+      coalesce(v, lit(0L)).as(s"v_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val out = constraints.zipWithIndex.map { case ((name, kind, detail), i) =>
+      val viol = row.getAs[Long](s"v_$i")
+      (name, kind, detail, viol, if (viol == 0L) "pass" else "fail")
+    }
+    import spark.implicits._
+    out.toDF("column", "kind", "detail", "violations", "status")
+  }
 }

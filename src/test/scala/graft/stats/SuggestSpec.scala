@@ -47,6 +47,37 @@ class SuggestSpec extends SparkTestBase {
     assert(!got.contains(("leaky", "is_in")))    // 3 values > 2
   }
 
+  test("verifyConstraints: planted violations counted exactly; suggest→verify round-trips clean") {
+    val df = frame()
+    val got = Suggest.verifyConstraints(df, Seq(
+        ("id", "not_null", ""), ("id", "unique", ""),
+        ("cat", "is_in", "a"),            // 2 'b' rows violate
+        ("leaky", "not_null", ""),        // 1 null violates
+        ("score", "range", "[3,10]"),     // two 2.5s violate
+        ("score", "unique", "")))         // duplicate 2.5 → 1 excess row
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(("id", "not_null")) == ((0L, "pass")))
+    assert(got(("id", "unique")) == ((0L, "pass")))
+    assert(got(("cat", "is_in")) == ((2L, "fail")))
+    assert(got(("leaky", "not_null")) == ((1L, "fail")))
+    assert(got(("score", "range")) == ((2L, "fail")))
+    assert(got(("score", "unique")) == ((1L, "fail")))
+    // everything suggestConstraints proposes holds on the frame it saw
+    val suggested = Suggest.suggestConstraints(df, 4, approx = false)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val verified = Suggest.verifyConstraints(df, suggested.toSeq)
+    assert(verified.filter(org.apache.spark.sql.functions
+      .col("status") === "fail").count() == 0L)
+  }
+
+  test("unknown constraint kind fails fast") {
+    intercept[IllegalArgumentException] {
+      Suggest.verifyConstraints(frame(), Seq(("id", "positive", "")))
+    }
+  }
+
   test("approx mode emits the same kinds on a tiny frame (HLL exact at low cardinality)") {
     val exact = Suggest.suggestConstraints(frame(), 4, approx = false)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
