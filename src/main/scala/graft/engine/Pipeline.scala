@@ -112,17 +112,26 @@ object Pipeline {
     * (kind, text, media_ref, order)) as one comparable value. Control-char
     * separators (0x00 null marker, 0x01 field, 0x02 span) keep distinct
     * sequences from colliding through concatenation; row-local, codegen'd.
+    *
+    * A NULL spans array digests to a distinct non-null SENTINEL, never to
+    * NULL: md5(NULL) would make [[snapshotDiff]] decide presence from the
+    * digest instead of the join — a doc whose spans went non-null → NULL
+    * between snapshots would read as "removed" (and silently drop from
+    * both delta slices), and a null-spans doc would read as "added" even
+    * when unchanged. The sentinel starts with 0x03, so it can never
+    * collide with an md5 hex digest (including the empty-array digest).
     */
   def spanDigest(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val ordered = array_sort(spans, (l, r) =>
       when(l.getField("offset") < r.getField("offset"), -1)
         .when(l.getField("offset") > r.getField("offset"), 1)
         .otherwise(0))
-    md5(concat_ws("\u0002", transform(ordered, s => concat_ws("\u0001",
-      coalesce(s.getField("kind"), lit("\u0000")),
-      coalesce(s.getField("text"), lit("\u0000")),
-      coalesce(s.getField("media_ref"), lit("\u0000")),
-      s.getField("offset").cast("string")))))
+    when(spans.isNull, lit("\u0003nullspans"))
+      .otherwise(md5(concat_ws("\u0002", transform(ordered, s => concat_ws("\u0001",
+        coalesce(s.getField("kind"), lit("\u0000")),
+        coalesce(s.getField("text"), lit("\u0000")),
+        coalesce(s.getField("media_ref"), lit("\u0000")),
+        s.getField("offset").cast("string"))))))
   }
 
   /** Snapshot-to-snapshot document diff: `(doc_id, status)` with status ∈
@@ -131,15 +140,31 @@ object Pipeline {
     * (digests are row-local) — this frame is also the natural audit
     * artifact to persist beside a snapshot's results.
     */
-  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
-    val p = prev.select(col("doc_id"), spanDigest(col("spans")).as("__dp"))
-    val c = cur.select(col("doc_id"), spanDigest(col("spans")).as("__dc"))
-    p.join(c, Seq("doc_id"), "full_outer")
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame =
+    snapshotDiffWithCounts(prev, cur).select("doc_id", "status")
+
+  /** [[snapshotDiff]] plus per-side doc_id multiplicities (`__np`/`__nc`)
+    * — the guard columns [[violationsDelta]] needs. Digests aggregate per
+    * doc_id (min) BEFORE the join: a snapshot holding duplicate doc_ids —
+    * precisely what the DocIdUnique check exists to flag — would otherwise
+    * fan the full-outer join out, labelling one doc "changed" AND
+    * "unchanged" simultaneously and double-counting its violations across
+    * the delta slices. The groupBy adds no exchange beyond the join's own
+    * hash partitioning on doc_id (same key, partial agg map-side).
+    */
+  private[engine] def snapshotDiffWithCounts(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def digests(df: DataFrame, d: String, n: String): DataFrame =
+      df.groupBy(col("doc_id"))
+        .agg(min(spanDigest(col("spans"))).as(d), count(lit(1)).as(n))
+    digests(prev, "__dp", "__np")
+      .join(digests(cur, "__dc", "__nc"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("__dp").isNull, "added")
           .when(col("__dc").isNull, "removed")
           .when(col("__dp") =!= col("__dc"), "changed")
-          .otherwise("unchanged").as("status"))
+          .otherwise("unchanged").as("status"),
+        coalesce(col("__np"), lit(0L)).as("__np"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"))
   }
 
   /** The PURELY-PER-DOC violation core: the fused row-local pass alone —
@@ -185,7 +210,20 @@ object Pipeline {
                       schema: SchemaDef,
                       checks: Seq[ConstraintCheck] = Checks.all,
                       native: Boolean = true): (DataFrame, DataFrame) = {
-    val diff = snapshotDiff(prevDocs, curDocs).localCheckpoint()
+    val diffAll = snapshotDiffWithCounts(prevDocs, curDocs).localCheckpoint()
+    // delta mode REQUIRES doc_id-unique snapshots (what DocIdUnique flags):
+    // duplicate ids would have fanned the diff join out, putting one doc in
+    // both the fresh-scan and carried-core slices and double-counting its
+    // violations vs a from-scratch run. Fail loudly — the caller should run
+    // full validation (which reports the DocIdUnique violation) instead.
+    // The probe scans the already-materialized doc_id-sized checkpoint.
+    val dup = diffAll.filter(col("__np") > 1 || col("__nc") > 1)
+      .select("doc_id", "__np", "__nc").limit(3).collect()
+    require(dup.isEmpty,
+      s"delta validation requires doc_id-unique snapshots, found duplicated " +
+        s"doc_ids (docId, prevCount, curCount): ${dup.mkString(", ")} — run a " +
+        "full validation instead (DocIdUnique will report them)")
+    val diff = diffAll.select("doc_id", "status")
     val dirty = curDocs.join(
       diff.filter(col("status").isin("added", "changed")).select("doc_id"),
       Seq("doc_id"), "left_semi")

@@ -234,12 +234,17 @@ object ValidatorApp {
         val prev = spark.read.parquet(cfg.deltaPrevDocuments.get)
         val prevCoreRaw = spark.read.parquet(cfg.deltaPrevCore.get)
         // lineage gate: a core from a different schema or check set would
-        // carry stale verdicts forward silently
+        // carry stale verdicts forward silently. An EMPTY core is legal —
+        // a fully-clean prior run (zero row-local violations) persists zero
+        // rows, and an empty core trivially carries nothing forward; the
+        // gate must not make incremental validation unusable after the
+        // happy path (lineage columns live in the data, so an empty core
+        // has no lineage rows to check).
         val lineage = prevCoreRaw.select("constraintHash", "checksHash")
           .distinct().collect()
-        require(lineage.length == 1 &&
+        require(lineage.isEmpty || (lineage.length == 1 &&
           lineage(0).getString(0) == cfg.schema.constraintHash &&
-          lineage(0).getString(1) == cfg.checksHash,
+          lineage(0).getString(1) == cfg.checksHash),
           s"delta.prevCore lineage ${lineage.toSeq} does not match this " +
             s"config (${cfg.schema.constraintHash}, ${cfg.checksHash}) — " +
             "the previous core must come from the same schema + check set")

@@ -338,11 +338,16 @@ object StreamingValidator {
 
   /** The shared binning expression (stream + batch twin): clamp to
     * [0, buckets) so out-of-reference-range values land in the edge bins
-    * instead of vanishing (a drift monitor must SEE the outliers).
+    * instead of vanishing (a drift monitor must SEE the outliers). NULL
+    * metric values route to the dedicated sentinel bin −2 — floor(NULL)
+    * would otherwise propagate a NULL bin that PSI consumers folding
+    * (bin, n) counts silently skip, hiding a null-flood regression.
     */
   def driftBin(v: Column, lo: Double, width: Double, buckets: Int): Column =
-    least(greatest(floor((v.cast("double") - lo) / width), lit(0L)),
-      lit(buckets - 1L)).cast("bigint")
+    when(v.isNull, lit(-2L))
+      .otherwise(least(greatest(floor((v.cast("double") - lo) / width), lit(0L)),
+        lit(buckets - 1L)))
+      .cast("bigint")
 
   /** PER-SOURCE streaming drift monitor — the streaming face of
     * [[graft.stats.DriftStats.psiExactByGroup]] and the grouped twin of
@@ -377,12 +382,16 @@ object StreamingValidator {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Per-source binning against joined edge columns; no-reference sources
-    * (null lo/width) land in the sentinel bin −1. Shared by the batch twin
-    * so the two sides cannot fork.
+  /** Per-source binning against joined edge columns; NULL metric values
+    * land in the sentinel bin −2 (checked FIRST — a null is un-binnable
+    * even when edges exist, and floor(NULL) would otherwise yield a NULL
+    * bin group that PSI consumers silently skip), then no-reference
+    * sources (null lo/width) land in the sentinel bin −1. Shared by the
+    * batch twin so the two sides cannot fork.
     */
   def sourceDriftBin(v: Column, lo: Column, width: Column, buckets: Int): Column =
-    when(lo.isNull || width.isNull, lit(-1L))
+    when(v.isNull, lit(-2L))
+      .when(lo.isNull || width.isNull, lit(-1L))
       .otherwise(least(greatest(floor((v.cast("double") - lo) / width), lit(0L)),
         lit(buckets - 1L)))
       .cast("bigint")

@@ -52,6 +52,38 @@ class PipelineDeltaSpec extends SparkTestBase {
     assert(diff("unchanged") == N - removed - changed, diff.toString)
   }
 
+  test("snapshotDiff: NULL spans digest to a sentinel — presence comes from the join") {
+    // doc 13: spans NULL in BOTH snapshots → unchanged (not "added");
+    // doc 11: spans non-null → NULL → changed (not "removed")
+    val prevN = prevDocs.withColumn("spans",
+      when(num === 13, lit(null)).otherwise(col("spans")))
+    val curN = prevN.withColumn("spans",
+      when(num === 11, lit(null)).otherwise(col("spans")))
+    val rows = Pipeline.snapshotDiff(prevN, curN)
+      .withColumn("n", num).filter(col("n").isin(11, 13))
+      .select("n", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(11L) == "changed", rows.toString)
+    assert(rows(13L) == "unchanged", rows.toString)
+    // and a null-spans doc dropped between snapshots still reads removed
+    val curGone = curN.filter(num =!= 13)
+    val gone = Pipeline.snapshotDiff(curN, curGone)
+      .withColumn("n", num).filter(col("n") === 13)
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(gone == Seq("removed"), gone.toString)
+  }
+
+  test("violationsDelta refuses duplicated doc_ids instead of double-counting") {
+    val prev = prevDocs.localCheckpoint()
+    val dupCur = curDocs.unionByName(curDocs.filter(num === 7)).localCheckpoint()
+    val prevCore = Pipeline.rowLocalCore(spark, prev, DocGen.schema)
+    val ex = intercept[IllegalArgumentException] {
+      val (v, _) = Pipeline.violationsDelta(spark, prev, prevCore, dupCur, DocGen.schema)
+      v.count()
+    }
+    assert(ex.getMessage.contains("doc_id-unique"), ex.getMessage)
+  }
+
   test("violationsDelta == from-scratch validation of cur, row for row") {
     val prev = prevDocs.localCheckpoint()
     val cur = curDocs.localCheckpoint()

@@ -213,6 +213,32 @@ class ValidatorAppSpec extends SparkTestBase {
     val core2 = spark.read.parquet(coreDir(s"$tmp/o2"))
     assert(core2.select("constraintHash").distinct().count() == 1)
 
+    // a CLEAN prior run persists an EMPTY core — the lineage gate must
+    // still accept it (empty carries nothing forward; without this the
+    // common happy path made incremental validation unusable)
+    val cleanSpans = array(struct(lit("txt:title").as("kind"),
+      lit("ok").as("text"), lit(null).cast("string").as("media_ref"),
+      lit(0).as("offset")))
+    prev.withColumn("spans", cleanSpans)
+      .write.mode("overwrite").parquet(s"$tmp/cleanPrev")
+    prev.withColumn("spans", cleanSpans).filter(num =!= 7)
+      .write.mode("overwrite").parquet(s"$tmp/cleanCur")
+    def cleanConf(docs: String, extra: String = "") =
+      s"""data.documents = $docs
+         |data.snapshotId = ${new java.io.File(docs).getName}
+         |checks = datatype
+         |schema.kind.txt:title = datatype||http://www.w3.org/2001/XMLSchema#string
+         |buckets = 8
+         |$extra
+         |""".stripMargin
+    runWith(cleanConf(s"$tmp/cleanPrev"), s"$tmp/c1")
+    assert(spark.read.parquet(coreDir(s"$tmp/c1")).count() == 0,
+      "fixture must produce a clean (empty) core")
+    runWith(cleanConf(s"$tmp/cleanCur",
+      s"delta.prevDocuments = $tmp/cleanPrev\ndelta.prevCore = ${coreDir(s"$tmp/c1")}"),
+      s"$tmp/c2") // must not throw 'lineage does not match'
+    assert(spark.read.parquet(s"$tmp/c2/violations").count() == 0)
+
     // lineage gate: a different check set must refuse the old core
     val bad = conf(s"$tmp/cur", s"$tmp/o4",
       s"delta.prevDocuments = $tmp/prev\ndelta.prevCore = ${coreDir(s"$tmp/o1")}")

@@ -493,15 +493,16 @@ class StreamingValidatorSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     // reference edges: lo=0, width=10, 4 bins → [0,10) [10,20) [20,30) [30,∞ clamps)
     val fixture = Seq(
-      ("2026-01-01 10:00:05", 3.0),   // w1 bin 0
-      ("2026-01-01 10:00:15", 12.0),  // w1 bin 1
-      ("2026-01-01 10:00:25", 15.0),  // w1 bin 1
-      ("2026-01-01 10:00:35", 99.0),  // w1 bin 3 (clamped outlier)
-      ("2026-01-01 10:00:45", -5.0),  // w1 bin 0 (clamped below)
-      ("2026-01-01 10:01:10", 27.0))  // w2 bin 2
+      ("2026-01-01 10:00:05", Some(3.0)),   // w1 bin 0
+      ("2026-01-01 10:00:15", Some(12.0)),  // w1 bin 1
+      ("2026-01-01 10:00:25", Some(15.0)),  // w1 bin 1
+      ("2026-01-01 10:00:35", Some(99.0)),  // w1 bin 3 (clamped outlier)
+      ("2026-01-01 10:00:45", Some(-5.0)),  // w1 bin 0 (clamped below)
+      ("2026-01-01 10:00:50", None),        // w1 bin -2 (NULL metric sentinel)
+      ("2026-01-01 10:01:10", Some(27.0)))  // w2 bin 2
       .map { case (t, v) => (java.sql.Timestamp.valueOf(t), v) }
 
-    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val stream = MemoryStream[(java.sql.Timestamp, Option[Double])]
     val out = StreamingValidator.driftBinCounts(
       stream.toDF().toDF("ts", "v"), "v", lo = 0.0, width = 10.0, buckets = 4)
     val q = out.writeStream.format("memory").queryName("sv_drift")
@@ -520,7 +521,8 @@ class StreamingValidatorSpec extends SparkTestBase {
         .agg(count(lit(1)).as("n")).collect()
         .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getLong(1)) -> r.getLong(2))
         .toMap
-      assert(batch.values.sum == 6L && batch.keys.map(_._2).toSet == Set(0L, 1L, 2L, 3L),
+      assert(batch.values.sum == 7L &&
+        batch.keys.map(_._2).toSet == Set(0L, 1L, 2L, 3L, -2L),
         s"fixture broken: $batch")
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
@@ -535,16 +537,20 @@ class StreamingValidatorSpec extends SparkTestBase {
     val refEdges = Seq(("s1", 0.0, 10.0), ("s2", 100.0, 5.0))
       .toDF("source", "lo", "width")
     val fixture = Seq(
-      ("2026-01-01 10:00:05", 3.0, "s1"),   // w1 s1 bin 0
-      ("2026-01-01 10:00:15", 12.0, "s1"),  // w1 s1 bin 1
-      ("2026-01-01 10:00:20", 12.0, "s2"),  // w1 s2 bin 0 (clamped below)
-      ("2026-01-01 10:00:25", 107.0, "s2"), // w1 s2 bin 1
-      ("2026-01-01 10:00:35", 999.0, "s2"), // w1 s2 bin 3 (clamped outlier)
-      ("2026-01-01 10:00:45", 50.0, "s3"),  // w1 s3 bin -1 (no reference)
-      ("2026-01-01 10:01:10", 27.0, "s1"))  // w2 s1 bin 2
+      ("2026-01-01 10:00:05", Some(3.0), "s1"),   // w1 s1 bin 0
+      ("2026-01-01 10:00:15", Some(12.0), "s1"),  // w1 s1 bin 1
+      ("2026-01-01 10:00:20", Some(12.0), "s2"),  // w1 s2 bin 0 (clamped below)
+      ("2026-01-01 10:00:25", Some(107.0), "s2"), // w1 s2 bin 1
+      ("2026-01-01 10:00:35", Some(999.0), "s2"), // w1 s2 bin 3 (clamped outlier)
+      ("2026-01-01 10:00:45", Some(50.0), "s3"),  // w1 s3 bin -1 (no reference)
+      ("2026-01-01 10:00:55", None, "s1"),        // w1 s1 bin -2 (NULL metric,
+                                                  // known source — -2 wins)
+      ("2026-01-01 10:00:58", None, "s3"),        // w1 s3 bin -2 (NULL metric,
+                                                  // no reference — still -2)
+      ("2026-01-01 10:01:10", Some(27.0), "s1"))  // w2 s1 bin 2
       .map { case (t, v, s0) => (java.sql.Timestamp.valueOf(t), v, s0) }
 
-    val stream = MemoryStream[(java.sql.Timestamp, Double, String)]
+    val stream = MemoryStream[(java.sql.Timestamp, Option[Double], String)]
     val out = StreamingValidator.driftBinCountsBySource(
       stream.toDF().toDF("ts", "v", "source"), refEdges, "v", buckets = 4)
     val q = out.writeStream.format("memory").queryName("sv_drift_src")
@@ -564,9 +570,14 @@ class StreamingValidatorSpec extends SparkTestBase {
           StreamingValidator.sourceDriftBin(col("v"), col("lo"), col("width"), 4).as("bin"))
         .agg(count(lit(1)).as("n")).collect()
         .map(r => key(r) -> r.getLong(3)).toMap
-      assert(batch.values.sum == 7L, s"fixture broken: $batch")
+      assert(batch.values.sum == 9L, s"fixture broken: $batch")
       assert(batch.keys.exists(_._3 == -1L), s"no-reference sentinel missing: $batch")
       assert(batch.keys.exists(_._3 == 3L), s"clamped outlier missing: $batch")
+      // NULL metric sentinel (-2) fires for BOTH a known and an unknown
+      // source — a null value is un-binnable regardless of edges
+      assert(batch.count(_._1._3 == -2L) == 2 &&
+        batch.keys.filter(_._3 == -2L).map(_._2).toSet == Set("s1", "s3"),
+        s"null-metric sentinel rows wrong: $batch")
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
