@@ -20,21 +20,26 @@ import org.apache.spark.sql.types._
   *                  classes/datatypes;
   *  - `range`     — numeric columns: observed `[min,max]` envelope.
   *
-  * Scale shape: phase 1 is ONE wide aggregate over the corpus
-  * (count/nulls/distinct/min/max per column — with `approx = true`, the
-  * default, distinct counts come from HLL exactly like
-  * [[ColumnStats.profile]], so the pass stays a single map-side-combined
-  * scan at 100 TB; `approx = false` plans Spark's expand-based exact
-  * count-distinct, the cross-engine-reproducible form the DuckDB oracle
-  * pins). Phase 2 fetches value sets ONLY for columns phase 1 already
-  * proved categorical, so each fetch collects ≤ categoricalMax values.
-  * The suggestions frame is (columns × kinds)-sized — a report, not data.
+  * Scale shape: ONE wide aggregate over the corpus — count/nulls/
+  * distinct/min/max per column (with `approx = true`, the default,
+  * distinct counts come from HLL exactly like [[ColumnStats.profile]];
+  * `approx = false` plans Spark's expand-based exact count-distinct, the
+  * cross-engine-reproducible form the DuckDB oracle pins) PLUS a
+  * hard-bounded distinct-value set per column
+  * ([[graft.functions.BoundedSetAgg]], state ≤ categoricalMax+1 strings
+  * per buffer by construction). The whole suggestion therefore costs one
+  * map-side-combined scan at 100 TB, with NO per-column follow-up
+  * fetches, and the `is_in` verdict is EXACT regardless of the approx
+  * flag: a column is categorical iff its bounded set did not overflow —
+  * an HLL undercount can no longer admit an unbounded driver collect
+  * (each set is ≤ categoricalMax values or NULL). The suggestions frame
+  * is (columns × kinds)-sized — a report, not data.
   *
-  * HLL caveat under `approx = true`: a truly-categorical column whose
-  * estimate lands above `categoricalMax` (or a near-unique column whose
-  * estimate collides with the exact row count) can mis-classify at the
-  * boundary; suggestions are a starting point for a human, and the exact
-  * mode exists for when the verdict must be reproducible.
+  * HLL caveat under `approx = true` (now confined to `unique`): a
+  * near-unique column whose estimate collides with the exact row count
+  * can mis-classify at the boundary; suggestions are a starting point for
+  * a human, and the exact mode exists for when the verdict must be
+  * reproducible.
   */
 object Suggest {
 
@@ -43,14 +48,16 @@ object Suggest {
     require(categoricalMax >= 1, s"categoricalMax=$categoricalMax must be >= 1")
     val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
-    // the row total rides in the SAME wide aggregate — phase 1 is one scan
+    // the row total rides in the SAME wide aggregate — ONE scan total
     val aggs = count(lit(1L)).as("__total") +: fields.flatMap { f =>
       val c = col(f.name)
       Seq(count(c).as(s"cnt_${f.name}"),
         (if (approx) approx_count_distinct(c) else countDistinct(c))
           .as(s"dist_${f.name}"),
         min(c).cast("string").as(s"min_${f.name}"),
-        max(c).cast("string").as(s"max_${f.name}"))
+        max(c).cast("string").as(s"max_${f.name}"),
+        graft.functions.BoundedSetAgg.boundedSet(c, categoricalMax)
+          .as(s"set_${f.name}"))
     }
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val total = row.getAs[Long]("__total")
@@ -66,14 +73,15 @@ object Suggest {
         if (cnt == total && cnt > 0) Seq((f.name, "not_null", "")) else Nil
       val unique =
         if (cnt > 0 && dist == cnt) Seq((f.name, "unique", "")) else Nil
-      val isIn =
-        if (dist >= 1 && dist <= categoricalMax) {
-          // bounded by construction: phase 1 proved ≤ categoricalMax
-          val values = df.select(col(f.name).cast("string").as("v"))
-            .where(col(f.name).isNotNull).distinct()
-            .collect().map(_.getString(0)).sorted
-          Seq((f.name, "is_in", values.mkString("|")))
-        } else Nil
+      val isIn = {
+        // NULL set = overflowed the bound = not categorical, exactly
+        val set = row.getAs[scala.collection.Seq[String]](s"set_${f.name}")
+        if (set != null && set.nonEmpty)
+          // driver-side .sorted (UTF-16 code-unit order) keeps the detail
+          // byte-identical to the pre-bounded form the oracle pins
+          Seq((f.name, "is_in", set.toSeq.sorted.mkString("|")))
+        else Nil
+      }
       val range =
         if (numeric && cnt > 0) {
           val lo = row.getAs[String](s"min_${f.name}")

@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the shared listener bus — QueryExecutionListener events ride it
+    * asynchronously, so a scan-count audit must flush before reading its
+    * counters (`listenerBus` is `private[spark]`, reachable from this
+    * namespace). Used by the ScanSweep audit and plan-shape specs only —
+    * never on a hot path.
+    */
+  def waitForListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -78,6 +78,61 @@ class SuggestSpec extends SparkTestBase {
     }
   }
 
+  test("suggest is ONE scan / ONE query execution, even with categorical columns") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-suggest").toString
+    frame().write.mode("overwrite").parquet(s"$tmp/t")
+    val audit = new graft.ScanSweep.ScanAudit
+    spark.listenerManager.register(audit)
+    try {
+      val df = spark.read.parquet(s"$tmp/t")
+      audit.reset()
+      // exact mode, 3 categorical columns — the old phase-2 shape paid one
+      // extra corpus scan per categorical column here
+      Suggest.suggestConstraints(df, 4, approx = false).collect()
+      org.apache.spark.sql.graft.shims.waitForListeners(spark)
+      // ≤2 executions: the wide aggregate + the scanless report-frame
+      // materialization (a driver-local relation)
+      assert(audit.execs.get() <= 2L,
+        s"suggest ran ${audit.execs.get()} query executions, want ≤2")
+      assert(audit.scans.get() == 1L,
+        s"suggest ran ${audit.scans.get()} corpus scans, want 1")
+      // verify is likewise one wide aggregate = one scan
+      audit.reset()
+      Suggest.verifyConstraints(df, Seq(("id", "not_null", ""),
+        ("cat", "is_in", "a|b"), ("score", "range", "[0,10]"))).collect()
+      org.apache.spark.sql.graft.shims.waitForListeners(spark)
+      assert(audit.execs.get() <= 2L && audit.scans.get() == 1L,
+        s"verify: ${audit.execs.get()} executions / ${audit.scans.get()} scans, want ≤2/1")
+    } finally spark.listenerManager.unregister(audit)
+  }
+
+  test("bounded value-set agg: exact set under the cap, NULL over it, merge-safe") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.BoundedSetAgg.boundedSet
+    // 100 rows, 10 distinct values, spread over 8 partitions so merges run
+    val df = (1 to 100).map(i => s"v${i % 10}").toDF("c").repartition(8)
+    val under = df.agg(boundedSet(col("c"), 10)).collect()(0).getSeq[String](0)
+    assert(under.sorted == (0 to 9).map(i => s"v$i").sorted, under.toString)
+    val over = df.agg(boundedSet(col("c"), 9)).collect()(0)
+    assert(over.isNullAt(0), "11th distinct value must overflow to NULL")
+    // nulls are skipped, not collected
+    val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("c")
+    assert(withNulls.agg(boundedSet(col("c"), 5)).collect()(0)
+      .getSeq[String](0).sorted == Seq("a", "b"))
+  }
+
+  test("a high-cardinality column never admits is_in (bounded regardless of the distinct estimate)") {
+    val session = spark
+    import session.implicits._
+    val wide = (1 to 5000).map(i => (i.toLong, s"u$i")).toDF("id", "u")
+    val got = Suggest.suggestConstraints(wide, categoricalMax = 20,
+        approx = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!got.exists(_._2 == "is_in"), got.toString)
+  }
+
   test("approx mode emits the same kinds on a tiny frame (HLL exact at low cardinality)") {
     val exact = Suggest.suggestConstraints(frame(), 4, approx = false)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
