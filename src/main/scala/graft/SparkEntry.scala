@@ -323,6 +323,27 @@ object SparkEntry {
           withDups(t(s, d, "documents"), tx => concat(upper(tx), lit("  "))))
         .select(col("doc_id"))),
 
+    // --- INCREMENTAL dedup (signature-directory delta): two-snapshot
+    // fixture from the one documents table — prev = %3!=0; new = %3==0
+    // plus planted dups of PREV content (upper-cased, → directory hit,
+    // dropped) and intra-new canonical dups (trailing pad, min-id wins).
+    // Output = the delta-kept rows: the docs a daily increment adds
+    // without re-signing the prior corpus. ---------------------------
+    "q_dedup_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val prev = docs.filter(col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 7 === 1 && col("doc_id") % 3 =!= 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), upper(col("text")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit("  ")).as("text")))
+      val (kept, _) = Dedup.fingerprintDedupDelta(
+        fresh, Dedup.fingerprintDirectory(prev))
+      kept.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
     "q_quality_signals" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.nChars(col("text")).as("n_chars_m"),
@@ -1451,6 +1472,21 @@ object SparkEntry {
         "(SELECT doc_id, text FROM documents UNION ALL " +
         " SELECT doc_id + 1000000, upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0)) " +
         "WHERE rn = 1"),
+
+    // incremental dedup: full-algorithm mirror — directory of prev
+    // fingerprints, min-id winner per fingerprint AMONG the delta, kept
+    // iff the fingerprint is absent from the directory (first-seen-wins)
+    "q_dedup_delta" ->
+      ("WITH prev AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0), " +
+        "news AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 " +
+        " UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 7 = 1 AND doc_id % 3 <> 0 " +
+        " UNION ALL SELECT doc_id + 2000000, text || '  ' FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 = 0), " +
+        "dir AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM prev), " +
+        "signed AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM news), " +
+        "winners AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, " +
+        "row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM signed) WHERE rn = 1) " +
+        "SELECT w.doc_id, w.fp FROM winners w WHERE NOT EXISTS " +
+        "(SELECT 1 FROM dir d WHERE d.fp = w.fp)"),
     "q_quality_signals" ->
       ("SELECT doc_id, length(text) AS n_chars_m, len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, " +
         "len(regexp_extract_all(text, '[A-Z]')) AS n_upper FROM documents"),

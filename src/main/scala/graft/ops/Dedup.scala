@@ -73,6 +73,137 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // INCREMENTAL dedup against a persisted signature directory
+  // ------------------------------------------------------------------
+  // At 100 TB the daily increment is the workload: re-signing the whole
+  // corpus to dedup one day's ingest is the single most expensive
+  // recompute in a crawl pipeline. The directory forms below are the
+  // persistable snapshot artifacts (write them beside each snapshot's
+  // results exactly like the validation core — the dedup analogue of
+  // Pipeline.violationsDelta's carried core); the delta paths sign ONLY
+  // new docs and join them against the stored directory.
+
+  /** The persistable FINGERPRINT directory of a corpus: one row per
+    * canonical fingerprint ([[TextAnalysis.fingerprint]]) with its keeper
+    * (minimum id). One map-side-combinable groupBy; at scale, persist
+    * bucketed by `fp` so the delta join's directory side scans
+    * exchange-free ([[graft.engine.Layout]]).
+    */
+  def fingerprintDirectory(df: DataFrame, id: String = "doc_id",
+                           text: String = "text"): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(text)).as("fp"))
+      .agg(min(col(id)).as("keep_id"))
+
+  /** Incremental [[fingerprintDedup]]: sign ONLY `newDocs` and join the
+    * stored directory — the batch twin of
+    * [[graft.streaming.StreamingValidator.fingerprintDedupStream]]'s
+    * first-arrival-wins contract. Returns `(kept, directoryDelta)`:
+    *
+    *  - `kept`: new docs winning min-id among the new docs sharing their
+    *    fingerprint (one window over the DELTA only) whose fingerprint is
+    *    absent from the directory (anti-join, hash-partitioned on fp) —
+    *    FIRST-SEEN-WINS: a new doc duplicating prior-snapshot content
+    *    drops even if its id is smaller than the stored keeper, exactly
+    *    like the streaming twin;
+    *  - `directoryDelta`: the kept docs' `(fp, keep_id)` rows — append
+    *    them to the directory for the next increment.
+    *
+    * Equivalence (DedupDeltaSpec): under monotone ingest (new ids greater
+    * than prior ids — the natural snapshot shape), prior kept ∪ delta
+    * kept ≡ a from-scratch [[fingerprintDedup]] of the union, row for
+    * row. Scale shape: every pass touches delta-sized data except the
+    * directory side of the ONE anti-join, which ships no text — just
+    * (fp, keep_id).
+    */
+  def fingerprintDedupDelta(newDocs: DataFrame, directory: DataFrame,
+                            id: String = "doc_id",
+                            text: String = "text"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val signed = newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(text)))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(id))
+    val newWinners = signed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val kept = newWinners.join(
+      directory.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    (kept.drop("__fp"),
+      kept.select(col("__fp").as("fp"), col(id).as("keep_id")))
+  }
+
+  /** The persistable MINHASH-LSH directory of a corpus: one row per
+    * (band, bucket, member) with the member's full signature and the
+    * bucket's size — everything [[minhashCandidatesDelta]] needs, stored
+    * exploded so the delta join is a plain hash join on (band, bucket).
+    * `bucket_size` is frozen at build time: it drives the hot-bucket cap,
+    * and recomputing it per delta would re-scan the directory (rebuild it
+    * on compaction, with the usual cap-audit sweep).
+    */
+  def minhashDirectory(df: DataFrame, id: String = "doc_id", text: String = "text",
+                       k: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sig = graft.functions.MinHashSig.minhashSig(col(text), k, numHashes)
+    val banded = df.filter(length(col(text)) >= k)
+      .select(col(id).as("id"), sig.as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(bandKeys(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
+    withDirectorySizes(banded)
+  }
+
+  /** Recompute the frozen `bucket_size` column over a directory (after
+    * appending one or more increments' `directoryDelta` rows — the
+    * compaction step). One window over the directory's own (band, bucket)
+    * partitioning, no text, no re-signing.
+    */
+  def minhashDirectoryCompact(directory: DataFrame, delta: DataFrame): DataFrame =
+    withDirectorySizes(directory.drop("bucket_size")
+      .unionByName(delta.drop("bucket_size")))
+
+  private def withDirectorySizes(banded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    banded.withColumn("bucket_size",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+  }
+
+  /** Incremental [[minhashCandidates]]: candidate near-dup pairs involving
+    * at least one NEW doc — new×new pairs from the delta's own band
+    * buckets (the standard capped in-bucket pairing) plus new×stored
+    * pairs from ONE hash join of the delta's band keys against the
+    * directory. Signatures ride along (`sig_a`/`sig_b`) for the usual
+    * agreement prefilter. Together with the pairs already mined from the
+    * prior snapshot this equals a from-scratch [[minhashCandidates]] of
+    * the union (DedupDeltaSpec), while signing ONLY delta docs: the
+    * directory side ships (band, bucket, id, sig) rows, never text.
+    * Hot buckets are capped on BOTH sides (stored `bucket_size` and the
+    * delta's own in-bucket cap) — same audit semantics as the full path.
+    * Returns `(candidates, directoryDelta)`; append `directoryDelta` to
+    * the directory for the next increment (sizes refresh on rebuild).
+    */
+  def minhashCandidatesDelta(newDocs: DataFrame, directory: DataFrame,
+                             id: String = "doc_id", text: String = "text",
+                             k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                             maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
+    val sig = graft.functions.MinHashSig.minhashSig(col(text), k, numHashes)
+    val withSig = newDocs.filter(length(col(text)) >= k)
+      .select(col(id).as("__id"), sig.as("__sig"))
+    val banded = withSig.select(col("__id"), col("__sig"),
+      posexplode(bandKeys(col("__sig"), numHashes, bands)).as(Seq("band", "bucket")))
+      .localCheckpoint() // referenced 3× (new×new, new×old, directoryDelta)
+    val newNew = bucketPairsWith(banded, Seq("__sig"), maxBucketSize, "lsh_minhash_delta")
+    val stored = directory.filter(col("bucket_size") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("id").as("__oid"), col("sig").as("__osig"))
+    val newOld = banded.join(stored, Seq("band", "bucket"))
+      .filter(col("__id") =!= col("__oid"))
+      .select(
+        least(col("__id"), col("__oid")).as("id_a"),
+        greatest(col("__id"), col("__oid")).as("id_b"),
+        when(col("__id") < col("__oid"), col("__sig")).otherwise(col("__osig")).as("sig_a"),
+        when(col("__id") < col("__oid"), col("__osig")).otherwise(col("__sig")).as("sig_b"))
+      .distinct()
+    val dirDelta = banded.select(col("band"), col("bucket"),
+      col("__id").as("id"), col("__sig").as("sig"),
+      lit(null).cast("long").as("bucket_size"))
+    (newNew.unionByName(newOld), dirDelta)
+  }
+
+  // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------
 
