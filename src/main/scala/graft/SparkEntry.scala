@@ -50,6 +50,24 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + 1000000L)
       .withColumn("text", mutate(col("text"))))
 
+  /** MIXED-WHITESPACE passage plant for the passage-cut queries: every
+    * doc_id % 7 == 2 doc reappears at id+3e6 as a fixed 12-token
+    * boilerplate with tab/multi-space gaps plus a unique 2-token tail —
+    * the boilerplate gram duplicates across all planted docs (cut
+    * everywhere but the smallest id), boundary grams mix unique tail
+    * context and stay. Distinctive `wsbNN` tokens never occur in the
+    * natural vocabulary; gaps are a fixed literal so the char-faithful
+    * oracle can rebuild them positionally.
+    */
+  private val PassageBoiler =
+    "wsb01\twsb02  wsb03 wsb04\t wsb05 wsb06   wsb07 wsb08\twsb09 wsb10  wsb11 wsb12"
+  private def withPassagePlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit(PassageBoiler), lit(" u"), col("doc_id").cast("string"),
+            lit("x u"), col("doc_id").cast("string"), lit("y")).as("text")))
+
   /** Documents with a planted SUBSET slice: every 10th doc reappears at
     * id+2e6 as its own first-half token prefix — the quote/excerpt shape
     * whose Jaccard (~0.5) sits below every near-dup threshold but whose
@@ -1046,9 +1064,24 @@ object SparkEntry {
     // rejoin — the oracle mirrors the WHOLE algorithm in SQL (gram
     // explode → dup directory → keeper → position-set cut → rebuild), so
     // the testdata's naturally shared passages are all exercised, not just
-    // a plant. cut_tokens as BIGINT for the cross-engine hash.
+    // a plant. The input additionally carries the MIXED-WHITESPACE plant
+    // (shared tab/multi-space boilerplate + unique tails) where the
+    // token-rejoin and char-faithful forms genuinely differ.
+    // cut_tokens as BIGINT for the cross-engine hash.
     "q_passage_dedup" -> ((s, d) =>
-      Dedup.passageDedup(t(s, d, "documents"), k = 12)
+      Dedup.passageDedup(withPassagePlant(t(s, d, "documents")), k = 12)
+        .select(col("doc_id"), col("text"),
+          col("cut_tokens").cast("bigint").as("cut_tokens"))),
+
+    // the CHAR-FAITHFUL twin: only cut tokens' own characters are removed,
+    // every whitespace byte survives verbatim — survivors byte-identical
+    // to the original outside the cut. Same extended input; the oracle
+    // rebuilds with the ORIGINAL inter-token gaps (known by construction:
+    // natural testdata text is strictly single-spaced, the plant's gap
+    // sequence is a fixed literal).
+    "q_passage_dedup_chars" -> ((s, d) =>
+      Dedup.passageDedup(withPassagePlant(t(s, d, "documents")), k = 12,
+          preserveWhitespace = true)
         .select(col("doc_id"), col("text"),
           col("cut_tokens").cast("bigint").as("cut_tokens"))),
 
@@ -2195,22 +2228,30 @@ object SparkEntry {
     // duplicated windows, and string_agg over surviving tokens rebuilds
     // the text. Docs that never enter the cut path keep text verbatim.
     "q_passage_dedup" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, i, list_aggregate(t[i:i+11], 'string_agg', ' ') AS g " +
-        "FROM toks, unnest(range(1, len(t) - 10)) AS r(i) WHERE len(t) >= 12), " +
-        "dup AS (SELECT g, min(doc_id * 1000000000 + i) AS keeper FROM grams GROUP BY g HAVING count(*) >= 2), " +
-        "cuts AS (SELECT gr.doc_id, gr.i AS s FROM grams gr JOIN dup d ON gr.g = d.g " +
-        "WHERE gr.doc_id * 1000000000 + gr.i <> d.keeper), " +
-        "cutpos AS (SELECT DISTINCT doc_id, p FROM cuts, unnest(range(s, s + 12)) AS u(p)), " +
-        "pos AS (SELECT doc_id, i, t[i] AS tok FROM toks, unnest(range(1, len(t) + 1)) AS r(i)), " +
+      (PassageCutCte +
         "rebuilt AS (SELECT p.doc_id, " +
         "coalesce(string_agg(CASE WHEN cp.p IS NULL THEN p.tok END, ' ' ORDER BY p.i), '') AS text, " +
         "count(cp.p) AS cut_tokens " +
         "FROM pos p LEFT JOIN cutpos cp ON p.doc_id = cp.doc_id AND p.i = cp.p " +
         "GROUP BY p.doc_id HAVING count(cp.p) > 0) " +
-        "SELECT d.doc_id, CASE WHEN r.doc_id IS NOT NULL THEN r.text ELSE d.text END AS text, " +
-        "CAST(coalesce(r.cut_tokens, 0) AS BIGINT) AS cut_tokens " +
-        "FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"),
+        PassageCutSelect),
+
+    // char-faithful rebuild: concatenate each token's ORIGINAL preceding
+    // gap (natural rows are strictly single-spaced; the plant's gap
+    // sequence is the fixed literal below), then the token itself unless
+    // cut — whitespace survives verbatim, only cut tokens' chars vanish
+    "q_passage_dedup_chars" ->
+      (PassageCutCte +
+        "gapped AS (SELECT p.doc_id, p.i, p.tok, " +
+        "CASE WHEN p.doc_id >= 3000000 THEN list_extract(" +
+        "['', chr(9), '  ', ' ', chr(9) || ' ', ' ', '   ', ' ', chr(9), ' ', '  ', ' ', ' ', ' '], p.i) " +
+        "WHEN p.i = 1 THEN '' ELSE ' ' END AS gap FROM pos p), " +
+        "rebuilt AS (SELECT p.doc_id, " +
+        "coalesce(string_agg(p.gap || CASE WHEN cp.p IS NULL THEN p.tok ELSE '' END, '' ORDER BY p.i), '') AS text, " +
+        "count(cp.p) AS cut_tokens " +
+        "FROM gapped p LEFT JOIN cutpos cp ON p.doc_id = cp.doc_id AND p.i = cp.p " +
+        "GROUP BY p.doc_id HAVING count(cp.p) > 0) " +
+        PassageCutSelect),
 
     // stopword-vote language id in pure SQL (distinct-hit counts, argmax
     // with the same en>fr>de>es tie order as TextAnalysis.langId)
@@ -2566,6 +2607,34 @@ object SparkEntry {
   /** Exact all-pairs word-3-gram Jaccard at ≥0.6 — shared by the
     * q_ngram_jaccard oracle and (as the edge set) the q_dedup_groups one.
     */
+  /** Shared CTE prefix of the two passage-cut oracles: the extended corpus
+    * (documents ∪ the mixed-whitespace plant — chr(9)-built literal, gap
+    * sequence mirrored positionally by q_passage_dedup_chars), regex
+    * whitespace tokenization (empties filtered, so `t[i]` indexes token
+    * ORDINALS exactly like the Spark tokenizer), duplicated-gram
+    * directory, keeper, and the cut position set.
+    */
+  private val PassageCutCte: String =
+    "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 3000000, 'wsb01' || chr(9) || 'wsb02  wsb03 wsb04' || chr(9) || " +
+      "' wsb05 wsb06   wsb07 wsb08' || chr(9) || 'wsb09 wsb10  wsb11 wsb12 u' || " +
+      "CAST(doc_id AS VARCHAR) || 'x u' || CAST(doc_id AS VARCHAR) || 'y' " +
+      "FROM documents WHERE doc_id % 7 = 2), " +
+      "toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t FROM corpus), " +
+      "grams AS (SELECT doc_id, i, list_aggregate(t[i:i+11], 'string_agg', ' ') AS g " +
+      "FROM toks, unnest(range(1, len(t) - 10)) AS r(i) WHERE len(t) >= 12), " +
+      "dup AS (SELECT g, min(doc_id * 1000000000 + i) AS keeper FROM grams GROUP BY g HAVING count(*) >= 2), " +
+      "cuts AS (SELECT gr.doc_id, gr.i AS s FROM grams gr JOIN dup d ON gr.g = d.g " +
+      "WHERE gr.doc_id * 1000000000 + gr.i <> d.keeper), " +
+      "cutpos AS (SELECT DISTINCT doc_id, p FROM cuts, unnest(range(s, s + 12)) AS u(p)), " +
+      "pos AS (SELECT doc_id, i, t[i] AS tok FROM toks, unnest(range(1, len(t) + 1)) AS r(i)), "
+
+  /** Shared tail: untouched docs keep their text verbatim. */
+  private val PassageCutSelect: String =
+    "SELECT d.doc_id, CASE WHEN r.doc_id IS NOT NULL THEN r.text ELSE d.text END AS text, " +
+      "CAST(coalesce(r.cut_tokens, 0) AS BIGINT) AS cut_tokens " +
+      "FROM corpus d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"
+
   private val NgramJaccardSql: String =
     ("WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
       "g0 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM d, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS u(i)), " +

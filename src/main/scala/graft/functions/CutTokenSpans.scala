@@ -22,15 +22,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * ranges, start inclusive / fin exclusive, in ANY order, overlapping
   * freely (the caller feeds raw per-gram windows; the union of positions
   * is what's cut — no pre-merge needed). Output is
-  * `struct<text, cut_tokens>`: the SURVIVING tokens rejoined with single
-  * spaces (token-level semantics — inter-token whitespace is not
-  * preserved across a cut; documents with no cut spans should bypass this
-  * expression and keep their text verbatim), plus the number of tokens
-  * removed. Tokenization is the [[ChunkTokens]] ASCII-whitespace scan,
-  * identical to [[TokenGramHashes]] so positions line up by construction.
-  * Out-of-range span ends are clipped; a fully-cut document yields "".
+  * `struct<text, cut_tokens>` in one of TWO forms:
+  *
+  *  - `preserveWhitespace = false` (token-rejoin, the parity twin): the
+  *    SURVIVING tokens rejoined with single spaces — inter-token
+  *    whitespace is not preserved across a cut; documents with no cut
+  *    spans should bypass this expression and keep their text verbatim;
+  *  - `preserveWhitespace = true` (char-faithful): ONLY the cut tokens'
+  *    own characters are removed — every whitespace byte (tabs, runs,
+  *    leading/trailing) survives verbatim, so the untouched remainder of
+  *    the document is byte-identical to the original. Whitespace residue
+  *    remains where a passage was cut (the gap bytes around it), which is
+  *    the honest, reversible-audit form for a crawl pipeline.
+  *
+  * plus the number of tokens removed. Tokenization is the [[ChunkTokens]]
+  * ASCII-whitespace scan, identical to [[TokenGramHashes]] so positions
+  * line up by construction. Out-of-range span ends are clipped; a
+  * fully-cut document yields "" (token form) or its whitespace skeleton
+  * (char form).
   */
-case class CutTokenSpans(left: Expression, right: Expression)
+case class CutTokenSpans(left: Expression, right: Expression,
+                         preserveWhitespace: Boolean = false)
   extends BinaryExpression with BinaryLike[Expression] {
 
   override def dataType: DataType = StructType(Seq(
@@ -47,10 +59,12 @@ case class CutTokenSpans(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(text: Any, spans: Any): Any =
-    CutTokenSpans.compute(text.asInstanceOf[UTF8String], spans.asInstanceOf[ArrayData])
+    CutTokenSpans.compute(text.asInstanceOf[UTF8String],
+      spans.asInstanceOf[ArrayData], preserveWhitespace)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, sp) => s"graft.functions.CutTokenSpans.compute($t, $sp)")
+    defineCodeGen(ctx, ev,
+      (t, sp) => s"graft.functions.CutTokenSpans.compute($t, $sp, $preserveWhitespace)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CutTokenSpans =
     copy(left = newLeft, right = newRight)
@@ -65,7 +79,8 @@ object CutTokenSpans {
       ch == '\f' || ch == '\r'
 
   /** Referenced from generated code — must stay public. */
-  def compute(text: UTF8String, spans: ArrayData): InternalRow = {
+  def compute(text: UTF8String, spans: ArrayData,
+              preserveWhitespace: Boolean): InternalRow = {
     val s = text.toString
     val len = s.length
     // token boundaries, same scan as TokenGramHashes/ChunkTokens
@@ -93,18 +108,35 @@ object CutTokenSpans {
     }
     val sb = new java.lang.StringBuilder(len)
     var nCut = 0
-    var t = 0
-    while (t < n) {
-      if (cut(t)) nCut += 1
-      else {
-        if (sb.length > 0) sb.append(' ')
-        sb.append(s, starts.get(t), ends.get(t))
+    if (preserveWhitespace) {
+      // char-faithful: emit every inter-token gap (and the leading/trailing
+      // whitespace) verbatim; skip only the cut tokens' own characters
+      var prevEnd = 0
+      var t = 0
+      while (t < n) {
+        sb.append(s, prevEnd, starts.get(t))
+        if (cut(t)) nCut += 1
+        else sb.append(s, starts.get(t), ends.get(t))
+        prevEnd = ends.get(t)
+        t += 1
       }
-      t += 1
+      sb.append(s, prevEnd, len)
+    } else {
+      var t = 0
+      while (t < n) {
+        if (cut(t)) nCut += 1
+        else {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(s, starts.get(t), ends.get(t))
+        }
+        t += 1
+      }
     }
     new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), nCut))
   }
 
-  def cutTokenSpans(text: Column, spans: Column): Column =
-    shims.column(CutTokenSpans(shims.expression(text), shims.expression(spans)))
+  def cutTokenSpans(text: Column, spans: Column,
+                    preserveWhitespace: Boolean = false): Column =
+    shims.column(CutTokenSpans(shims.expression(text), shims.expression(spans),
+      preserveWhitespace))
 }

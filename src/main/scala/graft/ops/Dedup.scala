@@ -518,8 +518,17 @@ object Dedup {
     * row once on the unique id, skew-free by construction. Two gram passes
     * + one corpus join — no all-pairs stage anywhere.
     */
+  /** `preserveWhitespace = true` switches the reassembly to the
+    * CHAR-FAITHFUL form: only the cut tokens' own characters are removed,
+    * every whitespace byte survives verbatim — survivors are
+    * byte-identical to the original outside the cut (the token-rejoin
+    * default stays as the cross-engine parity twin; the two differ
+    * exactly on documents with non-single-space whitespace, see
+    * [[graft.functions.CutTokenSpans]]).
+    */
   def passageDedup(df: DataFrame, id: String = "doc_id", text: String = "text",
-                   k: Int = 12, keepOne: Boolean = true): DataFrame = {
+                   k: Int = 12, keepOne: Boolean = true,
+                   preserveWhitespace: Boolean = false): DataFrame = {
     val grams = df.select(col(id).as("__id"),
         explode(graft.functions.TokenGramHashes.tokenGramHashes(col(text), k)).as("__g"))
       .select(col("__id"), col("__g.hash").as("__h"), col("__g.pos").as("__p"))
@@ -534,7 +543,8 @@ object Dedup {
     val spans = cutOcc.groupBy("__id")
       .agg(collect_list(struct(col("__p").as("start"), (col("__p") + k).as("fin"))).as("__spans"))
     val joined = df.join(spans, df(id) === spans("__id"), "left")
-    val res = graft.functions.CutTokenSpans.cutTokenSpans(col(text), col("__spans"))
+    val res = graft.functions.CutTokenSpans.cutTokenSpans(col(text), col("__spans"),
+      preserveWhitespace)
     joined
       .withColumn("__res", res) // null-safe: no spans → null → coalesce keeps text
       .withColumn(text, coalesce(col("__res.text"), col(text)))

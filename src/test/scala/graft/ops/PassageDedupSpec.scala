@@ -67,6 +67,39 @@ class PassageDedupSpec extends SparkTestBase {
       s"kept ${counts.getLong(0)} + cut ${counts.getLong(1)} != $before")
   }
 
+  test("preserveWhitespace: cuts are char-faithful — all whitespace bytes survive, the two forms differ") {
+    val session = spark
+    import session.implicits._
+    // mixed whitespace: tabs, double spaces, leading/trailing — the shared
+    // passage "c d e" is cut from doc 21 (keeper 20); every whitespace byte
+    // of the survivors must remain, the cut tokens' own chars vanish
+    val df = Seq(
+      20L -> "a b c d e f",             // keeper occurrence of "c d e"
+      21L -> " x\ty  c d\te z ",        // shares "c d e" → chars of c,d,e cut
+      22L -> "p\t\tq  r"                // untouched: verbatim incl. tabs
+    ).toDF("doc_id", "text")
+    val chars = Dedup.passageDedup(df, k = 3, preserveWhitespace = true)
+      .select("doc_id", "text", "cut_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(chars(20L) == ("a b c d e f", 0))
+    // " x\ty  c d\te z " minus the c/d/e token chars, gaps verbatim
+    assert(chars(21L) == (" x\ty   \t z ", 3), chars(21L).toString)
+    assert(chars(22L) == ("p\t\tq  r", 0))
+    // the token-rejoin twin normalizes the survivors' whitespace — the two
+    // forms genuinely differ on this plant
+    val toks = Dedup.passageDedup(df, k = 3)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(toks(21L) == "x y z")
+    assert(toks(21L) != chars(21L)._1)
+    // and on strictly single-spaced text the char form leaves the residue
+    // of the cut (double space), the token form closes it
+    val sp = Seq(30L -> "a b c d e f", 31L -> "w c d e v").toDF("doc_id", "text")
+    val c31 = Dedup.passageDedup(sp, k = 3, preserveWhitespace = true)
+      .filter(col("doc_id") === 31L).select("text").collect()(0).getString(0)
+    assert(c31 == "w    v", s"'$c31'")
+  }
+
   test("original non-text columns pass through; untouched docs keep text verbatim") {
     val session = spark
     import session.implicits._
