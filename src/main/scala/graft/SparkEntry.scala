@@ -267,6 +267,38 @@ object SparkEntry {
           "text", Map("src1" -> 1L, "src2" -> 1L, "src3" -> 4L), 3000L)
         .select("doc_id", "source")),
 
+    // --- temperature-scaled mixture: PLANTED integer-power totals (the
+    // i-th sorted source gets 4^(i+5)) make every alpha ∈ {0, 0.5, 1}
+    // power an exact double and every scaled part an exact power of two
+    // (scale 2^20) — far from any rounding boundary, so the driver-side
+    // pow is bit-stable cross-engine (exactness guard in
+    // MixtureSampleSpec) ------------------------------------------------
+    "q_temperature_parts" -> ((s, d) => {
+      import s.implicits._
+      val srcs = t(s, d, "documents").select("source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val totals = srcs.zipWithIndex
+        .map { case (src, i) => src -> (1L << (2 * (i + 5))) }.toMap
+      val p0 = graft.ops.Sampling.temperatureParts(totals, 0.0, 1048576L)
+      val ph = graft.ops.Sampling.temperatureParts(totals, 0.5, 1048576L)
+      val p1 = graft.ops.Sampling.temperatureParts(totals, 1.0, 1048576L)
+      srcs.toSeq.map(src => (src, totals(src), p0(src), ph(src), p1(src)))
+        .toDF("source", "planted_total", "parts_a0", "parts_a05", "parts_a1")
+    }),
+
+    // the end-to-end keep-set: alpha=0.5 flattened parts → mixturePlan →
+    // md5-bucket stratified sample, all mirrored in SQL
+    "q_temperature_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+      val srcs = docs.select("source").distinct().collect().map(_.getString(0)).sorted
+      val totals = srcs.zipWithIndex
+        .map { case (src, i) => src -> (1L << (2 * (i + 5))) }.toMap
+      val parts = graft.ops.Sampling.temperatureParts(totals, 0.5, 1048576L)
+      graft.ops.Sampling.mixtureSample(docs, "doc_id", "source", "text",
+          parts, tokenBudget = 10000L)
+        .select("doc_id", "source")
+    }),
+
     // --- benchmark decontamination: corpus docs sharing word n-grams with
     // an eval slice (GPT-3-style overlap filter; broadcast benchmark side).
     // n=4 on this template-heavy fixture → a non-trivial contaminated set
@@ -1316,6 +1348,23 @@ object SparkEntry {
         .toDF("n", "min_v", "max_v")
     }),
 
+    // per-SOURCE KLL merge (the grouped drift-baseline path): per-(source,
+    // synthetic-day) sketches merged per source WITHOUT rescanning rows —
+    // merged n/min/max are exact per source, pinned against the direct
+    // DuckDB group aggregate
+    "q_kll_merge_by_source" -> ((s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "documents")
+        .groupBy(col("source"), (col("doc_id") % 5).as("day"))
+        .agg(graft.stats.KllSketchAgg.kll_sketch(col("n_chars")).as("kll"))
+      graft.stats.DriftStats.mergedBaselinesBySource(daily)
+        .collect() // one row per source — scalar-sized
+        .map { r =>
+          val sk = graft.stats.DriftStats.sketchOf(r.getAs[Array[Byte]](1))
+          (r.getString(0), sk.getN, sk.getMinItem.toLong, sk.getMaxItem.toLong)
+        }.toSeq.toDF("source", "n", "min_v", "max_v")
+    }),
+
     // per-SOURCE KS (grouped twin; the cumulative window partitions by
     // source — no global sort anywhere)
     "q_ks_by_source" -> ((s, d) => {
@@ -2049,6 +2098,29 @@ object SparkEntry {
         "SELECT d.doc_id, d.source FROM documents d JOIN pl USING (source) " +
         "WHERE b = 256 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < lpad(lower(hex(b)), 2, '0')"),
 
+    // temperature parts: planted 4^(i+5) totals (BIGINT shift, exact),
+    // parts = floor(pow-ratio * 2^20 + 0.5) — Math.round mirrored as
+    // floor(x + 0.5); every result is an exact power of two by plant
+    "q_temperature_parts" ->
+      (TemperaturePartsCte +
+        "SELECT source, t AS planted_total, CAST(1048576 AS BIGINT) AS parts_a0, " +
+        "CAST(floor(pow(CAST(t AS DOUBLE), 0.5) / pow(CAST(tmax AS DOUBLE), 0.5) * 1048576 + 0.5) AS BIGINT) AS parts_a05, " +
+        "CAST(floor(CAST(t AS DOUBLE) / CAST(tmax AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS parts_a1 " +
+        "FROM pl, mx"),
+
+    // the alpha=0.5 keep-set end-to-end: parts → integer mixture plan →
+    // md5-bucket stratified filter (the q_mixture_sample contract)
+    "q_temperature_mix" ->
+      (TemperaturePartsCte +
+        ", parts AS (SELECT source, CAST(floor(pow(CAST(t AS DOUBLE), 0.5) / pow(CAST(tmax AS DOUBLE), 0.5) * 1048576 + 0.5) AS BIGINT) AS p FROM pl, mx), " +
+        "sump AS (SELECT sum(p) AS sp FROM parts), " +
+        "tc AS (SELECT source, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt FROM documents), " +
+        "tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS total FROM tc GROUP BY source), " +
+        "tgt AS (SELECT t.source, t.total, (10000 * coalesce(p.p, 0)) // sp AS target FROM tot t LEFT JOIN parts p USING (source), sump), " +
+        "bk AS (SELECT source, CASE WHEN total <= 0 THEN 0 ELSE least(256, (target * 256) // total) END AS b FROM tgt) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN bk USING (source) " +
+        "WHERE b = 256 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < lpad(lower(hex(b)), 2, '0')"),
+
     "q_decontaminate" ->
       ("WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
         "g0 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM d, UNNEST(generate_series(1, greatest(len(w)-3, 1))) AS u(i)), " +
@@ -2378,6 +2450,12 @@ object SparkEntry {
       ("SELECT count(n_chars) AS n, CAST(min(n_chars) AS BIGINT) AS min_v, " +
         "CAST(max(n_chars) AS BIGINT) AS max_v FROM documents"),
 
+    // the grouped form: per-source merge of per-(source, day) sketches —
+    // n/min/max exact per source
+    "q_kll_merge_by_source" ->
+      ("SELECT source, count(n_chars) AS n, CAST(min(n_chars) AS BIGINT) AS min_v, " +
+        "CAST(max(n_chars) AS BIGINT) AS max_v FROM documents GROUP BY source"),
+
     // drift checks: same side construction, same grouping, same IEEE
     // arithmetic tree as the Spark builders (cast-to-double before every
     // division; ln on the p/q ratio), quantized at 1e6
@@ -2607,6 +2685,16 @@ object SparkEntry {
   /** Exact all-pairs word-3-gram Jaccard at ≥0.6 — shared by the
     * q_ngram_jaccard oracle and (as the edge set) the q_dedup_groups one.
     */
+  /** Shared CTE prefix of the temperature-mix oracles: sorted-source
+    * index → planted 4^(i+5) total (BIGINT shift — never pow, so the
+    * totals are exact), plus the max.
+    */
+  private val TemperaturePartsCte: String =
+    "WITH srcs AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS i " +
+      "FROM (SELECT DISTINCT source FROM documents)), " +
+      "pl AS (SELECT source, (CAST(1 AS BIGINT) << (2 * (i + 5))) AS t FROM srcs), " +
+      "mx AS (SELECT max(t) AS tmax FROM pl) "
+
   /** Shared CTE prefix of the two passage-cut oracles: the extended corpus
     * (documents ∪ the mixed-whitespace plant — chr(9)-built literal, gap
     * sequence mirrored positionally by q_passage_dedup_chars), regex

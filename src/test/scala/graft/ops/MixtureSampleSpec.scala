@@ -98,4 +98,28 @@ class MixtureSampleSpec extends SparkTestBase {
     assert(natural("A") == 1000L && natural("B") == 100L)
     assert(flat("B") > natural("B") && flat("A") < natural("A"))
   }
+
+  test("planted power-of-4 totals make every alpha part an exact power of two (oracle exactness guard)") {
+    // the q_temperature_parts/q_temperature_mix plant: totals 4^(i+5),
+    // scale 2^20 — guards the ONLY floating-point step of the oracle on
+    // this JVM: pow must land each part exactly on 2^(20-k) so the
+    // floor(x+0.5) rounding can never diverge from DuckDB's
+    val n = 20
+    val totals = (0 until n).map(i => s"s$i" -> (1L << (2 * (i + 5)))).toMap
+    val ph = Sampling.temperatureParts(totals, 0.5, 1048576L)
+    val p1 = Sampling.temperatureParts(totals, 1.0, 1048576L)
+    val p0 = Sampling.temperatureParts(totals, 0.0, 1048576L)
+    (0 until n).foreach { i =>
+      val k = (n - 1) - i
+      assert(ph(s"s$i") == (1L << 20) / (1L << k), s"a=0.5 i=$i: ${ph(s"s$i")}")
+      val exact1 = math.round(math.pow(2.0, (20 - 2 * k).toDouble))
+      assert(p1(s"s$i") == exact1, s"a=1 i=$i: ${p1(s"s$i")} vs $exact1")
+      assert(p0(s"s$i") == 1048576L)
+    }
+    // the JVM-pow identities the plant relies on
+    totals.values.foreach { t =>
+      assert(math.pow(t.toDouble, 0.5) == math.sqrt(t.toDouble))
+      assert(math.pow(t.toDouble, 1.0) == t.toDouble)
+    }
+  }
 }

@@ -70,6 +70,47 @@ class KllMergeSpec extends SparkTestBase {
     assert(DriftStats.ksStatistic(newDay, newDay) < 1e-9)
   }
 
+  test("per-source merged baselines: exact n/min/max per source, quantiles within KLL error") {
+    // 3 sources with DIFFERENT distributions so a global merge could never
+    // stand in for the per-source baselines
+    val df = spark.range(300000).select(
+      concat(lit("s"), (col("id") % 3).cast("string")).as("source"),
+      (col("id") % 7).as("day"), // 7 ⊥ 3: every (source, day) combo occurs
+      ((col("id") % 3) * 100000 + col("id") % 1000).cast("double").as("v"))
+      .repartition(8)
+    val daily = df.groupBy("source", "day")
+      .agg(KllSketchAgg.kll_sketch(col("v")).as("kll"))
+    assert(daily.count() == 21)
+    val merged = DriftStats.mergedBaselinesBySource(daily)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val direct = df.groupBy("source").agg(KllSketchAgg.kll_sketch(col("v")).as("kll"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(merged.keySet == Set("s0", "s1", "s2"))
+    merged.foreach { case (src, bytes) =>
+      val m = DriftStats.sketchOf(bytes)
+      val w = DriftStats.sketchOf(direct(src))
+      val base = src.stripPrefix("s").toDouble * 100000
+      assert(m.getN == 100000L && m.getN == w.getN, src)
+      // 1000 ⊥ 3, so every source hits its band's exact ends
+      assert(m.getMinItem == base && m.getMaxItem == base + 999, src)
+      assert(m.getMinItem == w.getMinItem && m.getMaxItem == w.getMaxItem, src)
+      Seq(0.1, 0.5, 0.9).foreach { q =>
+        val dRank = math.abs(w.getRank(m.getQuantile(q)) - q)
+        assert(dRank < 0.04, s"$src q=$q rank off by $dRank")
+      }
+    }
+
+    // driftBySource: same-source baseline ≈ no drift; a source missing a
+    // baseline (or a baseline with no current) alarms with ks = 1.0
+    val cur = df.filter(col("source") =!= "s2")
+      .groupBy("source").agg(KllSketchAgg.kll_sketch(col("v")).as("kll"))
+    val baselines = DriftStats.mergedBaselinesBySource(daily)
+    val verdicts = DriftStats.driftBySource(cur, baselines)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(verdicts("s0") < 0.05 && verdicts("s1") < 0.05, verdicts.toString)
+    assert(verdicts("s2") == 1.0, verdicts.toString)
+  }
+
   test("ksExact auto-bin guard engages above maxDistinct and stays accurate") {
     // 200k distinct uniform values per side, b shifted by half the range:
     // true KS = 0.5
