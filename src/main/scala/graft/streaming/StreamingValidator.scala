@@ -196,6 +196,40 @@ object StreamingValidator {
     fingerprintDedupStream(filtered, "clean", eventTime, delay)
   }
 
+  /** Streaming twin of [[graft.ops.Sampling.leakSafeSplit]]: label each
+    * ingested doc train/heldout by its LEAKAGE-UNIT group (domain, canonical
+    * URL, dup-cluster id) through the shared md5-bucket contract — the
+    * whole group lands on one side, and because the label is a pure
+    * row-local function of the group key it is stateless, append-legal,
+    * and IDENTICAL to the batch split on the same rows: a doc routed at
+    * ingestion lands exactly where a later batch backfill would put it,
+    * so the heldout set never leaks through the batch/stream seam.
+    * NULL group keys route to "train" (unknown leakage unit must never
+    * contaminate heldout). Batch≡stream parity asserted in
+    * StreamingValidatorSpec.
+    */
+  def leakSafeSplitStream(docs: DataFrame, group: String, heldout256: Int,
+                          splitCol: String = "split"): DataFrame =
+    graft.ops.Sampling.leakSafeSplit(docs, group, heldout256, splitCol)
+
+  /** Streaming twin of [[graft.ops.Sampling.mixtureSample]]: apply a
+    * mixture plan's per-source keep rates to an ingestion stream through
+    * the shared md5-bucket contract ([[graft.ops.Sampling.md5SampleStratified]]).
+    * The PLAN is an input, not computed here — the totals aggregate that
+    * derives it is an all-time corpus statistic (not append-legal), so the
+    * batch side plans over history ([[graft.ops.Sampling.mixturePlan]],
+    * optionally through [[graft.ops.Sampling.temperatureParts]]) and the
+    * stream enforces it row-locally: stateless, deterministic, and a doc
+    * admitted at ingestion is exactly the doc a batch re-run of the same
+    * plan would keep. Sources absent from the plan drop (rate 0).
+    * Batch≡stream kept-set parity asserted in StreamingValidatorSpec.
+    */
+  def mixtureSampleStream(docs: DataFrame, plan: Map[String, Int],
+                          key: String = "doc_id",
+                          source: String = "source"): DataFrame =
+    graft.ops.Sampling.md5SampleStratified(docs, key, source, plan,
+      defaultBuckets256 = 0)
+
   /** Streaming twin of the batch quality-classifier scorer
     * ([[graft.ops.QualityClassifier]]): score documents on ingestion with
     * a model trained offline on the batch side. The D-bucket model rides

@@ -487,6 +487,76 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming leak-safe split: labels match the batch split; groups stay one-sided; null group -> train") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // many docs per group so a straddling group would be caught; one null
+    val arrivals = (1L to 60L).map(i => (i, Option(s"domain${i % 12}.com"))) :+
+      (99L, Option.empty[String])
+    val stream = MemoryStream[(Long, Option[String])]
+    val out = StreamingValidator.leakSafeSplitStream(
+      stream.toDF().toDF("doc_id", "grp"), "grp", heldout256 = 96)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sv_leak")
+      .outputMode("append").start()
+    try {
+      stream.addData(arrivals.take(25): _*)
+      q.processAllAvailable()
+      stream.addData(arrivals.drop(25): _*) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("sv_leak").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val batch = graft.ops.Sampling.leakSafeSplit(
+          arrivals.toDF("doc_id", "grp"), "grp", 96)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed(99L) == "train", "null group must route to train")
+      assert(streamed.values.toSet == Set("train", "heldout"),
+        s"fixture not splitting: ${streamed.values.toSet}")
+      // one-sidedness: every group's docs share a label — and a doc that
+      // arrived in batch 1 agrees with its groupmates from batch 2
+      val sides = arrivals.filter(_._2.isDefined)
+        .groupBy(_._2.get).view.mapValues(_.map(a => streamed(a._1)).toSet)
+      assert(sides.values.forall(_.size == 1), sides.toMap.toString)
+    } finally q.stop()
+  }
+
+  test("streaming mixture sampling: kept set under a batch-planned mixture matches the batch sample") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val arrivals = (1L to 80L).map(i =>
+      (i, s"src${i % 4}", Seq.fill((i % 5 + 1).toInt)("tok").mkString(" ")))
+    val hist = arrivals.toDF("doc_id", "source", "text")
+    // the batch side plans over history (temperature-flattened), the
+    // stream enforces the plan row-locally
+    val totals = graft.ops.Sampling.mixturePlan(hist, "source", "text",
+        Map("src0" -> 1L, "src1" -> 1L, "src2" -> 1L, "src3" -> 1L), 120L)
+      .collect().map(r => r.getString(0) -> r.getLong(3).toInt).toMap
+    assert(totals.values.exists(b => b > 0 && b < 256),
+      s"fixture must downsample at least one source: $totals")
+    val stream = MemoryStream[(Long, String, String)]
+    val out = StreamingValidator.mixtureSampleStream(
+      stream.toDF().toDF("doc_id", "source", "text"), totals)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sv_mix")
+      .outputMode("append").start()
+    try {
+      stream.addData(arrivals.take(37): _*)
+      q.processAllAvailable()
+      stream.addData(arrivals.drop(37): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sv_mix").collect().map(_.getLong(0)).toSet
+      val batch = graft.ops.Sampling.md5SampleStratified(
+          hist, "doc_id", "source", totals, 0)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.nonEmpty && streamed.size < arrivals.size,
+        s"fixture kept ${streamed.size}/${arrivals.size} — nothing sampled out")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: per-window bin counts match the batch twin; outliers clamp to edge bins") {
     val session = spark
     import session.implicits._
