@@ -1365,6 +1365,22 @@ object SparkEntry {
         }.toSeq.toDF("source", "n", "min_v", "max_v")
     }),
 
+    // mergeable per-part column profiles merged into the corpus profile
+    // WITHOUT rescanning rows (the stats twin of q_kll_merge): parts are
+    // synthetic days (doc_id % 5); every compared field — counts, typed
+    // min/max channels, integral sum — is EXACT under merge and pinned
+    // against DuckDB's direct whole-corpus aggregate. The sketch plane
+    // (hll blob / distinct_est) is approximate and spec-bounded instead
+    // (MergeableProfileSpec)
+    "q_profile_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("day", col("doc_id") % 5)
+      val parts = graft.stats.ColumnStats.mergeableProfile(
+        docs, "day", Seq("doc_id", "n_chars", "lang", "source"))
+      graft.stats.ColumnStats.mergeProfiles(parts)
+        .select(col("column"), col("n"), col("nulls"), col("min_d"),
+          col("max_d"), col("min_s"), col("max_s"), col("sum_l"))
+    }),
+
     // per-SOURCE KS (grouped twin; the cumulative window partitions by
     // source — no global sort anywhere)
     "q_ks_by_source" -> ((s, d) => {
@@ -2449,6 +2465,23 @@ object SparkEntry {
     "q_kll_merge" ->
       ("SELECT count(n_chars) AS n, CAST(min(n_chars) AS BIGINT) AS min_v, " +
         "CAST(max(n_chars) AS BIGINT) AS max_v FROM documents"),
+
+    // mergeable profile: the merged per-day rows must equal the direct
+    // whole-corpus aggregate on every exact channel; numeric columns ride
+    // the double min/max + long sum channels, strings the varchar channel
+    "q_profile_merge" ->
+      Seq("doc_id" -> true, "n_chars" -> true, "lang" -> false,
+          "source" -> false).map { case (c, isNum) =>
+        val minMax =
+          if (isNum) s"CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d, " +
+            "CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s, " +
+            s"CAST(sum($c) AS BIGINT) AS sum_l"
+          else "CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d, " +
+            s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s, " +
+            "CAST(NULL AS BIGINT) AS sum_l"
+        s"""SELECT '$c' AS "column", count($c) AS n, """ +
+          s"count(CASE WHEN $c IS NULL THEN 1 END) AS nulls, $minMax FROM documents"
+      }.mkString(" UNION ALL "),
 
     // the grouped form: per-source merge of per-(source, day) sketches —
     // n/min/max exact per source

@@ -140,6 +140,100 @@ object ColumnStats {
     }
     out.toDF("column", "count", "nulls", "approxDistinct", "min", "max", "kll")
   }
+
+  /** MERGEABLE per-part column profile — the stats twin of the KLL-merge
+    * drift path ([[KllMergeAgg]]): one row per (part, column) whose every
+    * field either merges EXACTLY or sketch-merges, so snapshot N+1's
+    * corpus profile is yesterday's stored profile rows + today's
+    * increment's rows, never a rescan of history. Per (part, column):
+    *
+    *  - `n` / `nulls` — exact counts (add under merge);
+    *  - `min_d`/`max_d` (numeric columns, as double) and `min_s`/`max_s`
+    *    (everything else, as string) — TWO typed channels because typed
+    *    min/max folds exactly in its own domain while a single string
+    *    channel would merge `"10" < "9"`. Integral values beyond 2^53
+    *    lose double exactness — the same contract as the KLL value plane;
+    *  - `sum_l` (integral columns, exact long addition) / `sum_d`
+    *    (fractional, double) — the mean at any merge granularity is
+    *    `sum/n` without revisiting rows;
+    *  - `hll` — a DataSketches HLL blob (`hll_sketch_agg` over the
+    *    string-cast value) replacing [[profileByGroup]]'s NON-mergeable
+    *    `approx_count_distinct` scalar: two scalar estimates cannot be
+    *    combined, two sketches union losslessly (register-wise max).
+    *
+    * ONE groupBy(part) over the corpus (map-side combined); the wide
+    * group-count-sized result is localCheckpoint-materialized before the
+    * per-column melt (the re-evaluated-subtree trap, see
+    * [[profileByGroup]]).
+    */
+  def mergeableProfile(df: DataFrame, partCol: String, statCols: Seq[String],
+                       lgK: Int = 12): DataFrame = {
+    require(statCols.nonEmpty)
+    import org.apache.spark.sql.types._
+    val fields = statCols.map(n => df.schema(n))
+    val aggs: Seq[Column] = fields.flatMap { f =>
+      val c = col(f.name)
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      val isIntegral = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      Seq(
+        count(c).as(s"${f.name}__n"),
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        (if (isNum) min(c).cast("double") else lit(null).cast("double"))
+          .as(s"${f.name}__min_d"),
+        (if (isNum) max(c).cast("double") else lit(null).cast("double"))
+          .as(s"${f.name}__max_d"),
+        (if (isNum) lit(null).cast("string") else min(c).cast("string"))
+          .as(s"${f.name}__min_s"),
+        (if (isNum) lit(null).cast("string") else max(c).cast("string"))
+          .as(s"${f.name}__max_s"),
+        (if (isIntegral) sum(c.cast("long")) else lit(null).cast("long"))
+          .as(s"${f.name}__sum_l"),
+        (if (isNum && !isIntegral) sum(c.cast("double"))
+         else lit(null).cast("double")).as(s"${f.name}__sum_d"),
+        hll_sketch_agg(c.cast("string"), lgK).as(s"${f.name}__hll"))
+    }
+    val wide = df.groupBy(col(partCol).as("part"))
+      .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    statCols.map { n =>
+      wide.select(col("part"), lit(n).as("column"),
+        col(s"${n}__n").as("n"), col(s"${n}__nulls").as("nulls"),
+        col(s"${n}__min_d").as("min_d"), col(s"${n}__max_d").as("max_d"),
+        col(s"${n}__min_s").as("min_s"), col(s"${n}__max_s").as("max_s"),
+        col(s"${n}__sum_l").as("sum_l"), col(s"${n}__sum_d").as("sum_d"),
+        col(s"${n}__hll").as("hll"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Merge [[mergeableProfile]] rows (any subset of parts — days, buckets,
+    * sources, prior snapshots) into one profile row per column WITHOUT
+    * touching raw data: counts and sums add, min/max fold in their typed
+    * channels, HLL blobs union (`hll_union_agg`), and `distinct_est` is
+    * the DataSketches estimate of the merged sketch, rounded to long. The
+    * merged `hll` blob is kept so merged profiles RE-merge; the exact
+    * channels are merge-shape-invariant, while `distinct_est` may shift a
+    * hair with merge shape (the union gadget's HLL_4/HLL_8 mode
+    * transitions) but stays within HLL error — MergeableProfileSpec pins
+    * both properties. The input is
+    * parts×columns rows — metadata-sized; this never scans the corpus.
+    *
+    * Exactness contract (oracle `q_profile_merge` pins it): `n`, `nulls`,
+    * `min_*`, `max_*`, `sum_l` are EXACT under merge — equal to a direct
+    * whole-corpus aggregate; only `distinct_est` (and float `sum_d`,
+    * addition-order-dependent) is approximate (HllProfileSpec bounds it
+    * against the exact distinct count).
+    */
+  def mergeProfiles(parts: DataFrame): DataFrame =
+    parts.groupBy(col("column"))
+      .agg(sum("n").as("n"), sum("nulls").as("nulls"),
+        min("min_d").as("min_d"), max("max_d").as("max_d"),
+        min("min_s").as("min_s"), max("max_s").as("max_s"),
+        sum("sum_l").as("sum_l"), sum("sum_d").as("sum_d"),
+        hll_union_agg(col("hll"), true).as("hll"))
+      .withColumn("distinct_est",
+        round(hll_sketch_estimate(col("hll"))).cast("long"))
 }
 
 /** KS / PSI distribution-drift comparison between two KLL sketches
