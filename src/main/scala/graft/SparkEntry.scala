@@ -1275,6 +1275,37 @@ object SparkEntry {
         ("source", "is_in", "src1|src2|src3"),
         ("n_chars", "range", "[10,400]")))),
 
+    // approx-unique verification (the sketch-sized escape hatch for the
+    // expand-based exact countDistinct): statuses on planted data sit FAR
+    // from the 3·rsd slack boundary on both sides — doc_id truly unique
+    // (excess 0), source massively duplicated (excess ≈ n−20) — so the
+    // estimator's decision provably matches the exact decision DuckDB
+    // mirrors; the HLL excess ESTIMATE itself is engine-specific, dropped
+    "q_verify_approx_unique" -> ((s, d) =>
+      graft.stats.Suggest.verifyConstraints(t(s, d, "documents"), Seq(
+          ("doc_id", "unique", ""),
+          ("source", "unique", "")), approxUnique = true)
+        .select(col("column"), col("kind"), col("status"))),
+
+    // heavy hitters via MERGEABLE frequent-items sketches: per-day blobs
+    // merged (never rescanning history), read under NO_FALSE_NEGATIVES —
+    // 20 sources ≪ the 256-counter map, so the sketch never purges and
+    // every estimate IS the exact group count DuckDB computes
+    "q_freq_items" -> ((s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "documents")
+        .groupBy((col("doc_id") % 5).as("day"))
+        .agg(graft.stats.FreqSketchAgg.freq_sketch(col("source"), 256).as("freq"))
+      val bytes = daily.agg(graft.stats.FreqMergeAgg.freq_merge(col("freq"), 256))
+        .collect()(0).getAs[Array[Byte]](0)
+      val sk = graft.stats.FreqStats.sketchOf(bytes)
+      require(sk.getMaximumError == 0L, "expected exact regime")
+      sk.getFrequentItems(
+          org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+        .toSeq.map(r => (r.getItem, r.getEstimate))
+        .toDF("item", "n")
+    }),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -2187,6 +2218,24 @@ object SparkEntry {
       ).mkString(" UNION ALL ")
       s"""SELECT "column", kind, detail, violations, CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status FROM ($inner)"""
     },
+
+    // approx-unique verification: the exact-count decision with the SAME
+    // 3·rsd slack (rsd = 0.01); plants sit far from the boundary so the
+    // HLL decision and the exact decision provably coincide
+    "q_verify_approx_unique" -> {
+      val inner = Seq("doc_id", "source").map { c =>
+        s"SELECT '$c' AS \"column\", 'unique' AS kind, " +
+          s"CASE WHEN greatest(count($c) - count(DISTINCT $c), 0) <= " +
+          s"CAST(ceil(0.03 * count($c)) AS BIGINT) THEN 'pass' ELSE 'fail' END AS status " +
+          "FROM documents"
+      }.mkString(" UNION ALL ")
+      s"SELECT * FROM ($inner)"
+    },
+
+    // merged frequent-items sketches in the exact (never-purged) regime:
+    // estimates are the true group counts
+    "q_freq_items" ->
+      "SELECT source AS item, count(*) AS n FROM documents GROUP BY source",
 
     // constraint suggestion: per-column rule mirror (not_null / unique /
     // is_in with the sorted '|'-joined value set / numeric range) — the

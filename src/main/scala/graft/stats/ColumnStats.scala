@@ -169,9 +169,22 @@ object ColumnStats {
   def mergeableProfile(df: DataFrame, partCol: String, statCols: Seq[String],
                        lgK: Int = 12): DataFrame = {
     require(statCols.nonEmpty)
+    val aggs = profileChannels(df, statCols, lgK)
+    val wide = df.groupBy(col(partCol).as("part"))
+      .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    meltProfile(wide, statCols)
+  }
+
+  /** The per-column channel list behind [[mergeableProfile]] — SHARED with
+    * the streaming twin
+    * ([[graft.streaming.StreamingValidator.mergeableProfileStream]]) so
+    * the two sides cannot fork. Every channel is a streaming-legal
+    * aggregate (count / typed min / max / sum / HLL sketch).
+    */
+  def profileChannels(df: DataFrame, statCols: Seq[String],
+                      lgK: Int = 12): Seq[Column] = {
     import org.apache.spark.sql.types._
-    val fields = statCols.map(n => df.schema(n))
-    val aggs: Seq[Column] = fields.flatMap { f =>
+    statCols.map(n => df.schema(n)).flatMap { f =>
       val c = col(f.name)
       val isNum = f.dataType.isInstanceOf[NumericType]
       val isIntegral = f.dataType match {
@@ -195,8 +208,15 @@ object ColumnStats {
          else lit(null).cast("double")).as(s"${f.name}__sum_d"),
         hll_sketch_agg(c.cast("string"), lgK).as(s"${f.name}__hll"))
     }
-    val wide = df.groupBy(col(partCol).as("part"))
-      .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+  }
+
+  /** Melt one WIDE [[profileChannels]] row per part into the long
+    * (part, column, channels…) form [[mergeProfiles]] consumes. Batch-side
+    * only — the streaming twin SINKS wide rows and melts them at read
+    * time (melting is a per-column union the streaming planner would
+    * re-execute per branch).
+    */
+  def meltProfile(wide: DataFrame, statCols: Seq[String]): DataFrame =
     statCols.map { n =>
       wide.select(col("part"), lit(n).as("column"),
         col(s"${n}__n").as("n"), col(s"${n}__nulls").as("nulls"),
@@ -205,7 +225,6 @@ object ColumnStats {
         col(s"${n}__sum_l").as("sum_l"), col(s"${n}__sum_d").as("sum_d"),
         col(s"${n}__hll").as("hll"))
     }.reduce(_ unionByName _)
-  }
 
   /** Merge [[mergeableProfile]] rows (any subset of parts — days, buckets,
     * sources, prior snapshots) into one profile row per column WITHOUT

@@ -94,37 +94,24 @@ object Suggest {
     out.toDF("column", "kind", "detail")
   }
 
-  /** Verify declared (or [[suggestConstraints]]-suggested) constraints
-    * against a frame — the closing half of the suggest→verify loop, and
-    * the tabular twin of the span-based check engine: one suggestion-
-    * vocabulary row per constraint in, one row per constraint out with
-    * its exact violation count and pass/fail status.
-    *
-    * ONE wide aggregate over the corpus computes every count — violations
-    * are `sum(when(...))` columns side by side in the same scan, `unique`
-    * adds a count-distinct leg (plan the exact form; at 10^12 rows declare
-    * uniqueness on the key you can afford to count). No second pass, no
-    * join: the constraint list is metadata-sized and stays on the driver.
-    *
-    * Semantics per kind ([[suggestConstraints]]'s vocabulary):
-    *  - `not_null` — violations = NULL rows;
-    *  - `unique`   — violations = non-null rows in excess of distinct
-    *                 values (count − countDistinct: 0 iff no duplicates);
-    *  - `is_in`    — violations = non-null rows whose string form is not
-    *                 in the '|'-split detail set (NULLs are `not_null`'s
-    *                 business, not membership's);
-    *  - `range`    — violations = non-null rows outside the inclusive
-    *                 `[lo,hi]` detail bounds, compared as doubles.
-    * Unknown kinds fail fast rather than silently pass.
+  /** The ONE wide verification aggregate plus, for each approx-unique
+    * constraint index, the name of its row-count slack leg.
     */
-  def verifyConstraints(df: DataFrame,
-                        constraints: Seq[(String, String, String)]): DataFrame = {
+  private def verifyAgg(df: DataFrame,
+                        constraints: Seq[(String, String, String)],
+                        approxUnique: Boolean,
+                        uniqueRsd: Double): (DataFrame, Map[Int, String]) = {
     require(constraints.nonEmpty, "no constraints to verify")
-    val spark = df.sparkSession
-    val aggs = constraints.zipWithIndex.map { case ((name, kind, detail), i) =>
+    require(uniqueRsd > 0 && uniqueRsd < 0.5, s"uniqueRsd=$uniqueRsd out of (0,0.5)")
+    // approx unique needs the slack denominator alongside the excess
+    val uniqueCounts = scala.collection.mutable.Map.empty[Int, String]
+    val aggs = constraints.zipWithIndex.flatMap { case ((name, kind, detail), i) =>
       val c = col(name)
       val v = kind match {
         case "not_null" => sum(when(c.isNull, 1L).otherwise(0L))
+        case "unique" if approxUnique =>
+          uniqueCounts(i) = s"n_$i"
+          greatest(count(c) - approx_count_distinct(c, uniqueRsd), lit(0L))
         case "unique"   => count(c) - countDistinct(c)
         case "is_in"    =>
           val allowed = detail.split('|').toSeq
@@ -141,12 +128,68 @@ object Suggest {
         case other => throw new IllegalArgumentException(
           s"unknown constraint kind '$other' for column '$name'")
       }
-      coalesce(v, lit(0L)).as(s"v_$i")
+      coalesce(v, lit(0L)).as(s"v_$i") ::
+        uniqueCounts.get(i).map(n => count(c).as(n)).toList
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (df.agg(aggs.head, aggs.tail: _*), uniqueCounts.toMap)
+  }
+
+  /** Executed-plan string of the verification aggregate (for plan audits:
+    * the approx form must not plan an Expand).
+    */
+  def verifyPlan(df: DataFrame, constraints: Seq[(String, String, String)],
+                 approxUnique: Boolean = false,
+                 uniqueRsd: Double = 0.01): String =
+    verifyAgg(df, constraints, approxUnique, uniqueRsd)
+      ._1.queryExecution.executedPlan.toString
+
+  /** Verify declared (or [[suggestConstraints]]-suggested) constraints
+    * against a frame — the closing half of the suggest→verify loop, and
+    * the tabular twin of the span-based check engine: one suggestion-
+    * vocabulary row per constraint in, one row per constraint out with
+    * its exact violation count and pass/fail status.
+    *
+    * ONE wide aggregate over the corpus computes every count — violations
+    * are `sum(when(...))` columns side by side in the same scan, `unique`
+    * adds a count-distinct leg. The exact form (default) plans Spark's
+    * expand-based `countDistinct` — at 10^12 rows declare uniqueness on
+    * the key you can afford to count — while `approxUnique = true` swaps
+    * in `approx_count_distinct(rsd = uniqueRsd)`: sketch-sized state, no
+    * expand, and the honest estimator contract that goes with it —
+    * `violations` is the estimated excess `max(0, count − estimate)` and
+    * `status` fails only when that excess clears a 3·rsd·count slack, so
+    * duplication RATES below ~3·rsd pass silently (phase-1 suggest's HLL
+    * caveat, now stated at the verify seam too). No second pass, no
+    * join: the constraint list is metadata-sized and stays on the driver.
+    *
+    * Semantics per kind ([[suggestConstraints]]'s vocabulary):
+    *  - `not_null` — violations = NULL rows;
+    *  - `unique`   — violations = non-null rows in excess of distinct
+    *                 values (count − countDistinct: 0 iff no duplicates);
+    *  - `is_in`    — violations = non-null rows whose string form is not
+    *                 in the '|'-split detail set (NULLs are `not_null`'s
+    *                 business, not membership's);
+    *  - `range`    — violations = non-null rows outside the inclusive
+    *                 `[lo,hi]` detail bounds, compared as doubles.
+    * Unknown kinds fail fast rather than silently pass.
+    */
+  def verifyConstraints(df: DataFrame,
+                        constraints: Seq[(String, String, String)],
+                        approxUnique: Boolean = false,
+                        uniqueRsd: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
+    val (aggFrame, uniqueCounts) =
+      verifyAgg(df, constraints, approxUnique, uniqueRsd)
+    val row = aggFrame.collect()(0)
     val out = constraints.zipWithIndex.map { case ((name, kind, detail), i) =>
       val viol = row.getAs[Long](s"v_$i")
-      (name, kind, detail, viol, if (viol == 0L) "pass" else "fail")
+      val pass = uniqueCounts.get(i) match {
+        // estimator slack: excess within 3·rsd of the row count is noise,
+        // not evidence of duplication
+        case Some(n) => viol <= math.ceil(3.0 * uniqueRsd * row.getAs[Long](n)).toLong
+        case None    => viol == 0L
+      }
+      (name, kind, detail, viol, if (pass) "pass" else "fail")
     }
     import spark.implicits._
     out.toDF("column", "kind", "detail", "violations", "status")

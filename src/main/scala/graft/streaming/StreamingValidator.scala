@@ -453,6 +453,37 @@ object StreamingValidator {
         sum(graft.ops.TextAnalysis.tokenCount(col(text)).cast("long")).as("n_tokens"),
         sum(length(col(text)).cast("long")).as("n_chars"))
 
+  /** Streaming MERGEABLE-PROFILE twin
+    * ([[graft.stats.ColumnStats.mergeableProfile]]): per event-time
+    * window, ONE wide row carrying every profile channel — exact counts /
+    * nulls / typed min / max / integral sums plus an HLL sketch blob per
+    * column — emitted when the watermark closes the window. The channel
+    * list is literally [[graft.stats.ColumnStats.profileChannels]], so
+    * the stream and batch planes cannot fork; every channel is a
+    * streaming-legal aggregate, and window state is one fixed-width row
+    * per open window.
+    *
+    * The sink stores the wide rows as the profile directory's streaming
+    * increments; at read time
+    * `ColumnStats.meltProfile(windowStart-as-part)` then
+    * `ColumnStats.mergeProfiles` folds any set of stored windows — plus
+    * prior batch snapshots' rows — into the corpus profile WITHOUT
+    * rescanning either plane's raw data. Batch≡stream parity (melted,
+    * merged, exact channels equal; HLL estimate within error) asserted in
+    * StreamingValidatorSpec.
+    */
+  def mergeableProfileStream(docs: DataFrame, statCols: Seq[String],
+                             eventTime: String = "ts",
+                             window: String = "1 minute",
+                             lateness: String = "2 minutes",
+                             lgK: Int = 12): DataFrame = {
+    val aggs = graft.stats.ColumnStats.profileChannels(docs, statCols, lgK)
+    docs
+      .withWatermark(eventTime, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(eventTime), window))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Windowed trending-terms monitor: per event-time window, canonical
     * term counts at or above `minCount` — the live "what vocabulary is
     * flooding in" feed (a burst of one template's tokens is the earliest

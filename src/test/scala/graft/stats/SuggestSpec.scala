@@ -1,6 +1,7 @@
 package graft.stats
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 /** Constraint suggestion: exact expected suggestion sets on a hand-built
   * frame exercising every rule and its negation.
@@ -139,5 +140,33 @@ class SuggestSpec extends SparkTestBase {
     val appr = Suggest.suggestConstraints(frame(), 4, approx = true)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(appr == exact)
+  }
+
+  test("approxUnique: sketch-sized unique check passes truly-unique keys and fails real duplication") {
+    val session = spark
+    import session.implicits._
+    // 100k genuinely-unique keys: estimator noise must stay inside the
+    // 3·rsd slack → pass (and no expand-based exact countDistinct planned)
+    val unique = session.range(100000)
+      .select(concat(lit("k"), col("id").cast("string")).as("k")).toDF()
+    val pass = Suggest.verifyConstraints(unique, Seq(("k", "unique", "")),
+      approxUnique = true).collect()(0)
+    assert(pass.getString(4) == "pass", pass.toString)
+    // 20% duplication: excess far beyond slack → fail, estimate near truth
+    val dup = session.range(100000)
+      .select(concat(lit("k"), (col("id") % 80000).cast("string")).as("k")).toDF()
+    val fail = Suggest.verifyConstraints(dup, Seq(("k", "unique", "")),
+      approxUnique = true).collect()(0)
+    assert(fail.getString(4) == "fail", fail.toString)
+    val est = fail.getLong(3)
+    assert(math.abs(est - 20000L) < 5000L, s"excess estimate $est")
+    // the scale signature: exact count-distinct re-aggregates on the KEY
+    // (a full shuffle of every distinct value); the approx form shuffles
+    // only fixed-size sketch states — no hashpartitioning on the column
+    val approxPlan = Suggest.verifyPlan(dup, Seq(("k", "unique", "")),
+      approxUnique = true)
+    val exactPlan = Suggest.verifyPlan(dup, Seq(("k", "unique", "")))
+    assert(!approxPlan.contains("hashpartitioning(k"), approxPlan)
+    assert(exactPlan.contains("hashpartitioning(k"), exactPlan)
   }
 }

@@ -651,4 +651,50 @@ class StreamingValidatorSpec extends SparkTestBase {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("mergeableProfileStream: melted+merged window rows equal the batch profile on exact channels") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stats.ColumnStats
+    // two windows, a NULL metric and a NULL string in the mix; the last
+    // event only advances the watermark (its own window never closes)
+    val fixture = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:05"), Option(5L), "a"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:20"), Option.empty[Long], "b"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:30"), Option(7L), "a"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:01:10"), Option(100L), null),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:01:40"), Option(3L), "c"))
+    val closer = (java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), Option(1L), "z")
+    val stream = MemoryStream[(java.sql.Timestamp, Option[Long], String)]
+    val docs = stream.toDF().toDF("ts", "k", "s")
+    val out = StreamingValidator.mergeableProfileStream(docs, Seq("k", "s"),
+      window = "1 minute", lateness = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("sv_mprof")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture.take(3))
+      q.processAllAvailable()
+      stream.addData(fixture.drop(3))
+      q.processAllAvailable()
+      stream.addData(closer)
+      q.processAllAvailable()
+      val wide = spark.table("sv_mprof")
+        .withColumn("part", col("window.start").cast("string")).drop("window")
+      assert(wide.count() == 2, "expected two closed windows")
+      val streamed = ColumnStats.mergeProfiles(ColumnStats.meltProfile(wide, Seq("k", "s")))
+      val batch = ColumnStats.mergeProfiles(ColumnStats.mergeableProfile(
+        fixture.toDF("ts", "k", "s").withColumn("part", lit(1)), "part", Seq("k", "s")))
+      val exact = Seq("n", "nulls", "min_d", "max_d", "min_s", "max_s", "sum_l")
+      val a = streamed.select(col("column") +: exact.map(col): _*).collect()
+        .map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val b = batch.select(col("column") +: exact.map(col): _*).collect()
+        .map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(a == b, s"stream=$a batch=$b")
+      // tiny cardinalities: the HLL estimate plane agrees exactly too
+      val estA = streamed.select("column", "distinct_est").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(estA == Map("k" -> 4L, "s" -> 3L), estA.toString)
+    } finally q.stop()
+  }
 }
