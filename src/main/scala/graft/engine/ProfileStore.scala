@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.stats.{ColumnStats, DriftStats}
+
+/** Per-run PROFILE artifact alongside the validation results (north rule:
+  * per-partition metrics rows persisted alongside results) — the
+  * operational composition of the mergeable-profile operators:
+  *
+  *  - every enabled run writes `outDir/profile/run=N`: one
+  *    [[ColumnStats.mergeableProfile]] row per (bucket, metric column)
+  *    over the SPAN METRICS of the snapshot — doc_id plus derived
+  *    `n_spans` / `n_chars` / `n_media` — partitioned by the SAME
+  *    xxhash64 doc_id bucket as the verdicts table, so profile rows,
+  *    verdict rows and violation rows all speak the same partition key;
+  *  - every channel merges (counts/min/max/sums exactly; HLL + KLL by
+  *    sketch union), so ANY slice of stored rows — one bucket, one run,
+  *    or a year of snapshots — folds into a corpus profile WITHOUT
+  *    rescanning data ([[corpusProfile]]);
+  *  - snapshot-over-snapshot DRIFT ([[driftReport]]) is computed purely
+  *    from two stored profiles: exact count/null/range shifts from the
+  *    exact channels, KS + PSI on the merged KLL blobs — the check the
+  *    north star runs between snapshots, at metadata cost.
+  *
+  * Scale shape: the write is ONE extra single-pass groupBy(bucket) scan
+  * of the snapshot (the north star's "single-pass per-column stats
+  * stage"); reads and drift never touch raw data again.
+  */
+object ProfileStore {
+
+  /** The profiled columns: doc_id plus the derived span metrics. */
+  val MetricCols: Seq[String] = Seq("doc_id", "n_spans", "n_chars", "n_media")
+
+  /** Doc-level span metrics + the shared verdict bucket. NULL spans yield
+    * NULL metrics (they are the NullSpans check's business; a profile
+    * that coerced them to 0 would hide the null-flood in the mean).
+    */
+  def spanMetrics(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("spans").isNull, lit(null).cast("int"))
+        .otherwise(size(col("spans"))).as("n_spans"),
+      when(col("spans").isNull, lit(null).cast("long"))
+        .otherwise(aggregate(col("spans"), lit(0L),
+          (acc, s) => acc + coalesce(length(s.getField("text")).cast("long"), lit(0L))))
+        .as("n_chars"),
+      when(col("spans").isNull, lit(null).cast("long"))
+        .otherwise(aggregate(col("spans"), lit(0L),
+          (acc, s) => acc + when(s.getField("media_ref").isNotNull, 1L).otherwise(0L)))
+        .as("n_media"),
+      pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int").as("bucket"))
+
+  /** Write this run's profile rows (with snapshot lineage) under
+    * `outDir/profile/run=<runNum>`.
+    */
+  def writeRun(spark: SparkSession, docs: DataFrame, nBuckets: Int,
+               outDir: String, runNum: Long, snapshotId: String): Unit =
+    ColumnStats.mergeableProfile(spanMetrics(docs, nBuckets), "bucket", MetricCols)
+      .withColumn("snapshotId", lit(snapshotId))
+      .write.mode("overwrite").parquet(s"$outDir/profile/run=$runNum")
+
+  /** The LATEST run's profile rows (each enabled run profiles the full
+    * snapshot, so the newest run alone is the current profile).
+    */
+  def read(spark: SparkSession, outDir: String): DataFrame = {
+    val all = spark.read.parquet(s"$outDir/profile")
+    val latest = all.agg(max("run")).collect()(0).getLong(0)
+    all.filter(col("run") === latest).drop("run")
+  }
+
+  /** The corpus profile folded from the stored per-bucket rows — never
+    * rescans the snapshot.
+    */
+  def corpusProfile(spark: SparkSession, outDir: String): DataFrame =
+    ColumnStats.mergeProfiles(read(spark, outDir).drop("snapshotId"))
+
+  /** Snapshot-over-snapshot drift from two STORED profiles (no corpus
+    * access): per metric column — exact row/null counts both sides, exact
+    * null-rate shift (quantized at 1e6, [[ColumnStats.profileDiff]]'s
+    * convention), HLL distinct estimates, and for numeric metrics KS +
+    * PSI between the merged KLL blobs (quantized at 1e6). A D-row driver
+    * frame.
+    */
+  def driftReport(spark: SparkSession, prevOutDir: String,
+                  curOutDir: String): DataFrame = {
+    def side(dir: String): Map[String, (Long, Long, Long, Array[Byte])] =
+      corpusProfile(spark, dir)
+        .select("column", "n", "nulls", "distinct_est", "kll").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getAs[Array[Byte]](4))))
+        .toMap
+    val (a, b) = (side(prevOutDir), side(curOutDir))
+    def nullRate(n: Long, nulls: Long): Double =
+      if (n + nulls > 0) nulls.toDouble / (n + nulls) else 0.0
+    val out = MetricCols.flatMap { c =>
+      for (pa <- a.get(c); pb <- b.get(c)) yield {
+        // KS/PSI need a distribution on BOTH sides (empty blob = string
+        // column, or an all-null metric — either way no quantiles exist)
+        val numeric = DriftStats.sketchOf(pa._4).getN > 0 &&
+          DriftStats.sketchOf(pb._4).getN > 0
+        val (ks, psi) =
+          if (numeric)
+            (DriftStats.ksStatistic(pa._4, pb._4), DriftStats.psi(pa._4, pb._4))
+          else (0.0, 0.0)
+        (c, pa._1, pb._1, pa._2, pb._2,
+          math.round((nullRate(pb._1, pb._2) - nullRate(pa._1, pa._2)) * 1e6),
+          pa._3, pb._3,
+          math.round(ks * 1e6), math.round(psi * 1e6))
+      }
+    }
+    import spark.implicits._
+    out.toDF("column", "n_prev", "n_cur", "nulls_prev", "nulls_cur",
+      "null_rate_shift_e6", "distinct_prev", "distinct_cur", "ks_e6", "psi_e6")
+  }
+}

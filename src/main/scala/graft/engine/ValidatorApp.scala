@@ -303,6 +303,20 @@ object ValidatorApp {
     // theirs.
     manifest.foreach(m => commitRun(spark, m, cfg, outDir, runNum))
 
+    // per-bucket mergeable profile of the FULL snapshot persisted
+    // alongside the run (ProfileStore; north rule's metrics rows) — one
+    // extra single-pass scan; drift vs a prior snapshot's stored profile
+    // is then a metadata-cost read, no rescan of either corpus
+    if (cfg.profileEnabled) {
+      ProfileStore.writeRun(spark, all, cfg.nBuckets, outDir, runNum,
+        cfg.snapshotId)
+      cfg.driftPrevProfile.foreach { prev =>
+        ProfileStore.driftReport(spark, prev, outDir)
+          .write.mode("overwrite").parquet(s"$outDir/drift/run=$runNum")
+      }
+    } else require(cfg.driftPrevProfile.isEmpty,
+      "drift.prevProfile needs profile.enabled=true (drift reads stored profiles)")
+
     // --fix analogue: repair dangling refs into a new snapshot and embed
     // the deleted-triples log in the reports (CheckURIExistence.php:190-211).
     // ALWAYS over the FULL corpus: the fix is snapshot-level, and running it

@@ -53,7 +53,16 @@ final case class ValidatorConfig(
     // must come from a run with the SAME schema + check set (the app
     // refuses otherwise via the core's recorded lineage columns).
     deltaPrevDocuments: Option[String] = None,
-    deltaPrevCore: Option[String] = None
+    deltaPrevCore: Option[String] = None,
+    // `profile.enabled`: persist a per-bucket mergeable profile of the
+    // snapshot's span metrics alongside each run (ProfileStore) — one
+    // extra single-pass scan; the stored rows make corpus profiles and
+    // snapshot-over-snapshot drift metadata-cost reads
+    profileEnabled: Boolean = false,
+    // `drift.prevProfile`: a PRIOR run's outDir; when set (with
+    // profile.enabled) the app writes a stored-profile drift report to
+    // outDir/drift/run=N after validating
+    driftPrevProfile: Option[String] = None
 ) {
   /** Normalized hash of the enabled check set (keys + per-check params) —
     * part of the manifest completion key alongside `schema.constraintHash`:
@@ -181,7 +190,9 @@ object ValidatorConfig {
       fixOut = one("fix.out"),
       bucketedTable = one("data.bucketedTable"),
       deltaPrevDocuments = one("delta.prevDocuments"),
-      deltaPrevCore = one("delta.prevCore")
+      deltaPrevCore = one("delta.prevCore"),
+      profileEnabled = one("profile.enabled").exists(_.toBoolean),
+      driftPrevProfile = one("drift.prevProfile")
     )
   }
 }

@@ -159,7 +159,11 @@ object ColumnStats {
     *  - `hll` — a DataSketches HLL blob (`hll_sketch_agg` over the
     *    string-cast value) replacing [[profileByGroup]]'s NON-mergeable
     *    `approx_count_distinct` scalar: two scalar estimates cannot be
-    *    combined, two sketches union losslessly (register-wise max).
+    *    combined, two sketches union losslessly (register-wise max);
+    *  - `kll` — numeric columns only: a KLL quantile-sketch blob
+    *    ([[KllSketchAgg]]), so merged snapshot profiles answer KS/PSI
+    *    distribution drift ([[DriftStats.ksStatistic]]/[[DriftStats.psi]])
+    *    without rescanning either snapshot.
     *
     * ONE groupBy(part) over the corpus (map-side combined); the wide
     * group-count-sized result is localCheckpoint-materialized before the
@@ -206,7 +210,12 @@ object ColumnStats {
           .as(s"${f.name}__sum_l"),
         (if (isNum && !isIntegral) sum(c.cast("double"))
          else lit(null).cast("double")).as(s"${f.name}__sum_d"),
-        hll_sketch_agg(c.cast("string"), lgK).as(s"${f.name}__hll"))
+        hll_sketch_agg(c.cast("string"), lgK).as(s"${f.name}__hll"),
+        // numeric columns also carry a KLL quantile sketch so merged
+        // profiles answer DISTRIBUTION drift (KS/PSI between snapshots'
+        // merged blobs — DriftStats.ksStatistic/psi) with no rescan
+        (if (isNum) KllSketchAgg.kll_sketch(c) else lit(null).cast("binary"))
+          .as(s"${f.name}__kll"))
     }
   }
 
@@ -223,7 +232,7 @@ object ColumnStats {
         col(s"${n}__min_d").as("min_d"), col(s"${n}__max_d").as("max_d"),
         col(s"${n}__min_s").as("min_s"), col(s"${n}__max_s").as("max_s"),
         col(s"${n}__sum_l").as("sum_l"), col(s"${n}__sum_d").as("sum_d"),
-        col(s"${n}__hll").as("hll"))
+        col(s"${n}__hll").as("hll"), col(s"${n}__kll").as("kll"))
     }.reduce(_ unionByName _)
 
   /** Merge [[mergeableProfile]] rows (any subset of parts — days, buckets,
@@ -250,7 +259,10 @@ object ColumnStats {
         min("min_d").as("min_d"), max("max_d").as("max_d"),
         min("min_s").as("min_s"), max("max_s").as("max_s"),
         sum("sum_l").as("sum_l"), sum("sum_d").as("sum_d"),
-        hll_union_agg(col("hll"), true).as("hll"))
+        hll_union_agg(col("hll"), true).as("hll"),
+        // non-numeric columns carry NULL kll parts (skipped by the merge)
+        // and surface as an EMPTY sketch blob
+        KllMergeAgg.kll_merge(col("kll")).as("kll"))
       .withColumn("distinct_est",
         round(hll_sketch_estimate(col("hll"))).cast("long"))
 }

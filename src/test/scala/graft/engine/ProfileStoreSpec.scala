@@ -1,0 +1,102 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.datagen.DocGen
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Per-run profile artifact + stored-profile drift: the app persists
+  * per-bucket mergeable profile rows alongside results, the corpus
+  * profile folds from them exactly, and snapshot-over-snapshot drift is
+  * computed from the stored blobs alone — detecting a planted text-length
+  * shift without rescanning either snapshot.
+  */
+class ProfileStoreSpec extends SparkTestBase {
+
+  private def appendPad(docs: org.apache.spark.sql.DataFrame) = {
+    val pad = lit("x" * 200)
+    docs.withColumn("spans",
+      when(pmod(xxhash64(col("doc_id")), lit(2)) === 0,
+        transform(col("spans"), s => struct(
+          s.getField("kind").as("kind"),
+          concat(s.getField("text"), pad).as("text"),
+          s.getField("media_ref").as("media_ref"),
+          s.getField("offset").as("offset"))))
+        .otherwise(col("spans")))
+  }
+
+  test("profile rows per bucket; corpusProfile exact; stored-blob drift flags the planted shift") {
+    val tmp = Files.createTempDirectory("graft-profile").toString
+    val docsA = DocGen.documents(spark, 3000L).toDF()
+    docsA.write.mode("overwrite").parquet(s"$tmp/docsA")
+    // snapshot B: every span of every even doc grows by 200 chars — a
+    // distribution shift in n_chars, none in n_spans/n_media
+    appendPad(docsA).write.mode("overwrite").parquet(s"$tmp/docsB")
+
+    def conf(docs: String, snap: String, drift: Option[String]): String = {
+      val d = drift.map(p => s"drift.prevProfile = $p\n").getOrElse("")
+      s"""data.documents = $tmp/$docs
+         |data.snapshotId = $snap
+         |checks = doc-id-unique
+         |buckets = 8
+         |profile.enabled = true
+         |$d""".stripMargin
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/a.properties"),
+      conf("docsA", "snap-a", None))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/b.properties"),
+      conf("docsB", "snap-b", Some(s"$tmp/outA")))
+
+    ValidatorApp.run(spark, ValidatorConfig.load(s"$tmp/a.properties"), s"$tmp/outA")
+    // one row per (bucket, metric column), all 8 buckets populated
+    val rowsA = ProfileStore.read(spark, s"$tmp/outA")
+    assert(rowsA.count() == 8L * ProfileStore.MetricCols.size)
+    assert(rowsA.select("snapshotId").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("snap-a"))
+
+    // corpus profile from stored rows == direct aggregates, exactly
+    val prof = ProfileStore.corpusProfile(spark, s"$tmp/outA").collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val metrics = ProfileStore.spanMetrics(
+      spark.read.parquet(s"$tmp/docsA"), 8)
+    val direct = metrics.agg(
+      count("doc_id"), sum("n_chars"), sum("n_spans").cast("long"),
+      count("n_chars")).collect()(0)
+    assert(prof("doc_id").getAs[Long]("n") == direct.getLong(0))
+    assert(prof("n_chars").getAs[Long]("sum_l") == direct.getLong(1))
+    assert(prof("n_spans").getAs[Long]("sum_l") == direct.getLong(2))
+    assert(prof("n_chars").getAs[Long]("n") == direct.getLong(3))
+
+    ValidatorApp.run(spark, ValidatorConfig.load(s"$tmp/b.properties"), s"$tmp/outB")
+    val report = spark.read.parquet(s"$tmp/outB/drift").collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    // exact counts carried through both stored profiles
+    assert(report("doc_id").getAs[Long]("n_prev") == 3000L &&
+      report("doc_id").getAs[Long]("n_cur") == 3000L)
+    // the planted +200-per-span shift on half the docs moves the n_chars
+    // distribution hard; the untouched metrics stay near-identical (the
+    // two sides' sketches differ only by merge order)
+    assert(report("n_chars").getAs[Long]("ks_e6") > 100000L,
+      s"n_chars ks ${report("n_chars").getAs[Long]("ks_e6")}")
+    assert(report("n_spans").getAs[Long]("ks_e6") < 30000L,
+      s"n_spans ks ${report("n_spans").getAs[Long]("ks_e6")}")
+    assert(report("n_media").getAs[Long]("ks_e6") < 30000L)
+    // doc_id is a string metric: no distribution plane, sentinel zeros
+    assert(report("doc_id").getAs[Long]("ks_e6") == 0L)
+  }
+
+  test("drift.prevProfile without profile.enabled is refused") {
+    val tmp = Files.createTempDirectory("graft-profile-bad").toString
+    DocGen.documents(spark, 100L).toDF()
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/bad.properties"),
+      s"""data.documents = $tmp/docs
+         |checks = doc-id-unique
+         |drift.prevProfile = $tmp/nowhere
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      ValidatorApp.run(spark, ValidatorConfig.load(s"$tmp/bad.properties"), s"$tmp/out")
+    }
+    assert(e.getMessage.contains("profile.enabled"))
+  }
+}
