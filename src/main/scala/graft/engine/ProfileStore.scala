@@ -60,12 +60,48 @@ object ProfileStore {
       .withColumn("snapshotId", lit(snapshotId))
       .write.mode("overwrite").parquet(s"$outDir/profile/run=$runNum")
 
+  /** INCREMENTAL profile between snapshots (the profile analogue of
+    * [[Pipeline.violationsDelta]] and the dedup delta): profile channels
+    * are NOT subtractable — min/max/HLL/KLL cannot un-see a removed doc —
+    * so the finest sound carry unit is the BUCKET. Buckets touched by any
+    * added/changed/removed doc ([[Pipeline.snapshotDiff]]) are recomputed
+    * from the current snapshot; every untouched bucket's stored rows are
+    * carried forward BYTE-FOR-BYTE (sketch blobs included) from the prior
+    * run's profile. With a daily increment touching a few buckets the
+    * profile stage aggregates only those buckets' docs — and under the
+    * bucketed catalog layout ([[Layout]]) the bucket filter prunes the
+    * scan itself. The diff join is digest-sized; the touched-bucket set is
+    * ≤ nBuckets ints on the driver.
+    */
+  def writeRunDelta(spark: SparkSession, prevDocs: DataFrame,
+                    prevOutDir: String, curDocs: DataFrame, nBuckets: Int,
+                    outDir: String, runNum: Long, snapshotId: String): Unit = {
+    val touched = Pipeline.snapshotDiff(prevDocs, curDocs)
+      .filter(col("status") =!= "unchanged")
+      .select(pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val fresh = if (touched.isEmpty) {
+      // nothing changed: carry everything (an empty-frame mergeableProfile
+      // would still demand a groupBy over zero rows)
+      None
+    } else Some(ColumnStats.mergeableProfile(
+      spanMetrics(curDocs, nBuckets).filter(col("bucket").isin(touched: _*)),
+      "bucket", MetricCols))
+    val carried = read(spark, prevOutDir).drop("snapshotId")
+      .filter(!col("part").isin(touched: _*))
+    fresh.map(_.unionByName(carried)).getOrElse(carried)
+      .withColumn("snapshotId", lit(snapshotId))
+      .write.mode("overwrite").parquet(s"$outDir/profile/run=$runNum")
+  }
+
   /** The LATEST run's profile rows (each enabled run profiles the full
     * snapshot, so the newest run alone is the current profile).
     */
   def read(spark: SparkSession, outDir: String): DataFrame = {
     val all = spark.read.parquet(s"$outDir/profile")
-    val latest = all.agg(max("run")).collect()(0).getLong(0)
+    // `run` is partition-discovered — its physical type is whatever the
+    // directory values fit (int for small ids, long for timestamps)
+    val latest = all.agg(max(col("run")).cast("long")).collect()(0).getLong(0)
     all.filter(col("run") === latest).drop("run")
   }
 

@@ -308,8 +308,16 @@ object ValidatorApp {
     // extra single-pass scan; drift vs a prior snapshot's stored profile
     // is then a metadata-cost read, no rescan of either corpus
     if (cfg.profileEnabled) {
-      ProfileStore.writeRun(spark, all, cfg.nBuckets, outDir, runNum,
-        cfg.snapshotId)
+      // delta mode + a prior profile: recompute only the buckets the
+      // snapshot diff touched, carry the rest byte-for-byte
+      if (isDelta && cfg.driftPrevProfile.isDefined)
+        ProfileStore.writeRunDelta(spark,
+          spark.read.parquet(cfg.deltaPrevDocuments.get),
+          cfg.driftPrevProfile.get, all, cfg.nBuckets, outDir, runNum,
+          cfg.snapshotId)
+      else
+        ProfileStore.writeRun(spark, all, cfg.nBuckets, outDir, runNum,
+          cfg.snapshotId)
       cfg.driftPrevProfile.foreach { prev =>
         ProfileStore.driftReport(spark, prev, outDir)
           .write.mode("overwrite").parquet(s"$outDir/drift/run=$runNum")

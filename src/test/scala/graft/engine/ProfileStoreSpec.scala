@@ -85,6 +85,57 @@ class ProfileStoreSpec extends SparkTestBase {
     assert(report("doc_id").getAs[Long]("ks_e6") == 0L)
   }
 
+  test("delta profile: touched buckets recomputed, untouched carried byte-for-byte, result ≡ full recompute") {
+    val tmp = Files.createTempDirectory("graft-profile-delta").toString
+    val docsA = DocGen.documents(spark, 3000L).toDF().cache()
+    // B touches only SOME docs: pad spans of docs whose bucket ∈ {0, 3}
+    val bucket = pmod(xxhash64(col("doc_id")), lit(8))
+    val pad = lit("z" * 100)
+    val docsB = docsA.withColumn("spans",
+      when(bucket.isin(0, 3),
+        transform(col("spans"), s => struct(
+          s.getField("kind").as("kind"),
+          concat(s.getField("text"), pad).as("text"),
+          s.getField("media_ref").as("media_ref"),
+          s.getField("offset").as("offset"))))
+        .otherwise(col("spans"))).cache()
+
+    ProfileStore.writeRun(spark, docsA, 8, s"$tmp/outA", 1L, "snap-a")
+    ProfileStore.writeRunDelta(spark, docsA, s"$tmp/outA", docsB, 8,
+      s"$tmp/outB", 2L, "snap-b")
+    ProfileStore.writeRun(spark, docsB, 8, s"$tmp/outFull", 3L, "snap-b")
+
+    def rows(dir: String) = ProfileStore.read(spark, dir)
+    // delta ≡ full on every exact channel, every (bucket, column) row
+    val exact = Seq("n", "nulls", "min_d", "max_d", "min_s", "max_s", "sum_l")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("part") +: col("column") +: exact.map(col): _*)
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    assert(keyed(rows(s"$tmp/outB")) == keyed(rows(s"$tmp/outFull")))
+    // untouched buckets' sketch blobs are carried BYTE-identically from A
+    def blobs(dir: String) = ProfileStore.read(spark, dir)
+      .filter(!col("part").isin(0, 3))
+      .select("part", "column", "hll", "kll").collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getAs[Array[Byte]](2).toSeq, r.getAs[Array[Byte]](3) match {
+          case null => Seq.empty[Byte]; case b => b.toSeq
+        }))).toMap
+    assert(blobs(s"$tmp/outB") == blobs(s"$tmp/outA"))
+    // and the touched buckets really did change
+    val changedB = ProfileStore.read(spark, s"$tmp/outB")
+      .filter(col("part").isin(0, 3) && col("column") === "n_chars")
+      .select("part", "sum_l").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val changedA = ProfileStore.read(spark, s"$tmp/outA")
+      .filter(col("part").isin(0, 3) && col("column") === "n_chars")
+      .select("part", "sum_l").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(changedB.forall { case (k, v) => v > changedA(k) })
+    // no-change delta: everything carried
+    ProfileStore.writeRunDelta(spark, docsB, s"$tmp/outFull", docsB, 8,
+      s"$tmp/outNoop", 4L, "snap-b2")
+    assert(keyed(rows(s"$tmp/outNoop")) == keyed(rows(s"$tmp/outFull")))
+    docsA.unpersist(); docsB.unpersist()
+  }
+
   test("drift.prevProfile without profile.enabled is refused") {
     val tmp = Files.createTempDirectory("graft-profile-bad").toString
     DocGen.documents(spark, 100L).toDF()
