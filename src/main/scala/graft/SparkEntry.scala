@@ -1306,6 +1306,26 @@ object SparkEntry {
         .toDF("item", "n")
     }),
 
+    // vocabulary churn via THETA set-operation sketches (the sketch family
+    // member HLL cannot provide): distinct (lang, n_chars) values only in
+    // the even half, only in the odd half, and common — the sketches stay
+    // in exact mode (≪ 4096 retained), so every churn number is an exact
+    // integer DuckDB reproduces with real set ops; the require guards the
+    // exactness premise
+    "q_vocab_churn" -> ((s, d) => {
+      import s.implicits._
+      val v = concat(col("lang"), lit("_"), col("n_chars").cast("string"))
+      val sk = t(s, d, "documents")
+        .groupBy((col("doc_id") % 2).as("side"))
+        .agg(graft.stats.ThetaSketchAgg.theta_sketch(v).as("theta"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      val (onlyA, onlyB, common, totA, totB, exact) =
+        graft.stats.ThetaStats.setChurn(sk(0L), sk(1L))
+      require(exact, "expected exact-mode theta sketches")
+      Seq((onlyA.toLong, onlyB.toLong, common.toLong, totA.toLong, totB.toLong))
+        .toDF("only_even", "only_odd", "common", "n_even", "n_odd")
+    }),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -2236,6 +2256,18 @@ object SparkEntry {
     // estimates are the true group counts
     "q_freq_items" ->
       "SELECT source AS item, count(*) AS n FROM documents GROUP BY source",
+
+    // theta set-op churn in exact mode ≡ real set operations over the
+    // distinct value sets
+    "q_vocab_churn" ->
+      ("WITH a AS (SELECT DISTINCT lang || '_' || CAST(n_chars AS VARCHAR) AS v " +
+        "FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND n_chars IS NOT NULL), " +
+        "b AS (SELECT DISTINCT lang || '_' || CAST(n_chars AS VARCHAR) AS v " +
+        "FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL AND n_chars IS NOT NULL) " +
+        "SELECT (SELECT count(*) FROM a WHERE v NOT IN (SELECT v FROM b)) AS only_even, " +
+        "(SELECT count(*) FROM b WHERE v NOT IN (SELECT v FROM a)) AS only_odd, " +
+        "(SELECT count(*) FROM a WHERE v IN (SELECT v FROM b)) AS common, " +
+        "(SELECT count(*) FROM a) AS n_even, (SELECT count(*) FROM b) AS n_odd"),
 
     // constraint suggestion: per-column rule mirror (not_null / unique /
     // is_in with the sorted '|'-joined value set / numeric range) — the

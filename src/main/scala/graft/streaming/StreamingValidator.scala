@@ -484,6 +484,31 @@ object StreamingValidator {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming FREQUENT-ITEMS twin ([[graft.stats.FreqSketchAgg]]): per
+    * event-time window, ONE bounded-state heavy-hitter sketch blob of the
+    * item column, emitted on watermark close. Unlike
+    * [[trendingTermsStream]] (exact per-window counts, state proportional
+    * to the window's distinct items), the sketch holds at most
+    * `maxMapSize` counters per window no matter the item cardinality —
+    * the ingest-side face of the stored heavy-hitter directory: sink the
+    * blobs, then `FreqMergeAgg.freq_merge` folds any window range — plus
+    * batch snapshots' blobs — into corpus heavy hitters without
+    * re-reading events. Batch≡stream parity (merged blobs vs one batch
+    * sketch, exact regime) asserted in StreamingValidatorSpec. The same
+    * shape works verbatim for [[graft.stats.ThetaSketchAgg]] value-set
+    * blobs.
+    */
+  def freqSketchStream(docs: DataFrame, itemCol: String,
+                       maxMapSize: Int = 1024,
+                       eventTime: String = "ts",
+                       window: String = "1 minute",
+                       lateness: String = "2 minutes"): DataFrame =
+    docs
+      .withWatermark(eventTime, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(eventTime), window))
+      .agg(graft.stats.FreqSketchAgg.freq_sketch(col(itemCol), maxMapSize)
+        .as("freq"))
+
   /** Windowed trending-terms monitor: per event-time window, canonical
     * term counts at or above `minCount` — the live "what vocabulary is
     * flooding in" feed (a burst of one template's tokens is the earliest

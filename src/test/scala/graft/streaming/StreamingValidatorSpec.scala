@@ -697,4 +697,42 @@ class StreamingValidatorSpec extends SparkTestBase {
       assert(estA == Map("k" -> 4L, "s" -> 3L), estA.toString)
     } finally q.stop()
   }
+
+  test("freqSketchStream: merged window blobs equal the batch sketch in the exact regime") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:05"), "alpha"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:20"), "alpha"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:30"), "beta"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:01:10"), "alpha"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:01:40"), "gamma"))
+    val closer = (java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), "omega")
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = stream.toDF().toDF("ts", "item")
+    val out = StreamingValidator.freqSketchStream(docs, "item",
+      maxMapSize = 64, window = "1 minute", lateness = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("sv_freqsk")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture.take(3))
+      q.processAllAvailable()
+      stream.addData(fixture.drop(3))
+      q.processAllAvailable()
+      stream.addData(closer)
+      q.processAllAvailable()
+      val windows = spark.table("sv_freqsk")
+      assert(windows.count() == 2, "expected two closed windows")
+      val mergedBytes = windows
+        .agg(graft.stats.FreqMergeAgg.freq_merge(col("freq"), 64))
+        .collect()(0).getAs[Array[Byte]](0)
+      val sk = graft.stats.FreqStats.sketchOf(mergedBytes)
+      assert(sk.getStreamLength == 5L && sk.getMaximumError == 0L)
+      val merged = sk.getFrequentItems(
+          org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => r.getItem -> r.getEstimate).toMap
+      assert(merged == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L), merged.toString)
+    } finally q.stop()
+  }
 }
