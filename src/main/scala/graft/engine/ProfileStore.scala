@@ -118,6 +118,17 @@ object ProfileStore {
     * PSI between the merged KLL blobs (quantized at 1e6). A D-row driver
     * frame.
     */
+  /** Per-BUCKET drift between two runs' stored profiles
+    * ([[graft.stats.ProfileDrift.byPart]] over the stored rows): localizes
+    * WHICH partition of the corpus moved — the grouped twin of
+    * [[driftReport]], same zero-rescan cost.
+    */
+  def driftReportByBucket(spark: SparkSession, prevOutDir: String,
+                          curOutDir: String): DataFrame =
+    graft.stats.ProfileDrift.byPart(
+      read(spark, prevOutDir).drop("snapshotId"),
+      read(spark, curOutDir).drop("snapshotId"))
+
   def driftReport(spark: SparkSession, prevOutDir: String,
                   curOutDir: String): DataFrame = {
     def side(dir: String): Map[String, (Long, Long, Long, Array[Byte])] =

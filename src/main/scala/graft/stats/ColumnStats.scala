@@ -267,6 +267,58 @@ object ColumnStats {
         round(hll_sketch_estimate(col("hll"))).cast("long"))
 }
 
+/** Per-PART drift between two stored [[ColumnStats.mergeableProfile]]
+  * frames — the grouped face of the stored-profile drift path: a corpus
+  * never drifts uniformly, it drifts one source / bucket / day at a time,
+  * and the global report dilutes a poisoned part. Consumes ONLY the
+  * stored rows (parts×columns-sized — a report, not data): per (part,
+  * column) — exact row/null counts both sides, exact null-rate shift
+  * (e6-quantized), HLL distinct estimates, and KS + PSI between the two
+  * KLL blobs where both sides carry a distribution (numeric, non-empty).
+  * Parts present on one side only surface with `status` added/removed
+  * rather than vanishing — a new source IS the alarm condition.
+  */
+object ProfileDrift {
+  def byPart(prevParts: org.apache.spark.sql.DataFrame,
+             curParts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = prevParts.sparkSession
+    def side(df: org.apache.spark.sql.DataFrame) =
+      df.select("part", "column", "n", "nulls", "hll", "kll").collect()
+        .map(r => (r.get(0).toString, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3),
+            r.getAs[Array[Byte]](4), r.getAs[Array[Byte]](5))))
+        .toMap
+    val (a, b) = (side(prevParts), side(curParts))
+    def est(hll: Array[Byte]): Long =
+      if (hll == null) 0L
+      else math.round(org.apache.datasketches.hll.HllSketch
+        .heapify(org.apache.datasketches.memory.Memory.wrap(hll)).getEstimate)
+    def nullRate(n: Long, nulls: Long): Double =
+      if (n + nulls > 0) nulls.toDouble / (n + nulls) else 0.0
+    def hasDist(kll: Array[Byte]): Boolean =
+      kll != null && kll.nonEmpty && DriftStats.sketchOf(kll).getN > 0
+    val out = (a.keySet ++ b.keySet).toSeq.sorted.map { key =>
+      val (pa, pb) = (a.get(key), b.get(key))
+      val status =
+        if (pa.isEmpty) "added" else if (pb.isEmpty) "removed" else "present"
+      val (na, nua, ka) = pa.map(p => (p._1, p._2, p._4)).getOrElse((0L, 0L, null))
+      val (nb, nub, kb) = pb.map(p => (p._1, p._2, p._4)).getOrElse((0L, 0L, null))
+      val (ks, psi) =
+        if (hasDist(ka) && hasDist(kb))
+          (DriftStats.ksStatistic(ka, kb), DriftStats.psi(ka, kb))
+        else (0.0, 0.0)
+      (key._1, key._2, status, na, nb, nua, nub,
+        math.round((nullRate(nb, nub) - nullRate(na, nua)) * 1e6),
+        pa.map(p => est(p._3)).getOrElse(0L), pb.map(p => est(p._3)).getOrElse(0L),
+        math.round(ks * 1e6), math.round(psi * 1e6))
+    }
+    import spark.implicits._
+    out.toDF("part", "column", "status", "n_prev", "n_cur", "nulls_prev",
+      "nulls_cur", "null_rate_shift_e6", "distinct_prev", "distinct_cur",
+      "ks_e6", "psi_e6")
+  }
+}
+
 /** KS / PSI distribution-drift comparison between two KLL sketches
   * (reference-free north-star capability; sketches come from
   * [[ColumnStats.profile]] or [[KllSketchAgg.kll_sketch]]).

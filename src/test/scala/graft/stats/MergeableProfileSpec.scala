@@ -87,6 +87,36 @@ class MergeableProfileSpec extends SparkTestBase {
     parts.unpersist()
   }
 
+  test("per-part stored-profile drift flags only the poisoned part; one-sided parts surface as added/removed") {
+    // prev: 4 sources, v uniform per source; cur: source s2's v shifted
+    // +500, source s3 gone, source s4 new
+    def corpus(shift2: Boolean, drop3: Boolean, add4: Boolean) = {
+      val base = spark.range(200000).select(
+        concat(lit("s"), (col("id") % (if (drop3) 3 else 4)).cast("string")).as("src"),
+        (col("id") % 1000).cast("double").as("v"))
+      val shifted = if (shift2)
+        base.withColumn("v", when(col("src") === "s2", col("v") + 500.0).otherwise(col("v")))
+      else base
+      if (add4) shifted.unionByName(spark.range(5000)
+        .select(lit("s4").as("src"), (col("id") % 1000).cast("double").as("v")))
+      else shifted
+    }
+    val prev = ColumnStats.mergeableProfile(corpus(false, false, false), "src", Seq("v"))
+    val cur = ColumnStats.mergeableProfile(corpus(true, true, true), "src", Seq("v"))
+    val drift = ProfileDrift.byPart(prev, cur).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(drift("s3").getString(2) == "removed" && drift("s4").getString(2) == "added")
+    assert(drift("s2").getAs[Long]("ks_e6") > 200000L, drift("s2").toString)
+    Seq("s0", "s1").foreach { s =>
+      assert(drift(s).getString(2) == "present")
+      assert(drift(s).getAs[Long]("ks_e6") < 30000L, drift(s).toString)
+    }
+    // exact channels carried: counts per side
+    assert(drift("s0").getAs[Long]("n_prev") == 50000L)
+    assert(drift("s4").getAs[Long]("n_prev") == 0L &&
+      drift("s4").getAs[Long]("n_cur") == 5000L)
+  }
+
   test("fractional sums ride the double channel; integral the long channel") {
     val merged = ColumnStats.mergeProfiles(
       ColumnStats.mergeableProfile(corpus, "day", Seq("k", "f")))
