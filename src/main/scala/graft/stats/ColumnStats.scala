@@ -279,15 +279,27 @@ object ColumnStats {
   * rather than vanishing — a new source IS the alarm condition.
   */
 object ProfileDrift {
+  /** `maxRows` bounds the driver collect (default 100k (part, column)
+    * rows ≈ tens of MB of sketch blobs): a parts frame keyed on an
+    * unbounded-cardinality column is a misuse — repartition the corpus
+    * into bounded parts (buckets, days, known sources) first.
+    */
   def byPart(prevParts: org.apache.spark.sql.DataFrame,
-             curParts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+             curParts: org.apache.spark.sql.DataFrame,
+             maxRows: Int = 100000): org.apache.spark.sql.DataFrame = {
     val spark = prevParts.sparkSession
-    def side(df: org.apache.spark.sql.DataFrame) =
-      df.select("part", "column", "n", "nulls", "hll", "kll").collect()
+    def side(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.select("part", "column", "n", "nulls", "hll", "kll")
+        .limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"profile drift: more than $maxRows (part, column) rows — bound the " +
+          "part key (buckets/days/known sources) or raise maxRows")
+      rows
         .map(r => (r.get(0).toString, r.getString(1)) ->
           ((r.getLong(2), r.getLong(3),
             r.getAs[Array[Byte]](4), r.getAs[Array[Byte]](5))))
         .toMap
+    }
     val (a, b) = (side(prevParts), side(curParts))
     def est(hll: Array[Byte]): Long =
       if (hll == null) 0L
