@@ -109,18 +109,43 @@ final class Manifest(path: String) {
   }
 
   /** All violation files committed for this snapshot key, across runs. */
+  /** `asOfRun` (TIME TRAVEL, the Iceberg snapshot-read analogue): only
+    * files of runs committed with id ≤ asOfRun — reading the result set
+    * exactly as it stood after that run's commit, untouched by later
+    * resumes/compactions that appended afterwards. Travel depth is
+    * bounded by the expire policy: a [[rewriteAtomically]] compaction
+    * retires superseded runs' records (and [[Compact]] deletes their
+    * files), exactly the Iceberg expire-snapshots contract.
+    */
   def committedFiles(snapshotId: String, constraintHash: String,
-                     checksHash: String = ""): Seq[String] = {
+                     checksHash: String = "",
+                     asOfRun: Long = Long.MaxValue): Seq[String] = {
+    if (!Files.exists(file)) return Nil
+    Files.readAllLines(file).asScala.iterator
+      .filter(l => l.contains("\"type\":\"files\"") &&
+        l.contains(s""""snapshotId":"$snapshotId"""") &&
+        l.contains(s""""constraintHash":"$constraintHash"""") &&
+        s""""checksHash":"([^"]*)"""".r.findFirstMatchIn(l).exists(_.group(1) == checksHash) &&
+        """"run":(-?\d+)""".r.findFirstMatchIn(l).exists(_.group(1).toLong <= asOfRun))
+      .flatMap(l => """"files":\[([^\]]*)\]""".r.findFirstMatchIn(l).toSeq
+        .flatMap(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)))
+      .toSeq
+  }
+
+  /** Committed run ids for a snapshot key, ascending — the snapshot
+    * HISTORY listing (each id is a valid `asOfRun` travel point).
+    */
+  def committedRuns(snapshotId: String, constraintHash: String,
+                    checksHash: String = ""): Seq[Long] = {
     if (!Files.exists(file)) return Nil
     Files.readAllLines(file).asScala.iterator
       .filter(l => l.contains("\"type\":\"files\"") &&
         l.contains(s""""snapshotId":"$snapshotId"""") &&
         l.contains(s""""constraintHash":"$constraintHash"""") &&
         s""""checksHash":"([^"]*)"""".r.findFirstMatchIn(l).exists(_.group(1) == checksHash))
-      .flatMap(l => """"files":\[([^\]]*)\]""".r.findFirstMatchIn(l).toSeq
-        .flatMap(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty)))
-      .toSeq
+      .flatMap(l => """"run":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong))
+      .toSeq.distinct.sorted
   }
 
   /** Replace this manifest's contents atomically: `build` appends records
@@ -144,7 +169,8 @@ final class Manifest(path: String) {
     * manifest-resolved twin of deriving winners from the verdicts table.
     */
   def committedBucketRuns(snapshotId: String, constraintHash: String,
-                          checksHash: String = ""): Map[Int, Long] = {
+                          checksHash: String = "",
+                          asOfRun: Long = Long.MaxValue): Map[Int, Long] = {
     if (!Files.exists(file)) return Map.empty
     Files.readAllLines(file).asScala.iterator
       .filter(l => !l.contains("\"type\":\"files\"") && l.nonEmpty)
@@ -157,7 +183,7 @@ final class Manifest(path: String) {
           s <- str("snapshotId") if s == snapshotId
           h <- str("constraintHash") if h == constraintHash
           if str("checksHash").getOrElse("") == checksHash
-          b <- num("bucket"); r <- num("run")
+          b <- num("bucket"); r <- num("run") if r <= asOfRun
         } yield (b.toInt, r)
       }
       .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap

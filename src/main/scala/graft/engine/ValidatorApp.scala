@@ -80,12 +80,19 @@ object ValidatorApp {
     * snapshot-read shape on the JSONL manifest ([[Manifest.recordFiles]] is
     * the commit point, appended only after the run's parquet is durable).
     */
+  /** `asOfRun` (TIME TRAVEL): resolve the snapshot exactly as it stood
+    * after that run's manifest commit — later resumes' and compactions'
+    * records are ignored, so a reproduction job sees the same rows the
+    * original consumer read, even after the directory has moved on.
+    * Travel points come from [[Manifest.committedRuns]].
+    */
   def readViolationsCommitted(spark: SparkSession, outDir: String, m: Manifest,
                               snapshotId: String, constraintHash: String,
-                              checksHash: String = ""): org.apache.spark.sql.DataFrame = {
+                              checksHash: String = "",
+                              asOfRun: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val files = m.committedFiles(snapshotId, constraintHash, checksHash)
-    val bucketRuns = m.committedBucketRuns(snapshotId, constraintHash, checksHash)
+    val files = m.committedFiles(snapshotId, constraintHash, checksHash, asOfRun)
+    val bucketRuns = m.committedBucketRuns(snapshotId, constraintHash, checksHash, asOfRun)
     if (files.isEmpty || bucketRuns.isEmpty)
       // empty but TYPED: direct callers select violation columns, and a
       // zero-column emptyDataFrame would turn "nothing committed yet" into

@@ -68,4 +68,57 @@ class ManifestSnapshotSpec extends SparkTestBase {
     assert(ValidatorApp.readViolationsCommitted(spark, s"$tmp/out", m,
       "snap-other", cfg.schema.constraintHash, cfg.checksHash).isEmpty)
   }
+
+  test("time travel: asOfRun resolves the snapshot as of an earlier commit; history lists travel points") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft-travel").toString
+    DocGen.documents(spark, 1500L).toDF()
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    val cfg = ValidatorConfig(
+      documentsPath = s"$tmp/docs", snapshotId = "snap-tt",
+      checkKeys = Seq("kinds-defined", "uri-existence", "datatype"),
+      schema = DocGen.schema, xmlOut = None, jsonOut = None,
+      manifestPath = Some(s"$tmp/manifest.jsonl"), nBuckets = 8)
+    ValidatorApp.run(spark, cfg, s"$tmp/out")
+    val m = new Manifest(s"$tmp/manifest.jsonl")
+    val (cHash, kHash) = (cfg.schema.constraintHash, cfg.checksHash)
+    val runA = m.committedRuns("snap-tt", cHash, kHash) match {
+      case Seq(r) => r
+      case other => fail(s"expected one committed run, got $other")
+    }
+    val asOfA = ValidatorApp.readViolationsCommitted(spark, s"$tmp/out", m,
+      "snap-tt", cHash, kHash, asOfRun = runA)
+    val nA = asOfA.count()
+    assert(nA > 0 && asOfA.filter(col("value") === "TRAVELED").isEmpty)
+
+    // commit a SECOND run that rewrites every row with a marker (the
+    // shape a revalidating resume produces)
+    val runB = runA + 1
+    val vB = s"$tmp/out/violations/run=$runB"
+    spark.read.parquet(s"$tmp/out/violations/run=$runA")
+      .withColumn("value", lit("TRAVELED"))
+      .write.mode("overwrite").parquet(vB)
+    val files = scala.util.Using.resource(
+      Files.list(java.nio.file.Paths.get(vB)))(
+      _.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
+    m.recordFiles("snap-tt", cHash, runB, files, kHash)
+    val buckets = m.committedBucketRuns("snap-tt", cHash, kHash).keySet
+    m.recordRun("snap-tt", cHash,
+      buckets.toSeq.map(b => (b, 1L, 1L)), kHash, runB)
+
+    assert(m.committedRuns("snap-tt", cHash, kHash) == Seq(runA, runB))
+    // latest: every doc-level bucket won by run B; dataset-level rows
+    // (bucket -1) stay with the FIRST full run by design
+    val latest = ValidatorApp.readViolationsCommitted(spark, s"$tmp/out", m,
+      "snap-tt", cHash, kHash)
+    assert(latest.count() == nA)
+    assert(latest.filter(col("docId").isNotNull &&
+      col("value") =!= "TRAVELED").isEmpty)
+    // as-of run A: byte-for-byte the pre-rewrite world
+    val traveled = ValidatorApp.readViolationsCommitted(spark, s"$tmp/out", m,
+      "snap-tt", cHash, kHash, asOfRun = runA)
+    assert(traveled.count() == nA)
+    assert(traveled.filter(col("value") === "TRAVELED").isEmpty)
+  }
 }
