@@ -119,6 +119,12 @@ object HeadlineMain {
     }
     cachedViols.foreach(_.unpersist())
     bench("stats_profile") { ColumnStats.profile(tbl("lineitem")).count() }
+    bench("stats_mergeable") { // round-8: per-source mergeable profile
+      // (exact channels + HLL + KLL blobs) folded to the corpus profile
+      ColumnStats.mergeProfiles(ColumnStats.mergeableProfile(
+        tbl("documents"), "source", Seq("doc_id", "n_chars", "lang")))
+        .agg(sum("n")).collect()
+    }
     bench("dedup_exact") { Dedup.exactGroups(tbl("documents")).count() }
     bench("dedup_minhash") { Dedup.nearDupPairs(tbl("documents")).count() }
     bench("dedup_simhash") { Dedup.simhashPairs(tbl("documents")).count() }

@@ -314,7 +314,7 @@ object ValidatorApp {
     // alongside the run (ProfileStore; north rule's metrics rows) — one
     // extra single-pass scan; drift vs a prior snapshot's stored profile
     // is then a metadata-cost read, no rescan of either corpus
-    if (cfg.profileEnabled) {
+    if (cfg.profileEnabled && !isResume) {
       // delta mode + a prior profile: recompute only the buckets the
       // snapshot diff touched, carry the rest byte-for-byte
       if (isDelta && cfg.driftPrevProfile.isDefined)
@@ -329,8 +329,12 @@ object ValidatorApp {
         ProfileStore.driftReport(spark, prev, outDir)
           .write.mode("overwrite").parquet(s"$outDir/drift/run=$runNum")
       }
-    } else require(cfg.driftPrevProfile.isEmpty,
-      "drift.prevProfile needs profile.enabled=true (drift reads stored profiles)")
+    } else if (!cfg.profileEnabled)
+      // a RESUME with profile.enabled skips the rewrite: the first (full)
+      // run of this snapshot already wrote the profile, and a resume's
+      // extra corpus scan would buy an identical artifact
+      require(cfg.driftPrevProfile.isEmpty,
+        "drift.prevProfile needs profile.enabled=true (drift reads stored profiles)")
 
     // --fix analogue: repair dangling refs into a new snapshot and embed
     // the deleted-triples log in the reports (CheckURIExistence.php:190-211).
