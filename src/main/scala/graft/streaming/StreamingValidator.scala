@@ -509,6 +509,26 @@ object StreamingValidator {
       .agg(graft.stats.FreqSketchAgg.freq_sketch(col(itemCol), maxMapSize)
         .as("freq"))
 
+  /** Streaming THETA value-set twin ([[graft.stats.ThetaSketchAgg]]):
+    * one set sketch blob of the column's distinct values per event-time
+    * window, emitted on watermark close — the ingest face of the
+    * vocabulary directory. Stored window blobs union via
+    * `ThetaMergeAgg.theta_merge` into any range's value-set sketch, and
+    * two ranges' merged blobs answer appeared/disappeared/common
+    * ([[graft.stats.ThetaStats.setChurn]]) without re-reading events.
+    * Batch≡stream parity asserted in StreamingValidatorSpec.
+    */
+  def thetaSketchStream(docs: DataFrame, valueCol: String,
+                        nominalEntries: Int = 4096,
+                        eventTime: String = "ts",
+                        window: String = "1 minute",
+                        lateness: String = "2 minutes"): DataFrame =
+    docs
+      .withWatermark(eventTime, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(eventTime), window))
+      .agg(graft.stats.ThetaSketchAgg.theta_sketch(col(valueCol), nominalEntries)
+        .as("theta"))
+
   /** Windowed trending-terms monitor: per event-time window, canonical
     * term counts at or above `minCount` — the live "what vocabulary is
     * flooding in" feed (a burst of one template's tokens is the earliest

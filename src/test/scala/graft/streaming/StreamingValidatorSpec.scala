@@ -735,4 +735,43 @@ class StreamingValidatorSpec extends SparkTestBase {
       assert(merged == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L), merged.toString)
     } finally q.stop()
   }
+
+  test("thetaSketchStream: merged window blobs answer set churn exactly in the exact regime") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:05"), "u1"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:20"), "u2"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:30"), "u2"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:01:10"), "u2"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:01:40"), "u3"))
+    val closer = (java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), "zz")
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = stream.toDF().toDF("ts", "v")
+    val out = StreamingValidator.thetaSketchStream(docs, "v",
+      nominalEntries = 64, window = "1 minute", lateness = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("sv_theta")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture.take(3)); q.processAllAvailable()
+      stream.addData(fixture.drop(3)); q.processAllAvailable()
+      stream.addData(closer); q.processAllAvailable()
+      val windows = spark.table("sv_theta")
+        .withColumn("w", col("window.start").cast("string"))
+      assert(windows.count() == 2)
+      // merged across both windows: {u1,u2,u3}
+      val merged = windows.agg(
+        graft.stats.ThetaMergeAgg.theta_merge(col("theta"), 64))
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(graft.stats.ThetaStats.estimate(merged) == 3.0)
+      // churn window 1 -> window 2: only {u1} disappeared, {u3} appeared,
+      // {u2} common — exact integers
+      val byW = windows.select("w", "theta").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).sortBy(_._1)
+      val (onlyA, onlyB, common, _, _, exact) =
+        graft.stats.ThetaStats.setChurn(byW(0)._2, byW(1)._2)
+      assert(exact && onlyA == 1.0 && onlyB == 1.0 && common == 1.0)
+    } finally q.stop()
+  }
 }
