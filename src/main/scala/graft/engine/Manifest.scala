@@ -133,6 +133,48 @@ final class Manifest(path: String) {
       .toSeq
   }
 
+  /** Commit an auxiliary ARTIFACT's file listing (kind: "profile", …) —
+    * the same files-record-is-the-commit-point protocol as
+    * [[recordFiles]], so artifact readers get the identical isolation:
+    * a torn or interleaved artifact writer without its record is
+    * invisible. Append AFTER the artifact's files are durable.
+    */
+  def recordArtifact(kind: String, snapshotId: String, constraintHash: String,
+                     run: Long, files: Seq[String],
+                     checksHash: String = ""): Unit = {
+    require(files.forall(f => !f.contains("\"") && !f.contains(",")),
+      "file paths with quotes/commas would break the line-scrape reader")
+    Seq("kind" -> kind, "snapshotId" -> snapshotId,
+      "constraintHash" -> constraintHash, "checksHash" -> checksHash)
+      .foreach { case (n, v) => requireSafe(n, v) }
+    append(s"""{"type":"artifact","kind":"$kind","snapshotId":"$snapshotId","constraintHash":"$constraintHash","checksHash":"$checksHash","run":$run,"files":${files.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+  }
+
+  /** Committed artifact runs of a kind for a snapshot key: run id → file
+    * listing, `asOfRun`-filtered like everything else.
+    */
+  def committedArtifacts(kind: String, snapshotId: String,
+                         constraintHash: String, checksHash: String = "",
+                         asOfRun: Long = Long.MaxValue): Map[Long, Seq[String]] = {
+    if (!Files.exists(file)) return Map.empty
+    Files.readAllLines(file).asScala.iterator
+      .filter(l => l.contains("\"type\":\"artifact\"") &&
+        l.contains(s""""kind":"$kind"""") &&
+        l.contains(s""""snapshotId":"$snapshotId"""") &&
+        l.contains(s""""constraintHash":"$constraintHash"""") &&
+        s""""checksHash":"([^"]*)"""".r.findFirstMatchIn(l).exists(_.group(1) == checksHash))
+      .flatMap { l =>
+        for {
+          r <- """"run":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+          if r <= asOfRun
+          fs <- """"files":\[([^\]]*)\]""".r.findFirstMatchIn(l).map(
+            _.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+              .filter(_.nonEmpty))
+        } yield r -> fs
+      }
+      .toSeq.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+  }
+
   /** Committed run ids for a snapshot key, ascending — the snapshot
     * HISTORY listing (each id is a valid `asOfRun` travel point).
     */

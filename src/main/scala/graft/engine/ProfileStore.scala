@@ -94,6 +94,26 @@ object ProfileStore {
       .write.mode("overwrite").parquet(s"$outDir/profile/run=$runNum")
   }
 
+  /** MANIFEST-COMMITTED profile read (the isolation [[read]]'s
+    * directory-listing fallback cannot give): resolve the latest
+    * committed "profile" artifact's exact file set — a torn or
+    * still-writing profile run without its [[Manifest.recordArtifact]]
+    * record is invisible, and `asOfRun` travels like the violations
+    * reader. Returns None when nothing is committed.
+    */
+  def readCommitted(spark: SparkSession, m: Manifest, snapshotId: String,
+                    constraintHash: String, checksHash: String = "",
+                    asOfRun: Long = Long.MaxValue): Option[DataFrame] = {
+    val runs = m.committedArtifacts("profile", snapshotId, constraintHash,
+      checksHash, asOfRun)
+    if (runs.isEmpty) None
+    else {
+      val files = runs(runs.keys.max)
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*))
+    }
+  }
+
   /** The LATEST run's profile rows (each enabled run profiles the full
     * snapshot, so the newest run alone is the current profile).
     */

@@ -325,6 +325,17 @@ object ValidatorApp {
       else
         ProfileStore.writeRun(spark, all, cfg.nBuckets, outDir, runNum,
           cfg.snapshotId)
+      // the artifact gets the SAME files-record commit protocol as the
+      // violations (recordArtifact after the parquet is durable), so
+      // committed readers can't see a torn profile writer
+      manifest.foreach { m =>
+        val pDir = java.nio.file.Paths.get(s"$outDir/profile/run=$runNum")
+        val pFiles = scala.util.Using.resource(java.nio.file.Files.list(pDir))(
+          _.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted)
+        m.recordArtifact("profile", cfg.snapshotId, cfg.schema.constraintHash,
+          runNum, pFiles, cfg.checksHash)
+      }
       cfg.driftPrevProfile.foreach { prev =>
         ProfileStore.driftReport(spark, prev, outDir)
           .write.mode("overwrite").parquet(s"$outDir/drift/run=$runNum")

@@ -136,6 +136,46 @@ class ProfileStoreSpec extends SparkTestBase {
     docsA.unpersist(); docsB.unpersist()
   }
 
+  test("committed profile read: a torn writer without its artifact record is invisible") {
+    val tmp = Files.createTempDirectory("graft-profile-commit").toString
+    DocGen.documents(spark, 1200L).toDF()
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/run.properties"),
+      s"""data.documents = $tmp/docs
+         |data.snapshotId = snap-pc
+         |checks = doc-id-unique
+         |buckets = 8
+         |profile.enabled = true
+         |manifest = $tmp/manifest.jsonl
+         |""".stripMargin)
+    val cfg = ValidatorConfig.load(s"$tmp/run.properties")
+    ValidatorApp.run(spark, cfg, s"$tmp/out")
+    val m = new Manifest(s"$tmp/manifest.jsonl")
+    val committed = ProfileStore.readCommitted(spark, m, "snap-pc",
+      cfg.schema.constraintHash, cfg.checksHash)
+    assert(committed.isDefined)
+    val nA = committed.get.count()
+    assert(nA == 8L * ProfileStore.MetricCols.size)
+
+    // torn writer: a NEWER profile run dir durably on disk, no record
+    val pDir = java.nio.file.Paths.get(s"$tmp/out/profile")
+    val runA = scala.util.Using.resource(Files.list(pDir))(
+      _.iterator().next().getFileName.toString)
+    val runB = runA.stripPrefix("run=").toLong + 1
+    ProfileStore.read(spark, s"$tmp/out")
+      .withColumn("snapshotId", org.apache.spark.sql.functions.lit("TORN"))
+      .write.parquet(s"$tmp/out/profile/run=$runB")
+    // the directory-listing fallback SEES the torn run (max-run wins)...
+    assert(ProfileStore.read(spark, s"$tmp/out")
+      .filter(org.apache.spark.sql.functions.col("snapshotId") === "TORN")
+      .count() == nA)
+    // ...the committed reader does not
+    val after = ProfileStore.readCommitted(spark, m, "snap-pc",
+      cfg.schema.constraintHash, cfg.checksHash).get
+    assert(after.filter(org.apache.spark.sql.functions.col("snapshotId") === "TORN").isEmpty)
+    assert(after.count() == nA)
+  }
+
   test("drift.prevProfile without profile.enabled is refused") {
     val tmp = Files.createTempDirectory("graft-profile-bad").toString
     DocGen.documents(spark, 100L).toDF()
