@@ -165,6 +165,14 @@ object ColumnStats {
     *    distribution drift ([[DriftStats.ksStatistic]]/[[DriftStats.psi]])
     *    without rescanning either snapshot.
     *
+    * Known estimate-plane caveat: Spark's `hll_sketch_agg` (DataSketches
+    * underneath) silently skips the EMPTY STRING like a null, so
+    * `distinct_est` undercounts by exactly one when "" occurs — the exact
+    * channels (`n`, `nulls`, min/max, sums) are unaffected. The engine's
+    * own theta aggregate escapes the input to count "" correctly
+    * ([[ThetaSketchAgg.escape]]); the HLL column rides the built-in and
+    * inherits its contract.
+    *
     * ONE groupBy(part) over the corpus (map-side combined); the wide
     * group-count-sized result is localCheckpoint-materialized before the
     * per-column melt (the re-evaluated-subtree trap, see

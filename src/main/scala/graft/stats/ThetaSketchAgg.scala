@@ -47,7 +47,7 @@ case class ThetaSketchAgg(
 
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.toString)
+    if (v != null) buffer.update(ThetaSketchAgg.escape(v.toString))
     buffer
   }
 
@@ -79,6 +79,18 @@ case class ThetaSketchAgg(
 }
 
 object ThetaSketchAgg {
+  /** DataSketches `update(String)` silently REJECTS the empty string
+    * (like null), which would erase "" from every set estimate — a real
+    * value in a vocabulary (an empty lang tag IS the anomaly to catch).
+    * Injective escape: "" → NUL, and a NUL-prefixed value gains one more
+    * NUL, so distinctness is preserved for every input (found by
+    * SketchPropertySpec's grouping-invariance fuzz).
+    */
+  private[stats] def escape(s: String): String =
+    if (s.isEmpty) "\u0000"
+    else if (s.charAt(0) == '\u0000') "\u0000" + s
+    else s
+
   /** `df.agg(theta_sketch($"v"))` — serialized theta sketch of distincts. */
   def theta_sketch(c: Column, nominalEntries: Int = 4096): Column =
     shims.column(
