@@ -1326,6 +1326,23 @@ object SparkEntry {
         .toDF("only_even", "only_odd", "common", "n_even", "n_odd")
     }),
 
+    // per-SOURCE vocabulary churn (the operational form — vocabularies
+    // churn one source at a time): per-source theta sketches of two
+    // md5-split halves (parity would leave every source one-sided —
+    // source = doc_id % 20), churned per group; all sketches exact-mode,
+    // so every number is an exact integer DuckDB reproduces per source
+    "q_vocab_churn_by_source" -> ((s, d) => {
+      val v = concat(col("lang"), lit("_"), col("n_chars").cast("string"))
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      def half(first: Boolean) = t(s, d, "documents")
+        .filter(if (first) h1 < "8" else h1 >= "8")
+        .groupBy("source")
+        .agg(graft.stats.ThetaSketchAgg.theta_sketch(v).as("theta"))
+      graft.stats.ThetaStats.setChurnByGroup(half(true), half(false))
+        .select(col("group").as("source"), col("status"), col("only_prev"),
+          col("only_cur"), col("common"), col("n_prev"), col("n_cur"))
+    }),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -2268,6 +2285,24 @@ object SparkEntry {
         "(SELECT count(*) FROM b WHERE v NOT IN (SELECT v FROM a)) AS only_odd, " +
         "(SELECT count(*) FROM a WHERE v IN (SELECT v FROM b)) AS common, " +
         "(SELECT count(*) FROM a) AS n_even, (SELECT count(*) FROM b) AS n_odd"),
+
+    // per-source theta churn in exact mode ≡ per-source set operations;
+    // md5 split (not parity — source = doc_id % 20), so every source
+    // appears on both sides and status is 'present'
+    "q_vocab_churn_by_source" ->
+      ("WITH u AS (SELECT source, lang || '_' || CAST(n_chars AS VARCHAR) AS v, " +
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 0 ELSE 1 END AS side " +
+        "FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL), " +
+        "a AS (SELECT DISTINCT source, v FROM u WHERE side = 0), " +
+        "b AS (SELECT DISTINCT source, v FROM u WHERE side = 1), " +
+        "srcs AS (SELECT source FROM a UNION SELECT source FROM b) " +
+        "SELECT s.source, 'present' AS status, " +
+        "(SELECT count(*) FROM a WHERE a.source = s.source AND NOT EXISTS (SELECT 1 FROM b WHERE b.source = s.source AND b.v = a.v)) AS only_prev, " +
+        "(SELECT count(*) FROM b WHERE b.source = s.source AND NOT EXISTS (SELECT 1 FROM a WHERE a.source = s.source AND a.v = b.v)) AS only_cur, " +
+        "(SELECT count(*) FROM a WHERE a.source = s.source AND EXISTS (SELECT 1 FROM b WHERE b.source = s.source AND b.v = a.v)) AS common, " +
+        "(SELECT count(*) FROM a WHERE a.source = s.source) AS n_prev, " +
+        "(SELECT count(*) FROM b WHERE b.source = s.source) AS n_cur " +
+        "FROM srcs s"),
 
     // constraint suggestion: per-column rule mirror (not_null / unique /
     // is_in with the sorted '|'-joined value set / numeric range) — the

@@ -2,7 +2,7 @@ package graft.stats
 
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -191,4 +191,42 @@ object ThetaStats {
   def setChurn(a: Array[Byte], b: Array[Byte]): (Double, Double, Double, Double, Double, Boolean) =
     (aNotBEstimate(a, b), aNotBEstimate(b, a), intersectionEstimate(a, b),
       estimate(a), estimate(b), isExact(a, b))
+
+  /** Per-GROUP vocabulary churn between two `(group, theta)` sketch
+    * frames (each typically `df.groupBy(g).agg(theta_sketch(v))` or
+    * merged stored blobs) — the operational form: vocabularies churn one
+    * source at a time, and a source present on only one side surfaces as
+    * added/removed rather than vanishing. Driver-side over the
+    * group-count-sized frames (`maxGroups`-guarded); numbers are exact
+    * integers whenever both sides' sketches are exact-mode (`exact`
+    * column says so per group).
+    */
+  def setChurnByGroup(prev: DataFrame, cur: DataFrame,
+                      maxGroups: Int = 100000): DataFrame = {
+    val spark = prev.sparkSession
+    def side(df: DataFrame): Map[String, Array[Byte]] = {
+      val rows = df.limit(maxGroups + 1).collect()
+      require(rows.length <= maxGroups,
+        s"churn by group: more than $maxGroups groups — bound the group key")
+      rows.map(r => r.get(0).toString -> r.getAs[Array[Byte]](1)).toMap
+    }
+    val (a, b) = (side(prev), side(cur))
+    val out = (a.keySet ++ b.keySet).toSeq.sorted.map { g =>
+      (a.get(g), b.get(g)) match {
+        case (Some(pa), Some(pb)) =>
+          val (oa, ob, c, ta, tb, ex) = setChurn(pa, pb)
+          (g, "present", oa.toLong, ob.toLong, c.toLong, ta.toLong, tb.toLong, ex)
+        case (Some(pa), None) =>
+          val e = estimate(pa)
+          (g, "removed", e.toLong, 0L, 0L, e.toLong, 0L, !sketchOf(pa).isEstimationMode)
+        case (None, Some(pb)) =>
+          val e = estimate(pb)
+          (g, "added", 0L, e.toLong, 0L, 0L, e.toLong, !sketchOf(pb).isEstimationMode)
+        case _ => sys.error("unreachable")
+      }
+    }
+    import spark.implicits._
+    out.toDF("group", "status", "only_prev", "only_cur", "common",
+      "n_prev", "n_cur", "exact")
+  }
 }

@@ -63,6 +63,29 @@ class ThetaSketchSpec extends SparkTestBase {
     assert(sk.getLowerBound(3) <= n && n <= sk.getUpperBound(3))
   }
 
+  test("setChurnByGroup: per-group exact churn; one-sided groups surface as added/removed") {
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(ThetaSketchAgg.theta_sketch(col("v"), 256).as("theta"))
+    def grp(g: String, lo: Int, n: Int) =
+      spark.range(n * 20).select(lit(g).as("g"), (col("id") % n + lo).as("v"))
+    val prev = sk(grp("g0", 0, 50).unionByName(grp("g1", 0, 50))
+      .unionByName(grp("g2", 0, 50)))
+    // cur: g0 unchanged, g1 shifted by 25 (half overlap), g2 gone, g9 new
+    val cur = sk(grp("g0", 0, 50).unionByName(grp("g1", 25, 50))
+      .unionByName(grp("g9", 0, 5)))
+    val churn = ThetaStats.setChurnByGroup(prev, cur).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(churn("g0").getString(1) == "present" &&
+      churn("g0").getLong(2) == 0L && churn("g0").getLong(3) == 0L &&
+      churn("g0").getLong(4) == 50L)
+    assert(churn("g1").getString(1) == "present" &&
+      churn("g1").getLong(2) == 25L && churn("g1").getLong(3) == 25L &&
+      churn("g1").getLong(4) == 25L)
+    assert(churn("g2").getString(1) == "removed" && churn("g2").getLong(5) == 50L)
+    assert(churn("g9").getString(1) == "added" && churn("g9").getLong(6) == 5L)
+    assert(churn.values.forall(_.getBoolean(7)))
+  }
+
   test("nulls are skipped") {
     val bytes = spark.range(1000)
       .select(when(col("id") % 2 === 0, lit(null)).otherwise(col("id") % 7).as("v"))
