@@ -1343,6 +1343,21 @@ object SparkEntry {
           col("only_cur"), col("common"), col("n_prev"), col("n_cur"))
     }),
 
+    // per-part stored-profile drift, EXACT plane (counts + null-rate
+    // shift per (source, column)); the sketch plane (ks/psi/distinct) is
+    // engine-specific and spec-pinned instead (MergeableProfileSpec)
+    "q_profile_drift_by_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      def parts(first: Boolean) = graft.stats.ColumnStats.mergeableProfile(
+        docs.filter(if (first) h1 < "8" else h1 >= "8"), "source",
+        Seq("doc_id", "n_chars", "lang"))
+      graft.stats.ProfileDrift.byPart(parts(true), parts(false))
+        .select(col("part").as("source"), col("column"), col("status"),
+          col("n_prev"), col("n_cur"), col("nulls_prev"), col("nulls_cur"),
+          col("null_rate_shift_e6"))
+    }),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -2303,6 +2318,21 @@ object SparkEntry {
         "(SELECT count(*) FROM a WHERE a.source = s.source) AS n_prev, " +
         "(SELECT count(*) FROM b WHERE b.source = s.source) AS n_cur " +
         "FROM srcs s"),
+
+    // per-part drift exact plane: FILTER aggregates per (source, column)
+    // over the same md5 halves; shift mirrors math.round as
+    // floor(x*1e6 + 0.5)
+    "q_profile_drift_by_source" ->
+      Seq("doc_id", "n_chars", "lang").map { c =>
+        "SELECT source, '" + c + "' AS \"column\", 'present' AS status, " +
+          s"count($c) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS n_prev, " +
+          s"count($c) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8') AS n_cur, " +
+          s"count(CASE WHEN $c IS NULL THEN 1 END) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS nulls_prev, " +
+          s"count(CASE WHEN $c IS NULL THEN 1 END) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8') AS nulls_cur, " +
+          "CAST(floor(((CASE WHEN n_cur + nulls_cur > 0 THEN CAST(nulls_cur AS DOUBLE) / (n_cur + nulls_cur) ELSE 0.0 END) - " +
+          "(CASE WHEN n_prev + nulls_prev > 0 THEN CAST(nulls_prev AS DOUBLE) / (n_prev + nulls_prev) ELSE 0.0 END)) * 1000000 + 0.5) AS BIGINT) AS null_rate_shift_e6 " +
+          "FROM documents GROUP BY source"
+      }.mkString(" UNION ALL "),
 
     // constraint suggestion: per-column rule mirror (not_null / unique /
     // is_in with the sorted '|'-joined value set / numeric range) — the
