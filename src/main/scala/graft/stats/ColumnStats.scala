@@ -223,7 +223,11 @@ object ColumnStats {
         // profiles answer DISTRIBUTION drift (KS/PSI between snapshots'
         // merged blobs — DriftStats.ksStatistic/psi) with no rescan
         (if (isNum) KllSketchAgg.kll_sketch(c) else lit(null).cast("binary"))
-          .as(s"${f.name}__kll"))
+          .as(s"${f.name}__kll"),
+        // and a THETA value-set sketch so two snapshots' stored rows
+        // answer per-column vocabulary CHURN (appeared/disappeared/
+        // common — ThetaStats.setChurn), which HLL cannot
+        ThetaSketchAgg.theta_sketch(c.cast("string")).as(s"${f.name}__theta"))
     }
   }
 
@@ -240,7 +244,8 @@ object ColumnStats {
         col(s"${n}__min_d").as("min_d"), col(s"${n}__max_d").as("max_d"),
         col(s"${n}__min_s").as("min_s"), col(s"${n}__max_s").as("max_s"),
         col(s"${n}__sum_l").as("sum_l"), col(s"${n}__sum_d").as("sum_d"),
-        col(s"${n}__hll").as("hll"), col(s"${n}__kll").as("kll"))
+        col(s"${n}__hll").as("hll"), col(s"${n}__kll").as("kll"),
+        col(s"${n}__theta").as("theta"))
     }.reduce(_ unionByName _)
 
   /** Merge [[mergeableProfile]] rows (any subset of parts — days, buckets,
@@ -270,7 +275,8 @@ object ColumnStats {
         hll_union_agg(col("hll"), true).as("hll"),
         // non-numeric columns carry NULL kll parts (skipped by the merge)
         // and surface as an EMPTY sketch blob
-        KllMergeAgg.kll_merge(col("kll")).as("kll"))
+        KllMergeAgg.kll_merge(col("kll")).as("kll"),
+        ThetaMergeAgg.theta_merge(col("theta")).as("theta"))
       .withColumn("distinct_est",
         round(hll_sketch_estimate(col("hll"))).cast("long"))
 }
@@ -297,7 +303,7 @@ object ProfileDrift {
              maxRows: Int = 100000): org.apache.spark.sql.DataFrame = {
     val spark = prevParts.sparkSession
     def side(df: org.apache.spark.sql.DataFrame) = {
-      val rows = df.select("part", "column", "n", "nulls", "hll", "kll")
+      val rows = df.select("part", "column", "n", "nulls", "hll", "kll", "theta")
         .limit(maxRows + 1).collect()
       require(rows.length <= maxRows,
         s"profile drift: more than $maxRows (part, column) rows — bound the " +
@@ -305,7 +311,8 @@ object ProfileDrift {
       rows
         .map(r => (r.get(0).toString, r.getString(1)) ->
           ((r.getLong(2), r.getLong(3),
-            r.getAs[Array[Byte]](4), r.getAs[Array[Byte]](5))))
+            r.getAs[Array[Byte]](4), r.getAs[Array[Byte]](5),
+            r.getAs[Array[Byte]](6))))
         .toMap
     }
     val (a, b) = (side(prevParts), side(curParts))
@@ -327,14 +334,26 @@ object ProfileDrift {
         if (hasDist(ka) && hasDist(kb))
           (DriftStats.ksStatistic(ka, kb), DriftStats.psi(ka, kb))
         else (0.0, 0.0)
+      // value-set churn from the theta blobs (exact in exact mode):
+      // which distinct values appeared / disappeared in this part+column
+      val (vOnlyPrev, vOnlyCur, vCommon) = (pa.map(_._5), pb.map(_._5)) match {
+        case (Some(ta), Some(tb)) =>
+          val (oa, ob, c, _, _, _) = ThetaStats.setChurn(ta, tb)
+          (oa.toLong, ob.toLong, c.toLong)
+        case (Some(ta), None) => (math.round(ThetaStats.estimate(ta)), 0L, 0L)
+        case (None, Some(tb)) => (0L, math.round(ThetaStats.estimate(tb)), 0L)
+        case _ => (0L, 0L, 0L)
+      }
       (key._1, key._2, status, na, nb, nua, nub,
         math.round((nullRate(nb, nub) - nullRate(na, nua)) * 1e6),
         pa.map(p => est(p._3)).getOrElse(0L), pb.map(p => est(p._3)).getOrElse(0L),
+        vOnlyPrev, vOnlyCur, vCommon,
         math.round(ks * 1e6), math.round(psi * 1e6))
     }
     import spark.implicits._
     out.toDF("part", "column", "status", "n_prev", "n_cur", "nulls_prev",
       "nulls_cur", "null_rate_shift_e6", "distinct_prev", "distinct_cur",
+      "values_only_prev", "values_only_cur", "values_common",
       "ks_e6", "psi_e6")
   }
 }

@@ -107,6 +107,18 @@ class MergeableProfileSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r).toMap
     assert(drift("s3").getString(2) == "removed" && drift("s4").getString(2) == "added")
     assert(drift("s2").getAs[Long]("ks_e6") > 200000L, drift("s2").toString)
+    // theta value-set churn per part (exact-mode integers): prev sources
+    // ride id%4 so their v sets are the 250 residues ≡ source mod 4; cur
+    // rides id%3 (coprime with 1000) so every cur set is full. s2 moved
+    // to 500..1499: of its 250 prev values the 125 below 500 disappeared,
+    // 125 remain common, and 875 of cur's 1000 are new
+    assert(drift("s2").getAs[Long]("values_only_prev") == 125L &&
+      drift("s2").getAs[Long]("values_only_cur") == 875L &&
+      drift("s2").getAs[Long]("values_common") == 125L, drift("s2").toString)
+    assert(drift("s0").getAs[Long]("values_only_prev") == 0L &&
+      drift("s0").getAs[Long]("values_common") == 250L)
+    assert(drift("s3").getAs[Long]("values_only_prev") == 250L &&
+      drift("s4").getAs[Long]("values_only_cur") == 1000L)
     Seq("s0", "s1").foreach { s =>
       assert(drift(s).getString(2) == "present")
       assert(drift(s).getAs[Long]("ks_e6") < 30000L, drift(s).toString)
