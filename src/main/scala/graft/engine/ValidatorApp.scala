@@ -217,6 +217,27 @@ object ValidatorApp {
     val runNum = nextRunId(outDir)
     val runId = s"run=$runNum"
 
+    // per-run STAGE METRICS (north rule: metrics rows persisted alongside
+    // results): wall-clock plus executed FileScan / QueryExecution counts
+    // per stage, captured by the same listener the plan-audit sweep uses
+    // (graft.ScanSweep.ScanAudit) — persisted as `metrics/run=N` and
+    // manifest-committed like the profile artifact, so every run carries
+    // its own cost accounting
+    val metricsAudit = new graft.ScanSweep.ScanAudit
+    spark.listenerManager.register(metricsAudit)
+    val stageRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    def stage[T](name: String)(body: => T): T = {
+      org.apache.spark.sql.graft.shims.waitForListeners(spark)
+      metricsAudit.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      org.apache.spark.sql.graft.shims.waitForListeners(spark)
+      stageRows += ((name, (System.nanoTime() - t0) / 1000000L,
+        metricsAudit.scans.get(), metricsAudit.execs.get()))
+      r
+    }
+    try {
+
     // referential checks must probe the FULL corpus even on a resume —
     // refs in remaining buckets can point at docs in completed buckets
     val universe = if (isResume) Some(all) else None
@@ -279,17 +300,17 @@ object ValidatorApp {
     // persist each row's bucket (dataset-level rows → -1): readers derive
     // the winning run per bucket from the verdicts table and join on this
     // column — no bucket recompute, no window over the violations corpus
-    violations
+    stage("validate_persist") { violations
       .withColumn("bucket", when(col("docId").isNotNull,
         pmod(xxhash64(col("docId")), lit(cfg.nBuckets)).cast("int")).otherwise(lit(-1)))
-      .write.mode("overwrite").parquet(s"$outDir/violations/$runId")
+      .write.mode("overwrite").parquet(s"$outDir/violations/$runId") }
 
     // persist the row-local core with its lineage so the NEXT snapshot can
     // run delta against it (reads from the cache — no second fused scan)
-    coreOpt.foreach(_
+    stage("core_persist") { coreOpt.foreach(_
       .withColumn("constraintHash", lit(cfg.schema.constraintHash))
       .withColumn("checksHash", lit(cfg.checksHash))
-      .write.mode("overwrite").parquet(s"$outDir/core/$runId"))
+      .write.mode("overwrite").parquet(s"$outDir/core/$runId")) }
 
     // verdicts roll up the already-materialized violations (no second
     // validation pass); the partitionId = -1 dataset-level verdict row is
@@ -298,7 +319,8 @@ object ValidatorApp {
       cfg.snapshotId, cfg.nBuckets, checks)
     val verdicts =
       if (isResume) verdictsAll.filter(col("partitionId") >= 0) else verdictsAll
-    verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/$runId")
+    stage("verdicts") {
+      verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/$runId") }
 
     // commit the run to the manifest (shared with Compact — ONE commit
     // protocol): first the FILE listing (the snapshot commit point for
@@ -308,7 +330,8 @@ object ValidatorApp {
     // consistent committed run while the resume conservatively
     // revalidates. THIS run's records only; earlier runs already have
     // theirs.
-    manifest.foreach(m => commitRun(spark, m, cfg, outDir, runNum))
+    stage("manifest_commit") {
+      manifest.foreach(m => commitRun(spark, m, cfg, outDir, runNum)) }
 
     // per-bucket mergeable profile of the FULL snapshot persisted
     // alongside the run (ProfileStore; north rule's metrics rows) — one
@@ -317,14 +340,16 @@ object ValidatorApp {
     if (cfg.profileEnabled && !isResume) {
       // delta mode + a prior profile: recompute only the buckets the
       // snapshot diff touched, carry the rest byte-for-byte
-      if (isDelta && cfg.driftPrevProfile.isDefined)
-        ProfileStore.writeRunDelta(spark,
-          spark.read.parquet(cfg.deltaPrevDocuments.get),
-          cfg.driftPrevProfile.get, all, cfg.nBuckets, outDir, runNum,
-          cfg.snapshotId)
-      else
-        ProfileStore.writeRun(spark, all, cfg.nBuckets, outDir, runNum,
-          cfg.snapshotId)
+      stage("profile") {
+        if (isDelta && cfg.driftPrevProfile.isDefined)
+          ProfileStore.writeRunDelta(spark,
+            spark.read.parquet(cfg.deltaPrevDocuments.get),
+            cfg.driftPrevProfile.get, all, cfg.nBuckets, outDir, runNum,
+            cfg.snapshotId)
+        else
+          ProfileStore.writeRun(spark, all, cfg.nBuckets, outDir, runNum,
+            cfg.snapshotId)
+      }
       // the artifact gets the SAME files-record commit protocol as the
       // violations (recordArtifact after the parquet is durable), so
       // committed readers can't see a torn profile writer
@@ -336,10 +361,10 @@ object ValidatorApp {
         m.recordArtifact("profile", cfg.snapshotId, cfg.schema.constraintHash,
           runNum, pFiles, cfg.checksHash)
       }
-      cfg.driftPrevProfile.foreach { prev =>
+      stage("drift") { cfg.driftPrevProfile.foreach { prev =>
         ProfileStore.driftReport(spark, prev, outDir)
           .write.mode("overwrite").parquet(s"$outDir/drift/run=$runNum")
-      }
+      } }
     } else if (!cfg.profileEnabled)
       // a RESUME with profile.enabled skips the rewrite: the first (full)
       // run of this snapshot already wrote the profile, and a resume's
@@ -384,10 +409,31 @@ object ValidatorApp {
     }
     fixLog.foreach(_.unpersist())
 
-    val nErr = snapshotViolations.filter(col("severity") === "error").count()
-    val nWarn = snapshotViolations.filter(col("severity") === "warning").count()
+    val (nErr, nWarn) = stage("reports") {
+      (snapshotViolations.filter(col("severity") === "error").count(),
+        snapshotViolations.filter(col("severity") === "warning").count())
+    }
     println(s"[graft] ${cfg.checkKeys.size} checks, $nErr errors, $nWarn warnings → $outDir")
+
+    // persist + commit this run's stage-metrics rows (tiny; one file)
+    {
+      import spark.implicits._
+      stageRows.toSeq
+        .toDF("stage", "wall_ms", "scans", "query_executions")
+        .withColumn("snapshotId", lit(cfg.snapshotId))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/metrics/run=$runNum")
+      manifest.foreach { m =>
+        val dir = java.nio.file.Paths.get(s"$outDir/metrics/run=$runNum")
+        val files = scala.util.Using.resource(java.nio.file.Files.list(dir))(
+          _.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted)
+        m.recordArtifact("metrics", cfg.snapshotId, cfg.schema.constraintHash,
+          runNum, files, cfg.checksHash)
+      }
+    }
     violationsRaw.unpersist()
     coreOpt.foreach(_.unpersist())
+    } finally spark.listenerManager.unregister(metricsAudit)
   }
 }

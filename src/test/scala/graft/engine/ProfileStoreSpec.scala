@@ -157,6 +157,16 @@ class ProfileStoreSpec extends SparkTestBase {
     val nA = committed.get.count()
     assert(nA == 8L * ProfileStore.MetricCols.size)
 
+    // the run also persisted + committed its stage-metrics rows
+    val metrics = spark.read.parquet(s"$tmp/out/metrics").collect()
+      .map(r => r.getAs[String]("stage") -> r).toMap
+    Seq("validate_persist", "verdicts", "manifest_commit", "profile", "reports")
+      .foreach(st => assert(metrics.contains(st), s"missing stage $st"))
+    assert(metrics("validate_persist").getAs[Long]("wall_ms") > 0L)
+    assert(metrics("profile").getAs[Long]("scans") >= 1L)
+    assert(m.committedArtifacts("metrics", "snap-pc",
+      cfg.schema.constraintHash, cfg.checksHash).nonEmpty)
+
     // torn writer: a NEWER profile run dir durably on disk, no record
     val pDir = java.nio.file.Paths.get(s"$tmp/out/profile")
     val runA = scala.util.Using.resource(Files.list(pDir))(
