@@ -169,6 +169,30 @@ object StreamingValidator {
     dedupStreamBy(docs, graft.ops.TextAnalysis.fingerprint(col(textCol)),
       eventTime, delay)
 
+  /** Streaming INCREMENTAL dedup against a PERSISTED signature directory
+    * — the ingest face of [[graft.ops.Dedup.fingerprintDedupDelta]]: a
+    * daily-crawl stream keeps only docs whose canonical fingerprint is
+    * neither in the prior snapshot's stored directory (stream-static
+    * LEFT-ANTI join, append-legal; the static side is the directory
+    * parquet, never re-signed from raw docs) nor already seen within the
+    * stream (watermark-bounded first-arrival state, which holds only
+    * genuinely-NEW fingerprints because the directory filter runs
+    * first). Same fingerprint column as the batch side, so the planes
+    * cannot fork. Batch≡stream kept-set parity asserted in
+    * StreamingValidatorSpec.
+    */
+  def fingerprintDedupDeltaStream(docs: DataFrame, directory: DataFrame,
+                                  textCol: String = "text",
+                                  eventTime: String = "ts",
+                                  delay: String = "10 minutes"): DataFrame = {
+    val withFp = docs.withColumn("__fp",
+      graft.ops.TextAnalysis.fingerprint(col(textCol)))
+    val fresh = withFp.join(directory.select(col("fp").as("__fp")),
+      Seq("__fp"), "left_anti")
+    dedupStreamBy(fresh.drop("__fp"),
+      graft.ops.TextAnalysis.fingerprint(col(textCol)), eventTime, delay)
+  }
+
   /** Streaming twin of the composed curation front door
     * ([[graft.ops.Curation.curate]]), built from the SAME stage columns so
     * the two sides cannot drift: NFC → markup strip → control-char scrub

@@ -774,4 +774,39 @@ class StreamingValidatorSpec extends SparkTestBase {
       assert(exact && onlyA == 1.0 && onlyB == 1.0 && common == 1.0)
     } finally q.stop()
   }
+
+  test("fingerprintDedupDeltaStream: kept set equals the batch delta against the stored directory") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stored directory from the prior snapshot: fingerprints of "known a"
+    // and "known b"
+    val prior = Seq((1L, "known a"), (2L, "known b")).toDF("doc_id", "text")
+    val directory = graft.ops.Dedup.fingerprintDirectory(prior)
+    // the increment: one known doc (drop), one known doc with whitespace
+    // variation (same canonical fingerprint -> drop), two fresh docs, one
+    // in-stream duplicate (first arrival kept)
+    val fixture = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:01"), 10L, "known a"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:02"), 11L, "  KNOWN   b "),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:03"), 12L, "fresh one"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:04"), 13L, "fresh two"),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:00:05"), 14L, "fresh ONE"))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingValidator.fingerprintDedupDeltaStream(docs, directory)
+    val q = out.writeStream.format("memory").queryName("sv_fpdelta")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture)
+      q.processAllAvailable()
+      val streamed = spark.table("sv_fpdelta").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val (batchKept, _) = graft.ops.Dedup.fingerprintDedupDelta(
+        fixture.toDF("ts", "doc_id", "text"), directory)
+      val batchIds = batchKept.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == Set(12L, 13L), streamed.toString)
+      assert(streamed == batchIds, s"stream=$streamed batch=$batchIds")
+    } finally q.stop()
+  }
 }
