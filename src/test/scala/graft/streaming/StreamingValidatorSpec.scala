@@ -695,6 +695,12 @@ class StreamingValidatorSpec extends SparkTestBase {
       val estA = streamed.select("column", "distinct_est").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(estA == Map("k" -> 4L, "s" -> 3L), estA.toString)
+      // and the THETA value-set channel rides the stream: merged window
+      // blobs answer exact-mode set cardinality like the batch side
+      val thetas = streamed.select("column", "theta").collect()
+        .map(r => r.getString(0) ->
+          graft.stats.ThetaStats.estimate(r.getAs[Array[Byte]](1))).toMap
+      assert(thetas == Map("k" -> 4.0, "s" -> 3.0), thetas.toString)
     } finally q.stop()
   }
 
