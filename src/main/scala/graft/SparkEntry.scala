@@ -1358,6 +1358,22 @@ object SparkEntry {
           col("null_rate_shift_e6"))
     }),
 
+    // per-source item-count deltas from STORED frequent-items sketches
+    // (the count-plane companion of q_vocab_churn_by_source's set plane):
+    // md5 halves, item = lang; sketches never purge (5 langs ≪ 256), so
+    // every count and delta is exact and DuckDB-reproducible
+    "q_freq_delta_by_source" -> ((s, d) => {
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      def half(first: Boolean) = t(s, d, "documents")
+        .filter(if (first) h1 < "8" else h1 >= "8")
+        .groupBy("source")
+        .agg(graft.stats.FreqSketchAgg.freq_sketch(col("lang"), 256).as("freq"))
+      val delta = graft.stats.FreqStats.countsDeltaByGroup(half(true), half(false))
+      require(delta.filter(!col("exact")).isEmpty, "expected exact regime")
+      delta.select(col("group").as("source"), col("item"), col("n_prev"),
+        col("n_cur"), col("delta"))
+    }),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -2333,6 +2349,16 @@ object SparkEntry {
           "(CASE WHEN n_prev + nulls_prev > 0 THEN CAST(nulls_prev AS DOUBLE) / (n_prev + nulls_prev) ELSE 0.0 END)) * 1000000 + 0.5) AS BIGINT) AS null_rate_shift_e6 " +
           "FROM documents GROUP BY source"
       }.mkString(" UNION ALL "),
+
+    // per-source item-count deltas: FILTER counts over the same md5
+    // halves; rows exist for every (source, item) seen on either side
+    "q_freq_delta_by_source" ->
+      ("SELECT source, lang AS item, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS n_prev, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8') AS n_cur, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8') - " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS delta " +
+        "FROM documents WHERE lang IS NOT NULL GROUP BY source, lang"),
 
     // constraint suggestion: per-column rule mirror (not_null / unique /
     // is_in with the sorted '|'-joined value set / numeric range) — the

@@ -153,6 +153,43 @@ object FreqStats {
   def sketchOf(bytes: Array[Byte]): ItemsSketch[String] =
     ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe())
 
+  /** Per-GROUP item-count deltas between two `(group, freq-blob)` frames
+    * — "which item surged or faded in which source", answered from
+    * STORED sketches (the count-plane companion of
+    * [[ThetaStats.setChurnByGroup]]'s set plane): per (group, item) the
+    * two sides' estimates and their delta, items drawn from both sides'
+    * NO_FALSE_NEGATIVES lists, groups present on one side only included
+    * with zeros on the other. Exact integers wherever the sketch never
+    * purged (`exact` column per group-side pair); estimates with the
+    * ItemsSketch error bound otherwise. Driver-side over the
+    * group-count-sized frames (`maxGroups`-guarded).
+    */
+  def countsDeltaByGroup(prev: DataFrame, cur: DataFrame,
+                         maxGroups: Int = 100000): DataFrame = {
+    val spark = prev.sparkSession
+    def side(df: DataFrame): Map[String, ItemsSketch[String]] = {
+      val rows = df.limit(maxGroups + 1).collect()
+      require(rows.length <= maxGroups,
+        s"counts delta: more than $maxGroups groups — bound the group key")
+      rows.map(r => r.get(0).toString -> sketchOf(r.getAs[Array[Byte]](1))).toMap
+    }
+    val (a, b) = (side(prev), side(cur))
+    def items(sk: Option[ItemsSketch[String]]): Map[String, Long] =
+      sk.map(_.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => r.getItem -> r.getEstimate).toMap).getOrElse(Map.empty)
+    val out = (a.keySet ++ b.keySet).toSeq.sorted.flatMap { g =>
+      val (ia, ib) = (items(a.get(g)), items(b.get(g)))
+      val exact = a.get(g).forall(_.getMaximumError == 0L) &&
+        b.get(g).forall(_.getMaximumError == 0L)
+      (ia.keySet ++ ib.keySet).toSeq.sorted.map { item =>
+        val (np, nc) = (ia.getOrElse(item, 0L), ib.getOrElse(item, 0L))
+        (g, item, np, nc, nc - np, exact)
+      }
+    }
+    import spark.implicits._
+    out.toDF("group", "item", "n_prev", "n_cur", "delta", "exact")
+  }
+
   /** Heavy hitters of `colName` via ONE sketch aggregate (single scan,
     * bounded state): (item, estimate, lb, ub, exact) under
     * NO_FALSE_NEGATIVES — every item whose true count exceeds the sketch's

@@ -63,6 +63,30 @@ class FreqSketchSpec extends SparkTestBase {
     }
   }
 
+  test("countsDeltaByGroup: exact per-group item deltas; one-sided groups zero-filled; purge flagged") {
+    def sk(df: org.apache.spark.sql.DataFrame, cap: Int = 256) =
+      df.groupBy("g").agg(FreqSketchAgg.freq_sketch(col("item"), cap).as("freq"))
+    def grp(g: String, item: String, n: Long) =
+      spark.range(n).select(lit(g).as("g"), lit(item).as("item"))
+    val prev = sk(grp("g0", "a", 100).unionByName(grp("g0", "b", 50))
+      .unionByName(grp("g1", "x", 30)))
+    val cur = sk(grp("g0", "a", 70).unionByName(grp("g0", "c", 20))
+      .unionByName(grp("g2", "y", 10)))
+    val d = FreqStats.countsDeltaByGroup(prev, cur).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(d(("g0", "a")).getLong(4) == -30L && d(("g0", "a")).getBoolean(5))
+    assert(d(("g0", "b")).getLong(2) == 50L && d(("g0", "b")).getLong(3) == 0L)
+    assert(d(("g0", "c")).getLong(2) == 0L && d(("g0", "c")).getLong(4) == 20L)
+    assert(d(("g1", "x")).getLong(4) == -30L) // group removed -> drained
+    assert(d(("g2", "y")).getLong(4) == 10L)  // group added
+    // over-capacity side flips the exact flag
+    val big = sk(spark.range(50000)
+      .select(lit("g0").as("g"),
+        concat(lit("i"), col("id").cast("string")).as("item")), cap = 64)
+    val inexact = FreqStats.countsDeltaByGroup(prev, big).collect()
+    assert(inexact.filter(_.getString(0) == "g0").forall(!_.getBoolean(5)))
+  }
+
   test("merge skips null and empty blobs") {
     val df = spark.range(1000)
       .select((col("id") % 2).as("day"),
