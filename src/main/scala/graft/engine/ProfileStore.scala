@@ -14,10 +14,10 @@ import graft.stats.{ColumnStats, DriftStats}
   *    `n_spans` / `n_chars` / `n_media` — partitioned by the SAME
   *    xxhash64 doc_id bucket as the verdicts table, so profile rows,
   *    verdict rows and violation rows all speak the same partition key;
-  *  - every channel merges (counts/min/max/sums exactly; HLL + KLL by
-  *    sketch union), so ANY slice of stored rows — one bucket, one run,
-  *    or a year of snapshots — folds into a corpus profile WITHOUT
-  *    rescanning data ([[corpusProfile]]);
+  *  - every channel merges (counts/min/max/sums exactly; HLL + KLL +
+  *    theta by sketch union), so ANY slice of stored rows — one bucket,
+  *    one run, or a year of snapshots — folds into a corpus profile
+  *    WITHOUT rescanning data ([[corpusProfile]]);
   *  - snapshot-over-snapshot DRIFT ([[driftReport]]) is computed purely
   *    from two stored profiles: exact count/null/range shifts from the
   *    exact channels, KS + PSI on the merged KLL blobs — the check the
@@ -131,13 +131,6 @@ object ProfileStore {
   def corpusProfile(spark: SparkSession, outDir: String): DataFrame =
     ColumnStats.mergeProfiles(read(spark, outDir).drop("snapshotId"))
 
-  /** Snapshot-over-snapshot drift from two STORED profiles (no corpus
-    * access): per metric column — exact row/null counts both sides, exact
-    * null-rate shift (quantized at 1e6, [[ColumnStats.profileDiff]]'s
-    * convention), HLL distinct estimates, and for numeric metrics KS +
-    * PSI between the merged KLL blobs (quantized at 1e6). A D-row driver
-    * frame.
-    */
   /** Per-BUCKET drift between two runs' stored profiles
     * ([[graft.stats.ProfileDrift.byPart]] over the stored rows): localizes
     * WHICH partition of the corpus moved — the grouped twin of
@@ -149,6 +142,13 @@ object ProfileStore {
       read(spark, prevOutDir).drop("snapshotId"),
       read(spark, curOutDir).drop("snapshotId"))
 
+  /** Snapshot-over-snapshot drift from two STORED profiles (no corpus
+    * access): per metric column — exact row/null counts both sides, exact
+    * null-rate shift (quantized at 1e6, [[ColumnStats.profileDiff]]'s
+    * convention), HLL distinct estimates, and for numeric metrics KS +
+    * PSI between the merged KLL blobs (quantized at 1e6). A D-row driver
+    * frame.
+    */
   def driftReport(spark: SparkSession, prevOutDir: String,
                   curOutDir: String): DataFrame = {
     def side(dir: String): Map[String, (Long, Long, Long, Array[Byte])] =
