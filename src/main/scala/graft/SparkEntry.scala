@@ -1374,6 +1374,22 @@ object SparkEntry {
         col("n_cur"), col("delta"))
     }),
 
+    // the PROFILE-EMBEDDED theta plane end-to-end: per (source, column)
+    // value-set churn read from two mergeable-profile frames' stored
+    // theta blobs — exact-mode integers (n_chars ≲ 600 distinct per
+    // source-half, lang 5; doc_id excluded: its per-source cardinality
+    // would cross the 4096 exact-mode cap at larger SFs)
+    "q_profile_churn_by_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      def parts(first: Boolean) = graft.stats.ColumnStats.mergeableProfile(
+        docs.filter(if (first) h1 < "8" else h1 >= "8"), "source",
+        Seq("n_chars", "lang"))
+      graft.stats.ProfileDrift.byPart(parts(true), parts(false))
+        .select(col("part").as("source"), col("column"),
+          col("values_only_prev"), col("values_only_cur"), col("values_common"))
+    }),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -2359,6 +2375,24 @@ object SparkEntry {
         "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8') - " +
         "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS delta " +
         "FROM documents WHERE lang IS NOT NULL GROUP BY source, lang"),
+
+    // profile-embedded theta churn: distinct-set ops per (source, column)
+    // over the same md5 halves, values compared in their string form
+    // (the sketch hashes the string cast)
+    "q_profile_churn_by_source" ->
+      ("WITH base AS (SELECT source, " +
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 0 ELSE 1 END AS side, " +
+        "CAST(n_chars AS VARCHAR) AS v_n_chars, CAST(lang AS VARCHAR) AS v_lang FROM documents), " +
+        "u AS (SELECT source, side, 'n_chars' AS c, v_n_chars AS v FROM base WHERE v_n_chars IS NOT NULL " +
+        "UNION ALL SELECT source, side, 'lang', v_lang FROM base WHERE v_lang IS NOT NULL), " +
+        "a AS (SELECT DISTINCT source, c, v FROM u WHERE side = 0), " +
+        "b AS (SELECT DISTINCT source, c, v FROM u WHERE side = 1), " +
+        "keys AS (SELECT DISTINCT source, c FROM u) " +
+        "SELECT k.source, k.c AS \"column\", " +
+        "(SELECT count(*) FROM a WHERE a.source = k.source AND a.c = k.c AND NOT EXISTS (SELECT 1 FROM b WHERE b.source = k.source AND b.c = k.c AND b.v = a.v)) AS values_only_prev, " +
+        "(SELECT count(*) FROM b WHERE b.source = k.source AND b.c = k.c AND NOT EXISTS (SELECT 1 FROM a WHERE a.source = k.source AND a.c = k.c AND a.v = b.v)) AS values_only_cur, " +
+        "(SELECT count(*) FROM a WHERE a.source = k.source AND a.c = k.c AND EXISTS (SELECT 1 FROM b WHERE b.source = k.source AND b.c = k.c AND b.v = a.v)) AS values_common " +
+        "FROM keys k"),
 
     // constraint suggestion: per-column rule mirror (not_null / unique /
     // is_in with the sorted '|'-joined value set / numeric range) — the
