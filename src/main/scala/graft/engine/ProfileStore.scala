@@ -68,10 +68,14 @@ object ProfileStore {
     * from the current snapshot; every untouched bucket's stored rows are
     * carried forward BYTE-FOR-BYTE (sketch blobs included) from the prior
     * run's profile. With a daily increment touching a few buckets the
-    * profile stage aggregates only those buckets' docs — and under the
-    * bucketed catalog layout ([[Layout]]) the bucket filter prunes the
-    * scan itself. The diff join is digest-sized; the touched-bucket set is
-    * ≤ nBuckets ints on the driver.
+    * profile stage AGGREGATES only those buckets' docs (sketch state per
+    * untouched bucket: none). The scan itself still reads the snapshot —
+    * the bucket is derived (pmod(xxhash64(doc_id))), which neither
+    * Spark's Murmur3 bucketing ([[Layout]]) nor parquet row-group stats
+    * can prune; to prune the READ too, persist the corpus partitioned BY
+    * this bucket column (`partitionBy("bucket")` at write time), and the
+    * filter becomes partition pruning. The diff join is digest-sized;
+    * the touched-bucket set is ≤ nBuckets ints on the driver.
     */
   def writeRunDelta(spark: SparkSession, prevDocs: DataFrame,
                     prevOutDir: String, curDocs: DataFrame, nBuckets: Int,
