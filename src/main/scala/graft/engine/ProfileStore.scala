@@ -35,6 +35,11 @@ object ProfileStore {
   /** Doc-level span metrics + the shared verdict bucket. NULL spans yield
     * NULL metrics (they are the NullSpans check's business; a profile
     * that coerced them to 0 would hide the null-flood in the mean).
+    *
+    * If `docs` already carries a `bucket` column — the
+    * [[writeBucketPartitioned]] layout — it is TRUSTED rather than
+    * recomputed, so a filter on it reaches the scan as partition pruning
+    * instead of a post-scan predicate on a derived expression.
     */
   def spanMetrics(docs: DataFrame, nBuckets: Int): DataFrame =
     docs.select(
@@ -49,7 +54,20 @@ object ProfileStore {
         .otherwise(aggregate(col("spans"), lit(0L),
           (acc, s) => acc + when(s.getField("media_ref").isNotNull, 1L).otherwise(0L)))
         .as("n_media"),
-      pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int").as("bucket"))
+      (if (docs.columns.contains("bucket")) col("bucket").cast("int")
+       else pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int")).as("bucket"))
+
+  /** Materialize the corpus WITH its verdict bucket as a PARTITION column
+    * — the layout that turns [[writeRunDelta]]'s touched-bucket filter
+    * into scan-level partition pruning (a derived pmod(xxhash64) bucket
+    * can never prune; a physical `bucket=` directory can). One write,
+    * every subsequent daily-increment profile reads only the touched
+    * directories (ProfileStoreSpec plan-asserts the pruning).
+    */
+  def writeBucketPartitioned(docs: DataFrame, nBuckets: Int, path: String): Unit =
+    docs.withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Write this run's profile rows (with snapshot lineage) under
     * `outDir/profile/run=<runNum>`.
@@ -69,13 +87,15 @@ object ProfileStore {
     * carried forward BYTE-FOR-BYTE (sketch blobs included) from the prior
     * run's profile. With a daily increment touching a few buckets the
     * profile stage AGGREGATES only those buckets' docs (sketch state per
-    * untouched bucket: none). The scan itself still reads the snapshot —
-    * the bucket is derived (pmod(xxhash64(doc_id))), which neither
-    * Spark's Murmur3 bucketing ([[Layout]]) nor parquet row-group stats
-    * can prune; to prune the READ too, persist the corpus partitioned BY
-    * this bucket column (`partitionBy("bucket")` at write time), and the
-    * filter becomes partition pruning. The diff join is digest-sized;
-    * the touched-bucket set is ≤ nBuckets ints on the driver.
+    * untouched bucket: none). Whether the SCAN shrinks too depends on the
+    * layout: a derived pmod(xxhash64) bucket cannot be pruned (neither
+    * Spark's Murmur3 bucketing nor row-group stats know it), but a corpus
+    * materialized via [[writeBucketPartitioned]] carries the bucket as a
+    * physical partition column, and [[spanMetrics]] trusts it — the
+    * touched-bucket filter then reads only the touched `bucket=`
+    * directories (plan-asserted in ProfileStoreSpec). The diff join is
+    * digest-sized; the touched-bucket set is ≤ nBuckets ints on the
+    * driver.
     */
   def writeRunDelta(spark: SparkSession, prevDocs: DataFrame,
                     prevOutDir: String, curDocs: DataFrame, nBuckets: Int,

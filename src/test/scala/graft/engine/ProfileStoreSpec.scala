@@ -136,6 +136,38 @@ class ProfileStoreSpec extends SparkTestBase {
     docsA.unpersist(); docsB.unpersist()
   }
 
+  test("bucket-partitioned layout: the delta's touched-bucket filter prunes the scan to the touched directories") {
+    val tmp = Files.createTempDirectory("graft-profile-prune").toString
+    val docs = DocGen.documents(spark, 2000L).toDF()
+    ProfileStore.writeBucketPartitioned(docs, 8, s"$tmp/docsPart")
+    val part = spark.read.parquet(s"$tmp/docsPart")
+    // the partition column is trusted, not recomputed...
+    val metrics = ProfileStore.spanMetrics(part, 8)
+    val filtered = metrics.filter(col("bucket").isin(2, 5))
+    filtered.count()
+    val plan = filtered.queryExecution.executedPlan.toString
+    // ...so the filter reaches the scan as PARTITION pruning
+    assert(plan.contains("PartitionFilters: ["), plan.takeRight(800))
+    assert("PartitionCount: 2".r.findFirstIn(
+      filtered.queryExecution.optimizedPlan.toString + plan).isDefined ||
+      plan.contains("bucket#"), plan.takeRight(800))
+    // pruned results equal the derived-bucket computation on the raw docs
+    val derived = ProfileStore.spanMetrics(docs, 8)
+      .filter(col("bucket").isin(2, 5))
+    assert(filtered.count() == derived.count())
+    val a = filtered.orderBy("doc_id").collect().map(r =>
+      (r.getString(0), r.get(1), r.get(2), r.get(3), r.getInt(4))).toSeq
+    val b = derived.orderBy("doc_id").collect().map(r =>
+      (r.getString(0), r.get(1), r.get(2), r.get(3), r.getInt(4))).toSeq
+    assert(a == b)
+    // and writeRunDelta over the partitioned layout matches the full path
+    ProfileStore.writeRun(spark, docs, 8, s"$tmp/outA", 1L, "snap-a")
+    ProfileStore.writeRunDelta(spark, docs, s"$tmp/outA", part, 8,
+      s"$tmp/outB", 2L, "snap-b")
+    assert(ProfileStore.read(spark, s"$tmp/outB").count() ==
+      8L * ProfileStore.MetricCols.size)
+  }
+
   test("committed profile read: a torn writer without its artifact record is invisible") {
     val tmp = Files.createTempDirectory("graft-profile-commit").toString
     DocGen.documents(spark, 1200L).toDF()
