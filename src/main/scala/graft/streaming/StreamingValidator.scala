@@ -189,8 +189,9 @@ object StreamingValidator {
       graft.ops.TextAnalysis.fingerprint(col(textCol)))
     val fresh = withFp.join(directory.select(col("fp").as("__fp")),
       Seq("__fp"), "left_anti")
-    dedupStreamBy(fresh.drop("__fp"),
-      graft.ops.TextAnalysis.fingerprint(col(textCol)), eventTime, delay)
+    // dedup on the ALREADY-COMPUTED fingerprint column (one md5 per row,
+    // not one per stage)
+    dedupStreamBy(fresh, col("__fp"), eventTime, delay).drop("__fp")
   }
 
   /** Streaming twin of the composed curation front door
