@@ -205,12 +205,20 @@ object Pipeline {
     * materialized — it is consumed twice (dirty and unchanged slices), and
     * it is doc_id+status-sized.
     */
+  /** `precomputedDiff`: an already-materialized
+    * [[snapshotDiffWithCounts]] frame for the SAME (prev, cur) pair —
+    * callers that need the diff twice (the app's delta mode also derives
+    * the profile's touched buckets from it) compute it once instead of
+    * paying the dual-corpus digest scan per consumer.
+    */
   def violationsDelta(spark: SparkSession, prevDocs: DataFrame,
                       prevCore: DataFrame, curDocs: DataFrame,
                       schema: SchemaDef,
                       checks: Seq[ConstraintCheck] = Checks.all,
-                      native: Boolean = true): (DataFrame, DataFrame) = {
-    val diffAll = snapshotDiffWithCounts(prevDocs, curDocs).localCheckpoint()
+                      native: Boolean = true,
+                      precomputedDiff: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val diffAll = precomputedDiff.getOrElse(
+      snapshotDiffWithCounts(prevDocs, curDocs).localCheckpoint())
     // delta mode REQUIRES doc_id-unique snapshots (what DocIdUnique flags):
     // duplicate ids would have fanned the diff join out, putting one doc in
     // both the fresh-scan and carried-core slices and double-counting its

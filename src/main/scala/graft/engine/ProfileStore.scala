@@ -99,8 +99,10 @@ object ProfileStore {
     */
   def writeRunDelta(spark: SparkSession, prevDocs: DataFrame,
                     prevOutDir: String, curDocs: DataFrame, nBuckets: Int,
-                    outDir: String, runNum: Long, snapshotId: String): Unit = {
-    val touched = Pipeline.snapshotDiff(prevDocs, curDocs)
+                    outDir: String, runNum: Long, snapshotId: String,
+                    precomputedDiff: Option[DataFrame] = None): Unit = {
+    val touched = precomputedDiff
+      .getOrElse(Pipeline.snapshotDiff(prevDocs, curDocs))
       .filter(col("status") =!= "unchanged")
       .select(pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq

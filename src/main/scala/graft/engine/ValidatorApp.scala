@@ -252,6 +252,9 @@ object ValidatorApp {
     require(!(isDelta && isResume),
       "delta mode cannot combine with a manifest bucket-resume")
     val hasRowLocal = checks.exists(_.isInstanceOf[graft.checks.RowLocalCheck])
+    // delta mode's snapshot diff is consumed twice (violation slices AND
+    // the profile's touched buckets) — computed once, carried here
+    var deltaDiff: Option[org.apache.spark.sql.DataFrame] = None
 
     // (violations, core-to-persist): every FULL run's core is a free
     // by-product (the fused scan is cached once and feeds both writes), so
@@ -277,8 +280,10 @@ object ValidatorApp {
             s"config (${cfg.schema.constraintHash}, ${cfg.checksHash}) — " +
             "the previous core must come from the same schema + check set")
         val prevCore = prevCoreRaw.drop("constraintHash", "checksHash")
+        val diffAll = Pipeline.snapshotDiffWithCounts(prev, all).localCheckpoint()
+        deltaDiff = Some(diffAll)
         val (v, core) = Pipeline.violationsDelta(spark, prev, prevCore, all,
-          cfg.schema, checks)
+          cfg.schema, checks, precomputedDiff = Some(diffAll))
         val cachedCore = core.cache()
         (Pipeline.violationsFromCore(spark, all, cfg.schema, cachedCore, checks)
           .cache(), Some(cachedCore))
@@ -345,7 +350,8 @@ object ValidatorApp {
           ProfileStore.writeRunDelta(spark,
             spark.read.parquet(cfg.deltaPrevDocuments.get),
             cfg.driftPrevProfile.get, all, cfg.nBuckets, outDir, runNum,
-            cfg.snapshotId)
+            cfg.snapshotId,
+            precomputedDiff = deltaDiff.map(_.select("doc_id", "status")))
         else
           ProfileStore.writeRun(spark, all, cfg.nBuckets, outDir, runNum,
             cfg.snapshotId)
