@@ -1390,6 +1390,21 @@ object SparkEntry {
           col("values_only_prev"), col("values_only_cur"), col("values_common"))
     }),
 
+    // the PROFILE-EMBEDDED freq plane: per-(source, value) lang-count
+    // deltas read from two profile frames' stored frequent-items blobs —
+    // 5 langs ≪ the 256-counter cap, so every count is exact
+    "q_profile_value_delta_by_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      def parts(first: Boolean) = graft.stats.ColumnStats.mergeableProfile(
+        docs.filter(if (first) h1 < "8" else h1 >= "8"), "source", Seq("lang"))
+      val delta = graft.stats.ProfileDrift.valueCountsByPart(
+        parts(true), parts(false))
+      require(delta.filter(!col("exact")).isEmpty, "expected exact regime")
+      delta.select(col("part").as("source"), col("item"), col("n_prev"),
+        col("n_cur"), col("delta"))
+    }),
+
     // sketch columns (kll bytes, HLL approxDistinct) are engine-specific —
     // the exact stats are the oracle-checkable surface
     "q_stats_profile" -> ((s, d) =>
@@ -2393,6 +2408,17 @@ object SparkEntry {
         "(SELECT count(*) FROM b WHERE b.source = k.source AND b.c = k.c AND NOT EXISTS (SELECT 1 FROM a WHERE a.source = k.source AND a.c = k.c AND a.v = b.v)) AS values_only_cur, " +
         "(SELECT count(*) FROM a WHERE a.source = k.source AND a.c = k.c AND EXISTS (SELECT 1 FROM b WHERE b.source = k.source AND b.c = k.c AND b.v = a.v)) AS values_common " +
         "FROM keys k"),
+
+    // profile-embedded freq deltas ≡ the direct per-source FILTER counts
+    // (the same numbers q_freq_delta_by_source pins for the raw-groupBy
+    // path — this one exercises the PROFILE's stored blobs)
+    "q_profile_value_delta_by_source" ->
+      ("SELECT source, lang AS item, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS n_prev, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8') AS n_cur, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8') - " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS delta " +
+        "FROM documents WHERE lang IS NOT NULL GROUP BY source, lang"),
 
     // constraint suggestion: per-column rule mirror (not_null / unique /
     // is_in with the sorted '|'-joined value set / numeric range) — the

@@ -227,7 +227,11 @@ object ColumnStats {
         // and a THETA value-set sketch so two snapshots' stored rows
         // answer per-column vocabulary CHURN (appeared/disappeared/
         // common — ThetaStats.setChurn), which HLL cannot
-        ThetaSketchAgg.theta_sketch(c.cast("string")).as(s"${f.name}__theta"))
+        ThetaSketchAgg.theta_sketch(c.cast("string")).as(s"${f.name}__theta"),
+        // and a FREQUENT-ITEMS sketch: per-column dominant-VALUE counts
+        // (exact while under the 256-counter cap), so value-share drift
+        // ("lang=en share dropped") also reads from stored rows
+        FreqSketchAgg.freq_sketch(c.cast("string"), 256).as(s"${f.name}__freq"))
     }
   }
 
@@ -245,7 +249,7 @@ object ColumnStats {
         col(s"${n}__min_s").as("min_s"), col(s"${n}__max_s").as("max_s"),
         col(s"${n}__sum_l").as("sum_l"), col(s"${n}__sum_d").as("sum_d"),
         col(s"${n}__hll").as("hll"), col(s"${n}__kll").as("kll"),
-        col(s"${n}__theta").as("theta"))
+        col(s"${n}__theta").as("theta"), col(s"${n}__freq").as("freq"))
     }.reduce(_ unionByName _)
 
   /** Merge [[mergeableProfile]] rows (any subset of parts — days, buckets,
@@ -276,7 +280,8 @@ object ColumnStats {
         // non-numeric columns carry NULL kll parts (skipped by the merge)
         // and surface as an EMPTY sketch blob
         KllMergeAgg.kll_merge(col("kll")).as("kll"),
-        ThetaMergeAgg.theta_merge(col("theta")).as("theta"))
+        ThetaMergeAgg.theta_merge(col("theta")).as("theta"),
+        FreqMergeAgg.freq_merge(col("freq"), 256).as("freq"))
       .withColumn("distinct_est",
         round(hll_sketch_estimate(col("hll"))).cast("long"))
 }
@@ -355,6 +360,42 @@ object ProfileDrift {
       "nulls_cur", "null_rate_shift_e6", "distinct_prev", "distinct_cur",
       "values_only_prev", "values_only_cur", "values_common",
       "ks_e6", "psi_e6")
+  }
+
+  /** Per-(part, column, VALUE) count deltas from the stored profiles'
+    * frequent-items blobs — the count plane under [[byPart]]'s set plane:
+    * which VALUE surged or faded in which part ("lang=en share dropped
+    * in source 7"). Exact integers wherever neither side's sketch purged
+    * (`exact` per row); NO_FALSE_NEGATIVES estimates otherwise. Same
+    * bounded driver shape as [[byPart]].
+    */
+  def valueCountsByPart(prevParts: org.apache.spark.sql.DataFrame,
+                        curParts: org.apache.spark.sql.DataFrame,
+                        maxRows: Int = 100000): org.apache.spark.sql.DataFrame = {
+    import org.apache.datasketches.frequencies.ErrorType
+    val spark = prevParts.sparkSession
+    def side(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.select("part", "column", "freq").limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"value-count drift: more than $maxRows (part, column) rows — bound the part key")
+      rows.map(r => (r.get(0).toString, r.getString(1)) ->
+        FreqStats.sketchOf(r.getAs[Array[Byte]](2))).toMap
+    }
+    val (a, b) = (side(prevParts), side(curParts))
+    def items(sk: Option[org.apache.datasketches.frequencies.ItemsSketch[String]]) =
+      sk.map(_.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => r.getItem -> r.getEstimate).toMap).getOrElse(Map.empty[String, Long])
+    val out = (a.keySet ++ b.keySet).toSeq.sorted.flatMap { key =>
+      val (ia, ib) = (items(a.get(key)), items(b.get(key)))
+      val exact = a.get(key).forall(_.getMaximumError == 0L) &&
+        b.get(key).forall(_.getMaximumError == 0L)
+      (ia.keySet ++ ib.keySet).toSeq.sorted.map { item =>
+        val (np, nc) = (ia.getOrElse(item, 0L), ib.getOrElse(item, 0L))
+        (key._1, key._2, item, np, nc, nc - np, exact)
+      }
+    }
+    import spark.implicits._
+    out.toDF("part", "column", "item", "n_prev", "n_cur", "delta", "exact")
   }
 }
 

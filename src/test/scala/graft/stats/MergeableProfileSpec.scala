@@ -129,6 +129,28 @@ class MergeableProfileSpec extends SparkTestBase {
       drift("s4").getAs[Long]("n_cur") == 5000L)
   }
 
+  test("per-part value-count drift from stored freq blobs: exact deltas, surges localized") {
+    def corpus(shift: Boolean) = spark.range(60000).select(
+      concat(lit("s"), (col("id") % 3).cast("string")).as("src"),
+      when(lit(shift) && col("id") % 3 === 2 && col("id") % 4 =!= 0, lit("en"))
+        .otherwise(concat(lit("L"), (col("id") % 4).cast("string"))).as("lang"))
+    val prev = ColumnStats.mergeableProfile(corpus(false), "src", Seq("lang"))
+    val cur = ColumnStats.mergeableProfile(corpus(true), "src", Seq("lang"))
+    val d = ProfileDrift.valueCountsByPart(prev, cur).collect()
+      .map(r => (r.getString(0), r.getString(2)) -> r).toMap
+    // all sketches exact (≤5 values per part)
+    assert(d.values.forall(_.getBoolean(6)))
+    // source s2: "en" flooded in (15000 of its 20000 rows), the L1/L2/L3
+    // counts it displaced drained to zero; s0/s1 untouched
+    assert(d(("s2", "en")).getLong(4) == 15000L && d(("s2", "en")).getLong(3) == 0L)
+    assert(d(("s2", "L1")).getLong(5) == -d(("s2", "L1")).getLong(3))
+    Seq("s0", "s1").foreach { s2 =>
+      (0 until 4).foreach { l =>
+        assert(d((s2, s"L$l")).getLong(5) == 0L, d((s2, s"L$l")).toString)
+      }
+    }
+  }
+
   test("fractional sums ride the double channel; integral the long channel") {
     val merged = ColumnStats.mergeProfiles(
       ColumnStats.mergeableProfile(corpus, "day", Seq("k", "f")))
