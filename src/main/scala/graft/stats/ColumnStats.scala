@@ -163,7 +163,13 @@ object ColumnStats {
     *  - `kll` — numeric columns only: a KLL quantile-sketch blob
     *    ([[KllSketchAgg]]), so merged snapshot profiles answer KS/PSI
     *    distribution drift ([[DriftStats.ksStatistic]]/[[DriftStats.psi]])
-    *    without rescanning either snapshot.
+    *    without rescanning either snapshot;
+    *  - `theta` — a theta value-set blob ([[ThetaSketchAgg]]): per-column
+    *    vocabulary CHURN between snapshots (appeared/disappeared/common,
+    *    [[ProfileDrift.byPart]]'s `values_*` columns), which HLL cannot;
+    *  - `freq` — a frequent-items blob ([[FreqSketchAgg]], 256 counters):
+    *    per-column dominant-VALUE counts, so value-share drift reads from
+    *    stored rows ([[ProfileDrift.valueCountsByPart]]).
     *
     * Known estimate-plane caveat: Spark's `hll_sketch_agg` (DataSketches
     * underneath) silently skips the EMPTY STRING like a null, so
@@ -191,7 +197,8 @@ object ColumnStats {
     * the streaming twin
     * ([[graft.streaming.StreamingValidator.mergeableProfileStream]]) so
     * the two sides cannot fork. Every channel is a streaming-legal
-    * aggregate (count / typed min / max / sum / HLL sketch).
+    * aggregate (count / typed min / max / sum / HLL / KLL / theta /
+    * frequent-items sketch).
     */
   def profileChannels(df: DataFrame, statCols: Seq[String],
                       lgK: Int = 12): Seq[Column] = {
