@@ -175,6 +175,26 @@ final class Manifest(path: String) {
       .toSeq.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
   }
 
+  /** Retire the artifact records of the given runs (expire-snapshots for
+    * auxiliary artifacts): atomic rewrite dropping exactly those records;
+    * every other line carries over byte-for-byte. Call BEFORE deleting
+    * the artifact files — a crash between the two leaves orphaned but
+    * INVISIBLE files, never a committed record pointing at nothing.
+    */
+  def retireArtifacts(kind: String, snapshotId: String, constraintHash: String,
+                      dropRuns: Set[Long], checksHash: String = ""): Unit = {
+    if (!Files.exists(file) || dropRuns.isEmpty) return
+    val keep = Files.readAllLines(file).asScala.filterNot { l =>
+      l.contains("\"type\":\"artifact\"") &&
+        l.contains(s""""kind":"$kind"""") &&
+        l.contains(s""""snapshotId":"$snapshotId"""") &&
+        l.contains(s""""constraintHash":"$constraintHash"""") &&
+        s""""checksHash":"([^"]*)"""".r.findFirstMatchIn(l).exists(_.group(1) == checksHash) &&
+        """"run":(-?\d+)""".r.findFirstMatchIn(l).exists(m => dropRuns(m.group(1).toLong))
+    }
+    rewriteAtomically(m => keep.foreach(m.append))
+  }
+
   /** Committed run ids for a snapshot key, ascending — the snapshot
     * HISTORY listing (each id is a valid `asOfRun` travel point).
     */

@@ -140,6 +140,35 @@ object ProfileStore {
     }
   }
 
+  /** EXPIRE old committed profile runs (the expire-snapshots analogue for
+    * the artifact plane): keep the newest `keep` committed runs, retire
+    * the rest's manifest records ([[Manifest.retireArtifacts]] — records
+    * first, so a crash orphans invisible files rather than committing
+    * dangling ones), then delete their `run=` directories. Time travel to
+    * an expired run returns None afterwards — the documented Iceberg
+    * contract. Returns the expired run ids.
+    */
+  def expireRuns(spark: SparkSession, outDir: String, m: Manifest,
+                 snapshotId: String, constraintHash: String,
+                 checksHash: String = "", keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, "keep at least the latest run")
+    val runs = m.committedArtifacts("profile", snapshotId, constraintHash,
+      checksHash).keys.toSeq.sorted
+    val drop = runs.dropRight(keep)
+    if (drop.nonEmpty) {
+      m.retireArtifacts("profile", snapshotId, constraintHash, drop.toSet,
+        checksHash)
+      drop.foreach { r =>
+        val dir = java.nio.file.Paths.get(s"$outDir/profile/run=$r")
+        if (java.nio.file.Files.exists(dir))
+          scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+            _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p)))
+      }
+    }
+    drop
+  }
+
   /** The LATEST run's profile rows (each enabled run profiles the full
     * snapshot, so the newest run alone is the current profile).
     */

@@ -218,6 +218,41 @@ class ProfileStoreSpec extends SparkTestBase {
     assert(after.count() == nA)
   }
 
+  test("expireRuns: old committed profile runs retire record-first; travel to them returns None") {
+    val tmp = Files.createTempDirectory("graft-profile-expire").toString
+    val docs = DocGen.documents(spark, 600L).toDF()
+    val m = new Manifest(s"$tmp/manifest.jsonl")
+    import scala.jdk.CollectionConverters._
+    def commit(run: Long): Unit = {
+      ProfileStore.writeRun(spark, docs, 4, s"$tmp/out", run, s"snap-e")
+      val dir = java.nio.file.Paths.get(s"$tmp/out/profile/run=$run")
+      val files = scala.util.Using.resource(Files.list(dir))(
+        _.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted)
+      m.recordArtifact("profile", "snap-e", "chash", run, files, "khash")
+    }
+    Seq(1L, 2L, 3L).foreach(commit)
+    assert(ProfileStore.readCommitted(spark, m, "snap-e", "chash", "khash").isDefined)
+    val expired = ProfileStore.expireRuns(spark, s"$tmp/out", m,
+      "snap-e", "chash", "khash", keep = 1)
+    assert(expired == Seq(1L, 2L))
+    // directories gone, records retired, latest still resolves
+    assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/out/profile/run=1")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$tmp/out/profile/run=3")))
+    assert(m.committedArtifacts("profile", "snap-e", "chash", "khash").keySet == Set(3L))
+    assert(ProfileStore.readCommitted(spark, m, "snap-e", "chash", "khash")
+      .get.count() == 4L * ProfileStore.MetricCols.size)
+    // time travel to an expired run: None, the documented expire contract
+    assert(ProfileStore.readCommitted(spark, m, "snap-e", "chash", "khash",
+      asOfRun = 2L).isEmpty)
+    // expire is idempotent and keep >= 1 enforced
+    assert(ProfileStore.expireRuns(spark, s"$tmp/out", m,
+      "snap-e", "chash", "khash", keep = 1).isEmpty)
+    intercept[IllegalArgumentException] {
+      ProfileStore.expireRuns(spark, s"$tmp/out", m, "snap-e", "chash", "khash", 0)
+    }
+  }
+
   test("drift.prevProfile without profile.enabled is refused") {
     val tmp = Files.createTempDirectory("graft-profile-bad").toString
     DocGen.documents(spark, 100L).toDF()
