@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.checks.{CheckContext, Checks}
+import graft.datagen.DocGen
+import graft.engine.Pipeline
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.stats.ColumnStats
+
+/** Diagnostics-only companion bench (guide §1.4): times the HEADLINE ops
+  * and their internal components in isolation with the noop sink, so a
+  * change can be attributed to one component instead of a whole stage.
+  * NOT part of the frozen measurement harness ([[Bench]]/[[HeadlineMain]]
+  * are untouched); numbers from here are cited in OPTIMIZATION_r09.md as
+  * component evidence only.
+  *
+  * Usage: `runMain graft.BenchExtra [stage,stage,...]` (default: all).
+  * Env: `SPARK_GRAFT_SF_DIR` (sf tables), `SPARK_GRAFT_CPUS`,
+  * `SPARK_GRAFT_EXTRA_DOCS` (headline-corpus size, default 800000),
+  * `SPARK_GRAFT_EXTRA_CORPUS` (reuse an existing corpus parquet dir
+  * between invocations — regenerated when absent), `SPARK_GRAFT_EXTRA_REPS`
+  * (timed repetitions per stage, default 2; min is reported).
+  */
+object BenchExtra {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val want: Set[String] =
+      if (args.isEmpty || args(0) == "all") Set.empty
+      else args(0).split(",").toSet
+    def on(name: String): Boolean = want.isEmpty || want.contains(name)
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = math.min(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      Runtime.getRuntime.availableProcessors)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_EXTRA_DOCS", "800000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
+    val corpusPath = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CORPUS",
+      "/dev/shm/graft-extra/docs")
+
+    val spark = BenchUtil.session(cpus)
+    if (!new java.io.File(corpusPath + "/_SUCCESS").exists()) {
+      DocGen.documents(spark, nDocs).toDF()
+        .repartition(128).write.mode("overwrite").parquet(corpusPath)
+    }
+    def docs: DataFrame = spark.read.parquet(corpusPath)
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
+
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
+    def bench(name: String)(f: => Any): Unit = if (on(name)) {
+      spark.sparkContext.setJobDescription(name)
+      val samples = (1 to reps).map { _ =>
+        val g0 = gcMillis
+        val t = try time(f) catch { case e: Throwable =>
+          System.err.println(s"[extra] $name failed: ${e.getMessage}"); -1.0 }
+        (t, gcMillis - g0)
+      }
+      val best = samples.minBy(_._1)
+      results(name) = best
+      println(f"EXTRA $name ${best._1}%.3f gc_ms=${best._2}")
+      System.out.flush()
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    // JIT warm-up, mirroring HeadlineMain
+    Pipeline.violations(spark, docs.limit(50000), DocGen.schema).count()
+
+    // ---- validate_full decomposition ------------------------------------
+    val schema = DocGen.schema
+    bench("vf_scan_spans") { noop(docs.select(col("spans"))) }
+    bench("vf_core") { noop(Pipeline.rowLocalCore(spark, docs, schema)) }
+    bench("vf_full") { Pipeline.violations(spark, docs, schema).count() }
+    def ctx = CheckContext(spark, docs, schema, None)
+    bench("vf_kinds_defined") { graft.checks.CheckKindsDefined.run(ctx).count() }
+    bench("vf_classes_defined") { graft.checks.CheckClassesDefined.run(ctx).count() }
+    bench("vf_uri_existence") { graft.checks.CheckUriExistence.run(ctx).count() }
+    bench("vf_object_range") { graft.checks.CheckObjectRange.run(ctx).count() }
+    bench("vf_card_extras") {
+      graft.checks.CheckCardinality.extraFrames(ctx).foreach(f => f.count())
+    }
+    bench("vf_some_extras") {
+      graft.checks.CheckSome.extraFrames(ctx).foreach(f => f.count())
+    }
+    bench("vf_only_extras") {
+      graft.checks.CheckOnly.extraFrames(ctx).foreach(f => f.count())
+    }
+    bench("vf_refTargets") { noop(ctx.restrictionRefTargets) }
+    bench("vf_qualifiedCounts") { noop(ctx.qualifiedCounts) }
+    bench("vf_distinctRefs") { noop(ctx.distinctRefs) }
+    bench("vf_docsCls") { noop(ctx.docsCls) }
+
+    // ---- verdicts --------------------------------------------------------
+    bench("verdicts_all") {
+      val viols = Pipeline.violations(spark, docs, schema).cache()
+      viols.count()
+      Pipeline.verdictsFrom(spark, viols, docs, schema, "bench", 64)
+        .agg(sum("nViolations")).collect()
+      viols.unpersist()
+    }
+
+    // ---- other headline ops ---------------------------------------------
+    bench("stats_profile") { ColumnStats.profile(tbl("lineitem")).count() }
+    bench("stats_mergeable") {
+      ColumnStats.mergeProfiles(ColumnStats.mergeableProfile(
+        tbl("documents"), "source", Seq("doc_id", "n_chars", "lang")))
+        .agg(sum("n")).collect()
+    }
+    bench("dedup_exact") { Dedup.exactGroups(tbl("documents")).count() }
+    bench("dedup_minhash") { Dedup.nearDupPairs(tbl("documents")).count() }
+    bench("dedup_simhash") { Dedup.simhashPairs(tbl("documents")).count() }
+    bench("passage_dedup") {
+      Dedup.passageDedup(tbl("documents")).agg(sum(col("cut_tokens"))).collect()
+    }
+    bench("langid_quality") {
+      tbl("documents").select(
+        TextAnalysis.langId(col("text")).as("lid"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+        .agg(count(lit(1)), avg(col("q"))).collect()
+    }
+    bench("langid_only") {
+      noop(tbl("documents").select(TextAnalysis.langId(col("text")).as("lid")))
+    }
+    bench("quality_only") {
+      noop(tbl("documents").select(TextAnalysis.qualityScore(col("text")).as("q")))
+    }
+    bench("curate") { graft.ops.Curation.curate(tbl("documents")).count() }
+    bench("ann_topk") {
+      val emb = tbl("embeddings")
+      val q = emb.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+      Similarity.bruteTopK(emb, q, 10).collect()
+    }
+
+    val qs = results.map { case (k, (v, g)) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""EXTRA_JSON {"queries":$qs,"docs":$nDocs,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
