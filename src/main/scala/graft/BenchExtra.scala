@@ -85,6 +85,100 @@ object BenchExtra {
     bench("vf_scan_spans") { noop(docs.select(col("spans"))) }
     bench("vf_core") { noop(Pipeline.rowLocalCore(spark, docs, schema)) }
     bench("vf_full") { Pipeline.violations(spark, docs, schema).count() }
+    bench("vf_full_noshare") {
+      spark.conf.set("spark.graft.validate.sharedScan", "false")
+      try Pipeline.violations(spark, docs, schema).count()
+      finally spark.conf.unset("spark.graft.validate.sharedScan")
+    }
+    bench("vf_full_noaqe") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try Pipeline.violations(spark, docs, schema).count()
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    bench("vf_sharedscan_build") {
+      CheckContext(spark, docs, schema, None).buildSharedScan(Nil).count()
+    }
+    if (on("vf_valmicro")) {
+      import graft.validators.ScalaValidators
+      val n = 800000
+      def micro(name: String, fn: String => Boolean, vals: Array[String]): Unit = {
+        var i = 0; var acc = 0
+        while (i < n) { if (fn(vals(i % vals.length))) acc += 1; i += 1 } // warm
+        val t0 = System.nanoTime()
+        i = 0
+        while (i < n) { if (fn(vals(i % vals.length))) acc += 1; i += 1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"MICRO $name $dt%.3f s for $n calls (${dt / n * 1e9}%.0f ns/call) acc=$acc")
+      }
+      val x = graft.model.SchemaDef.XSD
+      micro("unsignedInt", ScalaValidators.forDatatype(x + "unsignedInt"),
+        (0 until 1000).map(_.toString).toArray)
+      micro("dateTime", ScalaValidators.forDatatype(x + "dateTime"),
+        (0 until 336).map(i => f"2020-${i % 12 + 1}%02d-${i % 28 + 1}%02dT10:00:00Z").toArray)
+      micro("language", ScalaValidators.forDatatype(x + "language"),
+        Array("en", "fr", "de", "longerThan8"))
+      micro("boolean", ScalaValidators.forDatatype(x + "boolean"),
+        Array("true", "false", "T"))
+      micro("anyURI", ScalaValidators.forDatatype(x + "anyURI"),
+        (0 until 1000).map(i => s"http://example.org/doc/$i").toArray)
+      micro("string", ScalaValidators.forDatatype(x + "string"),
+        (0 until 1000).map(i => s"Title $i").toArray)
+      micro("score_facet", ScalaValidators.validatorFor(DocGen.schema, "dt:score"),
+        (0 until 101).map(_.toString).toArray)
+    }
+    if (on("vf_opmetrics")) {
+      val qes = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.QueryExecution]()
+      val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = qes.add(qe)
+        override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(ql)
+      val t = time(Pipeline.violations(spark, docs, schema).count())
+      Thread.sleep(1500)
+      spark.listenerManager.unregister(ql)
+      println(f"EXTRA vf_opmetrics $t%.3f  (${qes.size()} query executions)")
+      val df = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.execution.QueryExecution]()
+      import scala.jdk.CollectionConverters._
+      val qe = qes.asScala.maxBy(q => q.executedPlan.toString.length)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+        val ms = p.metrics.map { case (k, m) => s"$k=${m.value}" }
+          .filter(s => s.contains("numOutputRows") || s.contains("time") ||
+            s.contains("Time") || s.contains("dataSize"))
+          .mkString(" ")
+        println(s"OP ${"  " * depth}${p.nodeName} $ms")
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan, depth + 1)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan, depth + 1)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            println(s"OP ${"  " * (depth + 1)}(reused ${r.child.nodeName})")
+          case _ => p.children.foreach(walk(_, depth + 1))
+        }
+      }
+      walk(qe.executedPlan, 0)
+    }
+    if (on("vf_stages")) {
+      import org.apache.spark.scheduler._
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Long, Long)]()
+      val listener = new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
+          stages.add((si.stageId, si.name.takeWhile(_ != '\n').take(90),
+            si.numTasks, wall, si.taskMetrics.executorRunTime))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t = time(Pipeline.violations(spark, docs, schema).count())
+      Thread.sleep(1000) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"EXTRA vf_stages $t%.3f")
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, name, n, wall, run) =>
+        println(f"STAGE $id%4d tasks=$n%4d wall=${wall}%6d ms run=${run}%7d ms  $name")
+      }
+    }
     def ctx = CheckContext(spark, docs, schema, None)
     bench("vf_kinds_defined") { graft.checks.CheckKindsDefined.run(ctx).count() }
     bench("vf_classes_defined") { graft.checks.CheckClassesDefined.run(ctx).count() }

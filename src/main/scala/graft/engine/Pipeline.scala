@@ -45,21 +45,67 @@ object Pipeline {
                  fused: Boolean = true,
                  native: Boolean = true,
                  universe: Option[DataFrame] = None): DataFrame = {
-    val ctx = CheckContext(spark, docs, schema, universe)
+    val ctx0 = CheckContext(spark, docs, schema, universe)
     val (rowLocal, others) = checks.partition(c => fused && c.isInstanceOf[RowLocalCheck])
 
-    val fusedFrames: Seq[DataFrame] =
-      if (rowLocal.isEmpty) Nil
-      else {
-        val one = fusedCoreFrame(ctx, rowLocal, native, docs, schema)
-        val extras = rowLocal.flatMap(c =>
-          c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
-            .map(_.withColumn("check", lit(c.id))))
-        one +: extras
-      }
+    // Shared single-scan mode (round-9, guide §2.4/§8): in the fused native
+    // path, ONE wide corpus scan computes the violation array AND every
+    // per-doc projection the corpus checks consume (kinds, type-classes,
+    // refs, class), localCheckpoint-materialized; every subplan then reads
+    // that doc-metadata-sized frame instead of re-scanning the corpus
+    // (measured: the composed pass ran ~7 corpus scans summing to ~10 s at
+    // 800k docs — the scans, not the operators, dominated). Identical rows
+    // by construction: every derived projection uses the same expressions
+    // as the per-check forms (PipelineGoldenSpec three-way equality).
+    // Opt out via spark.graft.validate.sharedScan=false.
+    val useShared = rowLocal.nonEmpty && native &&
+      spark.conf.getOption("spark.graft.validate.sharedScan").forall(_ != "false")
 
-    val otherFrames = others.map(c => c.run(ctx).withColumn("check", lit(c.id)))
-    (fusedFrames ++ otherFrames).reduce(_ unionByName _)
+    if (useShared) {
+      val cc = compiledFor(ctx0, rowLocal, schema)
+      val shared = ctx0.buildSharedScan(Seq(
+        graft.functions.ValidateSpans.validateSpans(col("spans"), cc).as("__viols")))
+      val ctx = ctx0.copy(sharedOpt = Some(shared))
+      val core = shared.select(col("doc_id"), explode(col("__viols")).as("v"))
+        .select(col("v.checkId").as("checkId"), lit("error").as("severity"),
+          col("doc_id").cast("string").as("docId"), col("v.kind").as("kind"),
+          col("v.value").as("value"), col("v.expected").as("expected"),
+          col("v.check").as("check"))
+      val extras = rowLocal.flatMap(c =>
+        c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
+          .map(_.withColumn("check", lit(c.id))))
+      val otherFrames = others.map(c => c.run(ctx).withColumn("check", lit(c.id)))
+      ((core +: extras) ++ otherFrames).reduce(_ unionByName _)
+    } else {
+      val fusedFrames: Seq[DataFrame] =
+        if (rowLocal.isEmpty) Nil
+        else {
+          val one = fusedCoreFrame(ctx0, rowLocal, native, docs, schema)
+          val extras = rowLocal.flatMap(c =>
+            c.asInstanceOf[RowLocalCheck].extraFrames(ctx0)
+              .map(_.withColumn("check", lit(c.id))))
+          one +: extras
+        }
+      val otherFrames = others.map(c => c.run(ctx0).withColumn("check", lit(c.id)))
+      (fusedFrames ++ otherFrames).reduce(_ unionByName _)
+    }
+  }
+
+  /** The compiled subject-local constraint set for a row-local check list —
+    * strictness and span layout resolved exactly as [[fusedCoreFrame]]'s
+    * native branch does.
+    */
+  private def compiledFor(ctx: CheckContext, rowLocal: Seq[ConstraintCheck],
+                          schema: SchemaDef): graft.functions.CompiledConstraints = {
+    val strictDt = rowLocal.exists {
+      case c: graft.checks.CheckDatatypeImpl => c.strict
+      case _ => false
+    }
+    graft.functions.CompiledConstraints.from(
+      schema, rowLocal.map(_.id).toSet,
+      strictDt = strictDt,
+      spanArity = ctx.spanArity,
+      dtOrdinal = ctx.spanDatatypeOrd)
   }
 
   /** The fused row-local pass itself (no extras, no corpus checks) —
@@ -75,15 +121,7 @@ object Pipeline {
             // primitive counters, one output array — codegen'd end to end.
             // Strictness and the optional span-datatype layout flow in from
             // the configured check / the corpus schema (the datatype seam).
-            val strictDt = rowLocal.exists {
-              case c: graft.checks.CheckDatatypeImpl => c.strict
-              case _ => false
-            }
-            val cc = graft.functions.CompiledConstraints.from(
-              schema, rowLocal.map(_.id).toSet,
-              strictDt = strictDt,
-              spanArity = ctx.spanArity,
-              dtOrdinal = ctx.spanDatatypeOrd)
+            val cc = compiledFor(ctx, rowLocal, schema)
             docs.select(col("doc_id"),
               explode(graft.functions.ValidateSpans.validateSpans(col("spans"), cc)).as("v"))
               .select(col("v.checkId").as("checkId"), lit("error").as("severity"),

@@ -51,16 +51,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(pushed.contains("EqualTo(doc_id"), s"filter not pushed: $pushed")
   }
 
-  test("violations plan reuses the shared exchanges (distinct-refs, class table, counts)") {
-    // ReuseExchange is explicit in the non-adaptive plan; under AQE the
-    // same reuse happens at stage-materialization time
-    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
-      val docs = spark.read.parquet(docsPath)
-      val plan = Pipeline.violations(spark, docs, DocGen.schema)
-        .queryExecution.executedPlan.toString
-      val reused = "ReusedExchange".r.findAllIn(plan).length
-      assert(reused >= 3, s"expected >=3 reused exchanges, got $reused")
-    }
+  test("violations plan shares its mid-frames via the columnar cache") {
+    // Round-9: the composed pass's shared subplans (the wide scan,
+    // distinct kinds, distinct refs, the restriction ref frame, the
+    // qualified counts) are explicit columnar caches — ReuseExchange was
+    // measured NOT to dedupe them at runtime under AQE (each branch
+    // re-materialized its own copy). Every multiply-consumed frame must
+    // appear as an InMemoryTableScan in the composed plan; the per-check
+    // single-query plans (asserted elsewhere in this spec) stay cache-free.
+    val docs = spark.read.parquet(docsPath)
+    val plan = Pipeline.violations(spark, docs, DocGen.schema)
+      .queryExecution.executedPlan.toString
+    val cached = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cached >= 5, s"expected >=5 cache reads in the composed plan, got $cached")
+    // and the single-check plan must NOT silently pick up a stale cache
+    val single = graft.checks.CheckUriExistence
+      .run(CheckContext(spark, docs, DocGen.schema))
+      .queryExecution.executedPlan.toString
+    assert(!single.contains("InMemoryTableScan"),
+      "per-check plan must scan parquet, not a composed-pass cache")
   }
 
   test("sessionize reads only (key, ts) from the source; ONE exchange (the key)") {
