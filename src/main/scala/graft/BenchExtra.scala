@@ -158,7 +158,7 @@ object BenchExtra {
       }
       walk(qe.executedPlan, 0)
     }
-    if (on("vf_stages")) {
+    def profileStages(name: String)(f: => Any): Unit = if (on(name)) {
       import org.apache.spark.scheduler._
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Long, Long)]()
       val listener = new SparkListener {
@@ -170,14 +170,26 @@ object BenchExtra {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      val t = time(Pipeline.violations(spark, docs, schema).count())
+      val t = time(f)
       Thread.sleep(1000) // let the listener bus drain
       spark.sparkContext.removeSparkListener(listener)
-      println(f"EXTRA vf_stages $t%.3f")
+      println(f"EXTRA $name $t%.3f")
       import scala.jdk.CollectionConverters._
-      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, name, n, wall, run) =>
-        println(f"STAGE $id%4d tasks=$n%4d wall=${wall}%6d ms run=${run}%7d ms  $name")
+      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, nm, n, wall, run) =>
+        println(f"STAGE $id%4d tasks=$n%4d wall=${wall}%6d ms run=${run}%7d ms  $nm")
       }
+    }
+    profileStages("vf_stages") { Pipeline.violations(spark, docs, schema).count() }
+    profileStages("mh_stages") { Dedup.nearDupPairs(tbl("documents")).count() }
+    profileStages("curate_stages") { graft.ops.Curation.curate(tbl("documents")).count() }
+    profileStages("passage_stages") {
+      Dedup.passageDedup(tbl("documents")).agg(sum(col("cut_tokens"))).collect()
+    }
+    profileStages("langid_stages") {
+      tbl("documents").select(
+        TextAnalysis.langId(col("text")).as("lid"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+        .agg(count(lit(1)), avg(col("q"))).collect()
     }
     def ctx = CheckContext(spark, docs, schema, None)
     bench("vf_kinds_defined") { graft.checks.CheckKindsDefined.run(ctx).count() }
@@ -207,8 +219,38 @@ object BenchExtra {
       viols.unpersist()
     }
 
+    if (on("verdicts_rollup")) {
+      val viols = Pipeline.violations(spark, docs, schema).cache()
+      viols.count()
+      profileStages("verdicts_rollup") {
+        Pipeline.verdictsFrom(spark, viols, docs, schema, "bench", 64)
+          .agg(sum("nViolations")).collect()
+      }
+      viols.unpersist()
+    }
+
     // ---- other headline ops ---------------------------------------------
     bench("stats_profile") { ColumnStats.profile(tbl("lineitem")).count() }
+    bench("stats_profile_scan") { noop(tbl("lineitem")) }
+    bench("stats_profile_minmax") {
+      val li = tbl("lineitem")
+      val aggs = li.schema.fields.toSeq.flatMap { f => Seq(
+        count(col(f.name)), count(when(col(f.name).isNull, 1)),
+        min(col(f.name)).cast("string"), max(col(f.name)).cast("string")) }
+      li.agg(aggs.head, aggs.tail: _*).collect()
+    }
+    bench("stats_profile_distinct") {
+      val li = tbl("lineitem")
+      val aggs = li.schema.fields.toSeq.map(f => approx_count_distinct(col(f.name)))
+      li.agg(aggs.head, aggs.tail: _*).collect()
+    }
+    bench("stats_profile_kll") {
+      val li = tbl("lineitem")
+      val aggs = li.schema.fields.toSeq
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        .map(f => graft.stats.KllSketchAgg.kll_sketch(col(f.name), 200))
+      li.agg(aggs.head, aggs.tail: _*).collect()
+    }
     bench("stats_mergeable") {
       ColumnStats.mergeProfiles(ColumnStats.mergeableProfile(
         tbl("documents"), "source", Seq("doc_id", "n_chars", "lang")))

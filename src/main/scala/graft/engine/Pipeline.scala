@@ -75,7 +75,13 @@ object Pipeline {
         c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
           .map(_.withColumn("check", lit(c.id))))
       val otherFrames = others.map(c => c.run(ctx).withColumn("check", lit(c.id)))
+      // the union's partition count is the SUM over ~20 branches (~350
+      // partitions of a small frame): every downstream action — the count,
+      // a cache build, the verdict rollup — pays one task per partition in
+      // pure scheduling. A narrow coalesce bounds it at session
+      // parallelism; branch work below the exchanges is unaffected.
       ((core +: extras) ++ otherFrames).reduce(_ unionByName _)
+        .coalesce(spark.sparkContext.defaultParallelism)
     } else {
       val fusedFrames: Seq[DataFrame] =
         if (rowLocal.isEmpty) Nil

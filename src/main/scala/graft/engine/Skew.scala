@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Spread an under-split input across the session's cores (guide §2.5's
+    * "input skew" case: a single unsplittable file / single parquet row
+    * group yields ONE scan task no matter how many cores the session has —
+    * measured: the whole curation chain ran as one 2.5 s single-task stage
+    * over a 1-row-group table while 31 cores idled). A keyless round-robin
+    * repartition immediately after the read spreads the rows; row set
+    * unchanged, so every downstream aggregation/join/window is unaffected.
+    *
+    * SCALE-ADAPTIVE no-op: when the source already provides at least the
+    * session default parallelism (any real multi-file/multi-row-group
+    * table), no exchange is added — this never costs a production-scale
+    * corpus an extra text shuffle.
+    */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Duplicate-key detection with two-phase salted aggregation: phase 1
     * counts per (key, salt) — hot keys spread over `saltBuckets` reducers —
     * phase 2 sums the partials per key. For uniqueness over 10^12 doc_ids a

@@ -25,11 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def curate(docs: DataFrame, minTokens: Int = 5, id: String = "doc_id",
+  def curate(docs0: DataFrame, minTokens: Int = 5, id: String = "doc_id",
              text: String = "text"): DataFrame = {
+    // an unsplittable single-row-group source otherwise runs the whole
+    // regex-heavy hygiene chain in ONE task (guide SS2.5)
+    val docs = graft.engine.Skew.ensureParallelism(docs0)
     val clean = TextAnalysis.stripControlChars(
       TextAnalysis.stripMarkup(TextAnalysis.nfc(col(text))))
-    val cleaned = docs.select(col(id), clean.as("clean"))
+    // opaque: without the barrier, predicate pushdown substitutes the
+    // 8-regex hygiene chain into the quality filter (three copies) and
+    // moves it below the spread exchange — one task then runs all of it
+    val cleaned = docs.select(col(id),
+      graft.functions.Opaque.opaque(clean).as("clean"))
     val filtered = cleaned.filter(
       TextAnalysis.tokenCount(col("clean")) >= minTokens &&
         QualityClassifier.diversityLabel(col("clean")))
@@ -48,11 +55,13 @@ object Curation {
     * ONE corpus scan (the hygiene chain fused in) + one distinct-aggregate
     * exchange; all-integer, hash-oracled (`q_curate_funnel`).
     */
-  def curationFunnel(docs: DataFrame, minTokens: Int = 5, id: String = "doc_id",
+  def curationFunnel(docs0: DataFrame, minTokens: Int = 5, id: String = "doc_id",
                      text: String = "text"): DataFrame = {
+    val docs = graft.engine.Skew.ensureParallelism(docs0)
     val clean = TextAnalysis.stripControlChars(
       TextAnalysis.stripMarkup(TextAnalysis.nfc(col(text))))
-    val cleaned = docs.select(col(id), clean.as("clean"))
+    val cleaned = docs.select(col(id),
+      graft.functions.Opaque.opaque(clean).as("clean"))
     val tokOk = TextAnalysis.tokenCount(col("clean")) >= minTokens
     val divOk = QualityClassifier.diversityLabel(col("clean"))
     cleaned.agg(

@@ -213,7 +213,13 @@ object Dedup {
     * expression instead, because HOFs are CodegenFallback (interpreted) and
     * too slow for the full-corpus pass.
     */
-  def shingles(text: Column, k: Int): Column = {
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.CharShingles.charShingles(text, k)
+
+  /** The original HOF formulation of [[shingles]] — kept as the parity
+    * oracle of the native expression (DedupSpec asserts equality).
+    */
+  def shinglesHof(text: Column, k: Int): Column = {
     val idx = sequence(lit(0), greatest(length(text) - k, lit(0)))
     array_distinct(transform(idx, i => text.substr(i + 1, lit(k))))
   }
@@ -234,9 +240,13 @@ object Dedup {
     * both signatures (`sig_a`/`sig_b`) so callers can estimate Jaccard
     * from signature agreement before paying for exact verification.
     */
-  def minhashCandidates(df: DataFrame, id: String = "doc_id", text: String = "text",
+  def minhashCandidates(df0: DataFrame, id: String = "doc_id", text: String = "text",
                         k: Int = 5, numHashes: Int = 32, bands: Int = 8,
                         maxBucketSize: Int = 1000): DataFrame = {
+    // signature computation is the per-row-heavy pass: spread an
+    // unsplittable single-row-group source first (guide SS2.5; no-op at
+    // scale)
+    val df = graft.engine.Skew.ensureParallelism(df0)
     val sig = graft.functions.MinHashSig.minhashSig(col(text), k, numHashes)
     val withSig = df.filter(length(col(text)) >= k)
       .select(col(id).as("__id"), sig.as("__sig"))
@@ -328,8 +338,9 @@ object Dedup {
     * 16-bit bands (catches all pairs within Hamming distance 3), verified
     * by exact Hamming distance ≤ `maxHamming`.
     */
-  def simhashPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
+  def simhashPairs(df0: DataFrame, id: String = "doc_id", text: String = "text",
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val df = graft.engine.Skew.ensureParallelism(df0)
     val withSig = df.select(col(id).as("__id"), SimHash64.simhash64(col(text)).as("__sig"))
     val banded = withSig.select(col("__id"), col("__sig"),
       posexplode(array((0 until 4).map(b =>
@@ -526,9 +537,10 @@ object Dedup {
     * exactly on documents with non-single-space whitespace, see
     * [[graft.functions.CutTokenSpans]]).
     */
-  def passageDedup(df: DataFrame, id: String = "doc_id", text: String = "text",
+  def passageDedup(df0: DataFrame, id: String = "doc_id", text: String = "text",
                    k: Int = 12, keepOne: Boolean = true,
                    preserveWhitespace: Boolean = false): DataFrame = {
+    val df = graft.engine.Skew.ensureParallelism(df0)
     val grams = df.select(col(id).as("__id"),
         explode(graft.functions.TokenGramHashes.tokenGramHashes(col(text), k)).as("__g"))
       .select(col("__id"), col("__g.hash").as("__h"), col("__g.pos").as("__p"))

@@ -46,8 +46,21 @@ object TextAnalysis {
 
   /** Heuristic language id: argmax of stopword votes; "und" when no
     * language scores a hit. Ties break in fixed order en>fr>de>es.
+    *
+    * Round-9: evaluated by the native single-pass
+    * [[graft.functions.LangIdExpr]] — the Column formulation below (kept
+    * as [[langIdColumns]] for the parity spec) runs four
+    * `split(lower(text))` + `array_intersect` trees per row and its
+    * generated code dominated the cold bench stage. Identical verdicts
+    * (TextSignalsParitySpec + the q_langid/q_lang_group oracles).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.TextSignalsCols.langId(text)
+
+  /** The original Column formulation of [[langId]] — the parity oracle of
+    * the native expression.
+    */
+  def langIdColumns(text: Column): Column = {
     val langs = Seq("en", "fr", "de", "es")
     val scores = langs.map(l => langScore(text, l))
     val best = scores.reduce((a, b) => greatest(a, b))
@@ -114,8 +127,18 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length band + punctuation sanity +
     * stopword presence + case sanity. Heuristic weights in the spirit of
     * C4/Gopher-style quality filters.
+    *
+    * Round-9: native single-pass [[graft.functions.QualityScoreExpr]];
+    * the Column formulation stays as [[qualityScoreColumns]] (parity
+    * oracle). Identical doubles (same operations in the same order).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    graft.functions.TextSignalsCols.qualityScore(text)
+
+  /** The original Column formulation of [[qualityScore]] — the parity
+    * oracle of the native expression.
+    */
+  def qualityScoreColumns(text: Column): Column = {
     val toks = tokenCount(text).cast("double")
     val chars = nChars(text).cast("double")
     val meanWordLen = when(toks > 0, chars / toks).otherwise(lit(0.0))

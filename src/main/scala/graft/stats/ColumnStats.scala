@@ -105,7 +105,12 @@ object ColumnStats {
     * (column, count, nulls, approxDistinct, min, max, sketch?).
     * Numeric columns also get a serialized KLL sketch for drift checks.
     */
-  def profile(df: DataFrame, kllK: Int = 200): DataFrame = {
+  def profile(df0: DataFrame, kllK: Int = 200): DataFrame = {
+    // a single-row-group source otherwise runs all ~5 aggregates x columns
+    // in ONE task (guide §2.5; no-op on any real multi-split table). The
+    // exact channels are partitioning-invariant; kll/approxDistinct are
+    // estimate-plane (and the oracle pins only the exact channels).
+    val df = graft.engine.Skew.ensureParallelism(df0)
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.schema.fields.filter(f => f.dataType match {

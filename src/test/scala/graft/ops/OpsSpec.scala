@@ -439,4 +439,20 @@ class OpsSpec extends SparkTestBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L), s"got $comp")
   }
+
+  test("native char shingles == HOF formulation (order and all)") {
+    import spark.implicits._
+    val texts = Seq("", "a", "abcd", "abcde", "abcdef", "aaaaaaa",
+      "the quick brown fox", "ababababab", "caf\u00e9 d\u00e9j\u00e0 vu",
+      "\ud83d\ude00abcdef\ud83d\ude01xyz", "  spaced  out  ",
+      (0 until 300).map(i => ('a' + i % 7).toChar).mkString)
+    val df = texts.toDF("t")
+    val rows = df.select(
+      Dedup.shingles(org.apache.spark.sql.functions.col("t"), 5).as("n"),
+      Dedup.shinglesHof(org.apache.spark.sql.functions.col("t"), 5).as("h")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingle mismatch on '$t': native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+  }
 }
