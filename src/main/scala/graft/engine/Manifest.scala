@@ -101,8 +101,11 @@ final class Manifest(path: String) {
 
   def recordFiles(snapshotId: String, constraintHash: String, run: Long,
                   files: Seq[String], checksHash: String = ""): Unit = {
-    require(files.forall(f => !f.contains("\"") && !f.contains(",")),
-      "file paths with quotes/commas would break the line-scrape reader")
+    require(files.forall(f =>
+      !f.contains("\"") && !f.contains(",") && !f.contains("]")),
+      "file paths with quotes/commas/']' would break the line-scrape " +
+        "reader (']' terminates the files-array scrape, truncating the " +
+        "listing on read — round-8 advice)")
     Seq("snapshotId" -> snapshotId, "constraintHash" -> constraintHash,
       "checksHash" -> checksHash).foreach { case (n, v) => requireSafe(n, v) }
     append(s"""{"type":"files","snapshotId":"$snapshotId","constraintHash":"$constraintHash","checksHash":"$checksHash","run":$run,"files":${files.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
@@ -142,8 +145,11 @@ final class Manifest(path: String) {
   def recordArtifact(kind: String, snapshotId: String, constraintHash: String,
                      run: Long, files: Seq[String],
                      checksHash: String = ""): Unit = {
-    require(files.forall(f => !f.contains("\"") && !f.contains(",")),
-      "file paths with quotes/commas would break the line-scrape reader")
+    require(files.forall(f =>
+      !f.contains("\"") && !f.contains(",") && !f.contains("]")),
+      "file paths with quotes/commas/']' would break the line-scrape " +
+        "reader (']' terminates the files-array scrape, truncating the " +
+        "listing on read — round-8 advice)")
     Seq("kind" -> kind, "snapshotId" -> snapshotId,
       "constraintHash" -> constraintHash, "checksHash" -> checksHash)
       .foreach { case (n, v) => requireSafe(n, v) }
@@ -172,7 +178,15 @@ final class Manifest(path: String) {
               .filter(_.nonEmpty))
         } yield r -> fs
       }
-      .toSeq.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+      .toSeq.groupBy(_._1).view.mapValues { recs =>
+        // duplicate (kind, key, run) records would concat their file lists
+        // and double-read every row downstream (round-8 advice): the file
+        // listing is the commit point, so the FIRST record for a run wins
+        // and later duplicates are ignored (re-commits of the same run are
+        // idempotent by construction; a conflicting re-commit is a caller
+        // bug surfaced by the dedup below never mixing listings)
+        recs.head._2
+      }.toMap
   }
 
   /** Retire the artifact records of the given runs (expire-snapshots for

@@ -170,7 +170,7 @@ object ValidatorConfig {
         maxInclusive = p.lift(4).flatMap(Option(_)).orNull)
     }.toSeq
 
-    ValidatorConfig(
+    val cfg = ValidatorConfig(
       documentsPath = one("data.documents").getOrElse(
         if (one("data.bucketedTable").isDefined) ""
         else sys.error(s"$path: data.documents or data.bucketedTable is required")),
@@ -194,5 +194,12 @@ object ValidatorConfig {
       profileEnabled = one("profile.enabled").exists(_.toBoolean),
       driftPrevProfile = one("drift.prevProfile")
     )
+    // fail FAST on a config that can only fail at the end of the run:
+    // drift reads stored profiles, so it needs the profile stage enabled —
+    // the late require (after validation, persist and manifest commit)
+    // wasted the whole pass (round-8 advice, low)
+    require(cfg.driftPrevProfile.isEmpty || cfg.profileEnabled,
+      "drift.prevProfile needs profile.enabled=true (drift reads stored profiles)")
+    cfg
   }
 }

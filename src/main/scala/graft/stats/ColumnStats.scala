@@ -122,6 +122,12 @@ object ColumnStats {
       case org.apache.spark.sql.types.BooleanType => true
       case _ => false
     })
+    // ONE aggregation pass: the KLL TypedImperativeAggregate forces the
+    // whole pass into (interpreted) ObjectHashAggregate, but with the
+    // spread exchange above, the partial aggregation runs AFTER it —
+    // 32-way — and the serial cost is just the unsplittable single-task
+    // read feeding the exchange. Splitting into per-family passes was
+    // measured to double that serial read and lose (2.4 s vs 1.4 s).
     val aggs: Seq[Column] = cols.toSeq.flatMap { f =>
       val c = col(f.name)
       val isNum = f.dataType.isInstanceOf[NumericType]

@@ -133,4 +133,39 @@ class DedupDeltaSpec extends SparkTestBase {
     val (cands2, _) = Dedup.minhashCandidatesDelta(one, dir, maxBucketSize = 100)
     assert(cands2.count() == 50L)
   }
+
+  test("two increments, append WITHOUT compact: no new x previous-increment pair is lost") {
+    val session = spark
+    import session.implicits._
+    // increment 1 introduces a NEW text; increment 2 duplicates it — the
+    // only path to that candidate pair is through the increment-1 rows
+    // APPENDED to the directory with NULL bucket_size (the round-8 verdict
+    // gap: a `bucket_size <= max` filter silently dropped them)
+    val inc1 = Seq(
+      (21L, "fresh reporting on orbital telescope maintenance missions this year"),
+      (22L, "entirely new content with no duplicate anywhere in either snapshot")
+    ).toDF("doc_id", "text")
+    val inc2 = Seq(
+      (31L, "fresh reporting on orbital telescope maintenance missions this year"), // dup of inc1's 21
+      (32L, "the quick brown fox jumps over the lazy dog near the river bank today") // dup of prev 1/12
+    ).toDF("doc_id", "text")
+    def pairSet(df: DataFrame) = df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val dir0 = roundTrip(Dedup.minhashDirectory(prevDocs), "mhdir2")
+    val (cands1, delta1) = Dedup.minhashCandidatesDelta(inc1, dir0)
+    // append WITHOUT compacting: delta rows keep bucket_size = NULL
+    val dir1 = roundTrip(dir0.unionByName(delta1), "mhdir2-app")
+    assert(dir1.filter(col("bucket_size").isNull).count() > 0,
+      "fixture must exercise un-compacted NULL-size rows")
+    val (cands2, _) = Dedup.minhashCandidatesDelta(inc2, dir1)
+
+    val full = pairSet(Dedup.minhashCandidates(
+      prevDocs.unionByName(inc1).unionByName(inc2)))
+    val mined = pairSet(Dedup.minhashCandidates(prevDocs)) ++
+      pairSet(cands1) ++ pairSet(cands2)
+    assert(full.contains((21L, 31L)), "fixture lost its cross-increment pair")
+    assert(mined == full,
+      s"missing: ${full -- mined}; extra: ${mined -- full}")
+  }
 }
