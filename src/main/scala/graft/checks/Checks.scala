@@ -134,9 +134,25 @@ final case class CheckContext(
     */
   def buildSharedScan(extra: Seq[Column]): DataFrame = {
     CheckContext.dropSharedCaches()
-    sharedPersist(docs.select(Seq(col("doc_id"), clsCol.as("__cls"),
-      field("kind").as("__kinds"), typeClassesExpr.as("__typeClasses"),
-      refsExpr.as("__refs")) ++ extra: _*))
+    // cls + typeClasses + refs in ONE native walk (SpanProjections): the
+    // HOF forms are CodegenFallback and were a large slice of the build
+    // stage's CPU; the per-check (unshared) plans keep the HOF forms.
+    // coalesce BEFORE persist: the cache otherwise inherits the input's
+    // split count (e.g. 33 partitions on 4 cores), and EVERY consumer
+    // stage then pays one task per cached partition — task-launch waves
+    // plus tasks parked on the cache's compute-or-wait locks holding the
+    // few cores (measured: consumer stages with 33 tasks, 2.7 s wall,
+    // 0.1 s of work). Bounding the cache at session parallelism keeps
+    // build parallelism intact and makes consumer stages core-sized.
+    // 4 partitions per core, not 1: exactly-core-sized partitions make
+    // every consumer stage's wall its SLOWEST partition (measured 46%
+    // more CPU-time per doc at 4 cores from stage tails); 4x gives the
+    // scheduler waves to balance while keeping task counts bounded.
+    sharedPersist(docs.select(Seq(col("doc_id"),
+      graft.functions.SpanProjections.spanProjections(col("spans"), spanArity)
+        .as("__proj"),
+      field("kind").as("__kinds")) ++ extra: _*)
+      .coalesce(4 * spark.sparkContext.defaultParallelism))
   }
 
   /** Persist a shared-mode mid-frame (columnar, MEMORY_AND_DISK) and
@@ -174,7 +190,7 @@ final case class CheckContext(
     * identically and materialize once at runtime.
     */
   lazy val docsCls: DataFrame = sharedOpt match {
-    case Some(s) => s.select(col("doc_id"), col("__cls").as("cls"))
+    case Some(s) => s.select(col("doc_id"), col("__proj.cls").as("cls"))
     case None => docs.select(col("doc_id"), clsCol.as("cls"))
   }
 
@@ -222,7 +238,7 @@ final case class CheckContext(
     * (same sharing discipline as [[distinctKinds]]).
     */
   lazy val distinctTypeClasses: DataFrame = sharedOpt match {
-    case Some(s) => s.select(explode(col("__typeClasses")).as("cls")).distinct()
+    case Some(s) => s.select(explode(col("__proj.typeClasses")).as("cls")).distinct()
     case None => docs.select(explode(typeClassesExpr).as("cls")).distinct()
   }
 
@@ -235,7 +251,7 @@ final case class CheckContext(
   lazy val distinctRefs: DataFrame = sharedOpt match {
     // shared mode: 2 consumers (URI existence + object range) — from the
     // shared frame, distinct RESULT cached
-    case Some(s) => sharedPersist(s.select(explode(col("__refs")).as("r"))
+    case Some(s) => sharedPersist(s.select(explode(col("__proj.refs")).as("r"))
       .select(col("r.kind").as("kind"), col("r.media_ref").as("media_ref"))
       .distinct())
     case None => docs.select(explode(refsExpr).as("r"))
@@ -270,8 +286,8 @@ final case class CheckContext(
       // shared mode: subject class AND refs both ride the shared frame —
       // row-local, join-free on the subject side
       case Some(s) => s.select(col("doc_id"),
-          coalesce(col("__cls"), lit(SchemaDef.OWL_THING)).as("cls"),
-          explode(filter(col("__refs"),
+          coalesce(col("__proj.cls"), lit(SchemaDef.OWL_THING)).as("cls"),
+          explode(filter(col("__proj.refs"),
             p => p.getField("kind").isin(kinds: _*))).as("r"))
         .select(col("doc_id"), col("cls"), col("r.kind").as("kind"),
           col("r.media_ref").as("media_ref"))
