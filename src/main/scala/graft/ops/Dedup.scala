@@ -256,13 +256,16 @@ object Dedup {
     * both signatures (`sig_a`/`sig_b`) so callers can estimate Jaccard
     * from signature agreement before paying for exact verification.
     */
-  def minhashCandidates(df0: DataFrame, id: String = "doc_id", text: String = "text",
+  def minhashCandidates(df: DataFrame, id: String = "doc_id", text: String = "text",
                         k: Int = 5, numHashes: Int = 32, bands: Int = 8,
                         maxBucketSize: Int = 1000): DataFrame = {
-    // signature computation is the per-row-heavy pass: spread an
-    // unsplittable single-row-group source first (guide SS2.5; no-op at
-    // scale)
-    val df = graft.engine.Skew.ensureParallelism(df0)
+    // NOTE (round 9): a Skew.ensureParallelism spread of single-split
+    // inputs was measured here (and in simhashPairs/passageDedup) and
+    // REVERTED — the native signature pass is cheap enough that the spread
+    // exchange's extra stage+codegen exactly cancels what it parallelizes
+    // (A/B: 1.18 s both ways at sf0.1). The spread stays only where the
+    // single-task work is heavy (curation's regex chain, the profile's
+    // wide interpreted aggregate).
     val sig = graft.functions.MinHashSig.minhashSig(col(text), k, numHashes)
     val withSig = df.filter(length(col(text)) >= k)
       .select(col(id).as("__id"), sig.as("__sig"))
@@ -354,9 +357,13 @@ object Dedup {
     * 16-bit bands (catches all pairs within Hamming distance 3), verified
     * by exact Hamming distance ≤ `maxHamming`.
     */
-  def simhashPairs(df0: DataFrame, id: String = "doc_id", text: String = "text",
+  def simhashPairs(df: DataFrame, id: String = "doc_id", text: String = "text",
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val df = graft.engine.Skew.ensureParallelism(df0)
+    // no ensureParallelism here: the SimHash walk is ~milliseconds even on
+    // a single-split input (one 64-bit fold per char), so the spread
+    // exchange's stage + codegen cost exceeds what it parallelizes —
+    // measured as a net loss cold and a wash warm (unlike the minhash
+    // signature/gram passes, whose per-doc work is 1-2 orders heavier)
     val withSig = df.select(col(id).as("__id"), SimHash64.simhash64(col(text)).as("__sig"))
     val banded = withSig.select(col("__id"), col("__sig"),
       posexplode(array((0 until 4).map(b =>
@@ -553,10 +560,9 @@ object Dedup {
     * exactly on documents with non-single-space whitespace, see
     * [[graft.functions.CutTokenSpans]]).
     */
-  def passageDedup(df0: DataFrame, id: String = "doc_id", text: String = "text",
+  def passageDedup(df: DataFrame, id: String = "doc_id", text: String = "text",
                    k: Int = 12, keepOne: Boolean = true,
                    preserveWhitespace: Boolean = false): DataFrame = {
-    val df = graft.engine.Skew.ensureParallelism(df0)
     val grams = df.select(col(id).as("__id"),
         explode(graft.functions.TokenGramHashes.tokenGramHashes(col(text), k)).as("__g"))
       .select(col("__id"), col("__g.hash").as("__h"), col("__g.pos").as("__p"))
