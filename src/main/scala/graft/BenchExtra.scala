@@ -166,7 +166,9 @@ object BenchExtra {
           val si = sc.stageInfo
           val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
           stages.add((si.stageId, si.name.takeWhile(_ != '\n').take(90),
-            si.numTasks, wall, si.taskMetrics.executorRunTime))
+            si.numTasks, wall,
+            si.taskMetrics.executorRunTime * 1000000L +
+              si.taskMetrics.executorCpuTime / 1000000L))
         }
       }
       spark.sparkContext.addSparkListener(listener)
@@ -175,8 +177,10 @@ object BenchExtra {
       spark.sparkContext.removeSparkListener(listener)
       println(f"EXTRA $name $t%.3f")
       import scala.jdk.CollectionConverters._
-      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, nm, n, wall, run) =>
-        println(f"STAGE $id%4d tasks=$n%4d wall=${wall}%6d ms run=${run}%7d ms  $nm")
+      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, nm, n, wall, enc) =>
+        val run = enc / 1000000L
+        val cpu = enc % 1000000L
+        println(f"STAGE $id%4d tasks=$n%4d wall=${wall}%6d ms run=${run}%7d ms cpu=${cpu}%7d ms  $nm")
       }
     }
     profileStages("vf_stages") { Pipeline.violations(spark, docs, schema).count() }
