@@ -50,6 +50,16 @@ final case class CheckContext(
     */
   lazy val universe: DataFrame = universeOpt.getOrElse(docs)
 
+  /** The referential target universe's doc_id column. In shared mode
+    * (and with no separate universe) it reads the shared scan's cached
+    * doc_id instead of re-scanning the corpus parquet — one less corpus
+    * read in the composed pass.
+    */
+  lazy val universeIds: DataFrame = sharedOpt match {
+    case Some(s) if universeOpt.isEmpty => s.select(col("doc_id"))
+    case _ => universe.select(col("doc_id"))
+  }
+
   /** Array of one span subfield — `spans.kind` etc. Catalyst prunes the
     * Parquet ReadSchema to exactly this subfield.
     */
@@ -471,7 +481,7 @@ object CheckUriExistence extends ConstraintCheck {
   def run(ctx: CheckContext): DataFrame = {
     val refs = ctx.distinctRefs
       .filter(!col("kind").isin(SchemaDef.UriExistenceExcludedKinds: _*))
-    val universe = ctx.universe.select(col("doc_id").as("media_ref"))
+    val universe = ctx.universeIds.select(col("doc_id").as("media_ref"))
     // SHUFFLE_HASH: the build side is the per-partition slice of the doc-id
     // universe (bounded by AQE partition sizing); hashing it beats sorting
     // BOTH sides of the biggest join in the composed pass (guide SS3.1)
