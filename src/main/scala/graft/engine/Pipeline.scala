@@ -297,7 +297,16 @@ object Pipeline {
   def violationsFromCore(spark: SparkSession, docs: DataFrame,
                          schema: SchemaDef, core: DataFrame,
                          checks: Seq[ConstraintCheck] = Checks.all): DataFrame = {
-    val ctx = CheckContext(spark, docs, schema, None)
+    val ctx0 = CheckContext(spark, docs, schema, None)
+    // the ValidatorApp's full-run and delta flows assemble around a
+    // precomputed core, so the composed corpus checks here get the SAME
+    // shared single-scan treatment as violations() (one wide cached scan
+    // instead of one corpus scan per vocabulary/referential subplan);
+    // same opt-out conf. No __viols column — the core is given.
+    val useShared =
+      spark.conf.getOption("spark.graft.validate.sharedScan").forall(_ != "false")
+    val ctx = if (useShared) ctx0.copy(sharedOpt = Some(ctx0.buildSharedScan(Nil)))
+              else ctx0
     val (rowLocal, others) = checks.partition(_.isInstanceOf[RowLocalCheck])
     val extraFrames = rowLocal.flatMap(c =>
       c.asInstanceOf[RowLocalCheck].extraFrames(ctx)
