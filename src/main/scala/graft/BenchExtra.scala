@@ -137,7 +137,6 @@ object BenchExtra {
       Thread.sleep(1500)
       spark.listenerManager.unregister(ql)
       println(f"EXTRA vf_opmetrics $t%.3f  (${qes.size()} query executions)")
-      val df = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.execution.QueryExecution]()
       import scala.jdk.CollectionConverters._
       val qe = qes.asScala.maxBy(q => q.executedPlan.toString.length)
       def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
